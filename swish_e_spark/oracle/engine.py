@@ -1,0 +1,245 @@
+"""Single-node reference oracle: inverted index + BM25 + boolean algebra.
+
+This is the "reference oracle in pure Python" prescribed by SURVEY.md §5:
+a deterministic, single-threaded dict-of-lists implementation of the full
+pipeline (extract → tokenize → postings → BM25 top-k with the swish-e
+boolean/phrase/NEAR algebra, /root/reference/src/search.c:2249-2637).
+The Spark engine must match it rank-identically: same top-k doc ids, same
+order, scores within 1e-6 relative (FIXTURES.md §4).
+
+Scoring contract (BM25, the north-rule scheme; swish-e's own two integer
+formulas are documented in SURVEY.md §2.7 and not used here):
+- idf  = ln((N - df + 0.5)/(df + 0.5) + 1)      per (field, term)
+- impact = tf(k1+1)/(tf + k1(1 - b + b·dl/avgdl)) with k1=1.2 b=0.75
+- term score = idf · impact; AND/OR/phrase/NEAR combine by SUM over the
+  distinct matched (field, term) leaves; unary NOT scores 1000.0
+  (complement rank, notresultlist /root/reference/src/search.c:2514-2553)
+- total order: (score desc, doc_id asc)
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left
+
+from ..codec.postings import B, K1
+from ..query.parser import (
+    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+)
+from ..textproc.extractor import DEFAULT_FIELD, extract
+from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_impact_scalar(tf: int, dl: int, avgdl: float,
+                       k1: float = K1, b: float = B) -> float:
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
+
+
+class OracleIndex:
+    def __init__(self, cfg: TokenizerConfig | None = None,
+                 index_comments: bool = False):
+        self.cfg = cfg or TokenizerConfig()
+        self.index_comments = index_comments
+        self._staged = []  # (url, html, doctype, props)
+        self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
+        self.url_to_id = {}
+        self.postings = {}  # (field, term) -> {doc_id: ([positions], [structs])}
+        self.n_docs = 0
+        self.avgdl = 0.0
+        self.total_positions = 0
+        self._vocab = None  # sorted (field, term) list for prefix scans
+
+    # -- build --
+
+    def add(self, url: str, content, doctype: str = "html", **props):
+        self._staged.append((url, content, doctype, props))
+
+    def build(self):
+        """Assign dense doc_ids ordered by url, tokenize, accumulate."""
+        self._staged.sort(key=lambda r: r[0])
+        for url, content, doctype, props in self._staged:
+            doc = extract(content, doctype=doctype,
+                          index_comments=self.index_comments)
+            if doc.noindex:
+                continue
+            doc_id = len(self.docs)
+            postings, doc_len = tokenize_doc(doc, self.cfg)
+            self.docs[doc_id] = {
+                "url": url, "title": doc.title, "doc_len": doc_len,
+                "description": doc.description, **props,
+            }
+            self.url_to_id[url] = doc_id
+            for (field, term), p in postings.items():
+                slot = self.postings.setdefault((field, term), {})
+                slot[doc_id] = (p.positions, p.structures)
+                self.total_positions += len(p.positions)
+        self._staged = []
+        self.n_docs = len(self.docs)
+        total_len = sum(d["doc_len"] for d in self.docs.values())
+        self.avgdl = total_len / self.n_docs if self.n_docs else 0.0
+        self._vocab = sorted(self.postings.keys())
+        return self
+
+    # -- scoring helpers --
+
+    def _term_entries(self, field, term, structure_mask=None):
+        """{doc_id: (tf, positions)} for one term with optional structure
+        mask (test_structure, /root/reference/src/search.c:1475-1494)."""
+        slot = self.postings.get((field, term))
+        if not slot:
+            return {}
+        out = {}
+        for doc_id, (positions, structs) in slot.items():
+            if structure_mask is None:
+                out[doc_id] = (len(positions), positions)
+            else:
+                kept = [p for p, s in zip(positions, structs)
+                        if s & structure_mask]
+                if kept:
+                    out[doc_id] = (len(kept), kept)
+        return out
+
+    def _score_term(self, entries):
+        if not entries:
+            return {}
+        df = len(entries)
+        idf = bm25_idf(self.n_docs, df)
+        out = {}
+        for doc_id, (tf, positions) in entries.items():
+            dl = self.docs[doc_id]["doc_len"]
+            out[doc_id] = (idf * bm25_impact_scalar(tf, dl, self.avgdl),
+                           positions)
+        return out
+
+    # -- evaluation: node -> {doc_id: (score, sorted positions)} --
+
+    def _eval(self, node, mask):
+        if isinstance(node, Term):
+            return self._score_term(self._term_entries(node.field, node.term, mask))
+        if isinstance(node, Prefix):
+            lo = bisect_left(self._vocab, (node.field, node.prefix))
+            out = {}
+            i = lo
+            while i < len(self._vocab):
+                f, t = self._vocab[i]
+                if f != node.field or not t.startswith(node.prefix):
+                    break
+                for doc_id, (sc, pos) in self._score_term(
+                        self._term_entries(f, t, mask)).items():
+                    if doc_id in out:
+                        s0, p0 = out[doc_id]
+                        out[doc_id] = (s0 + sc, sorted(p0 + pos))
+                    else:
+                        out[doc_id] = (sc, pos)
+                i += 1
+            return out
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node, mask)
+        if isinstance(node, And):
+            left = self._eval(node.left, mask)
+            right = self._eval(node.right, mask)
+            return {
+                d: (left[d][0] + right[d][0],
+                    sorted(left[d][1] + right[d][1]))
+                for d in left.keys() & right.keys()
+            }
+        if isinstance(node, Or):
+            left = self._eval(node.left, mask)
+            right = self._eval(node.right, mask)
+            out = dict(left)
+            for d, (sc, pos) in right.items():
+                if d in out:
+                    s0, p0 = out[d]
+                    out[d] = (s0 + sc, sorted(p0 + pos))
+                else:
+                    out[d] = (sc, pos)
+            return out
+        if isinstance(node, AndNot):
+            left = self._eval(node.left, mask)
+            right = self._eval(node.right, mask)
+            return {d: v for d, v in left.items() if d not in right}
+        if isinstance(node, Not):
+            child = self._eval(node.child, mask)
+            return {d: (1000.0, []) for d in self.docs if d not in child}
+        if isinstance(node, Near):
+            left = self._eval(node.left, mask)
+            right = self._eval(node.right, mask)
+            out = {}
+            for d in left.keys() & right.keys():
+                lpos, rpos = left[d][1], right[d][1]
+                if _near_match(lpos, rpos, node.distance):
+                    out[d] = (left[d][0] + right[d][0],
+                              sorted(lpos + rpos))
+            return out
+        raise TypeError(f"unknown node {node!r}")
+
+    def _eval_phrase(self, node: Phrase, mask):
+        """Positional adjacency with stopword gaps: term i must appear at
+        base+offset_i (phraseresultlists /root/reference/src/search.c:2561-2637
+        with distance 1)."""
+        seq = [(i, t) for i, t in enumerate(node.terms) if t is not None]
+        entries = [self._term_entries(node.field, t, mask) for _, t in seq]
+        if not entries or any(not e for e in entries):
+            return {}
+        common = set(entries[0])
+        for e in entries[1:]:
+            common &= e.keys()
+        out = {}
+        off0 = seq[0][0]
+        for d in common:
+            possets = [set(entries[j][d][1]) for j in range(len(seq))]
+            matched = [
+                p for p in entries[0][d][1]
+                if all(p - off0 + off in possets[j]
+                       for j, (off, _) in enumerate(seq))
+            ]
+            if matched:
+                score = 0.0
+                allpos = []
+                for j, (_, term) in enumerate(seq):
+                    df = len(entries[j])
+                    idf = bm25_idf(self.n_docs, df)
+                    tf, pos = entries[j][d]
+                    dl = self.docs[d]["doc_len"]
+                    score += idf * bm25_impact_scalar(tf, dl, self.avgdl)
+                    allpos.extend(pos)
+                out[d] = (score, sorted(allpos))
+        return out
+
+    # -- public API --
+
+    def query(self, q: str, k: int = 10, structure_mask=None,
+              limits: dict | None = None):
+        """Top-k as list of (doc_id, score) with (score desc, doc_id asc)
+        order. ``limits`` = {prop: (lo, hi)} inclusive range filters
+        (LimitByProperty, /root/reference/src/proplimit.c)."""
+        node = parse_query(q, self.cfg)
+        results = self._eval(node, structure_mask)
+        if limits:
+            results = {
+                d: v for d, v in results.items()
+                if all(lo <= self.docs[d].get(p) <= hi
+                       for p, (lo, hi) in limits.items())
+            }
+        ranked = sorted(results.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        return [(d, sc) for d, (sc, _) in ranked[:k]]
+
+    def match_count(self, q: str) -> int:
+        return len(self._eval(parse_query(q, self.cfg), None))
+
+
+def _near_match(lpos, rpos, d):
+    i = j = 0
+    while i < len(lpos) and j < len(rpos):
+        diff = lpos[i] - rpos[j]
+        if abs(diff) <= d:
+            return True
+        if diff < 0:
+            i += 1
+        else:
+            j += 1
+    return False

@@ -1,0 +1,296 @@
+"""Query language compiler — swish-e query surface (SURVEY.md §2.5).
+
+Grammar (reference: tokenize_query_string
+/root/reference/src/swish_words.c:525-698, operator words
+/root/reference/src/config.h:180-187):
+
+  expr    := unit ( (AND|OR|NOT|NEAR<d>|<implicit AND>) unit )*
+  unit    := [field '='] atom
+  atom    := word | word'*' | '"' phrase '"' | '(' expr ')'
+
+Semantics preserved from the reference:
+- left-to-right evaluation, NO precedence
+  (parseterm, /root/reference/src/search.c:1200-1392),
+- default conjunction between adjacent units is AND
+  (AND_RULE default, /root/reference/src/config.h:189),
+- ``a NOT b`` rewrites to AND-NOT (anti-join) instead of materializing a
+  complement (fixnot1, /root/reference/src/swish_words.c:1090-1115),
+- phrases expand to positional adjacency chains (expandphrase,
+  /root/reference/src/swish_words.c:1184-1229),
+- query words run through the SAME tokenizer/stemmer as indexing
+  (parse_swish_words, /root/reference/src/swish_words.c:296-362);
+  stopwords inside phrases become positional gaps,
+- stopword-only queries raise WORDS_TOO_COMMON
+  (/root/reference/src/swish_words.c:809-1004),
+- leading wildcard rejected (/root/reference/src/search.c:1552-1561),
+- ``field=atom`` and ``field=(expr)`` scope terms to a metaname
+  (fixmetanames, /root/reference/src/swish_words.c:1012-1068).
+
+The compiler is pure Python and runs on the driver; both the oracle
+evaluator and the Spark executor consume the same AST.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..textproc.extractor import DEFAULT_FIELD
+from ..textproc.tokenizer import TokenizerConfig, tokenize_query_text
+
+
+class QueryError(ValueError):
+    pass
+
+
+class WordsTooCommon(QueryError):
+    """All query words were stopwords (WORDS_TOO_COMMON)."""
+
+
+# ----- AST -----
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    term: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    field: str
+    prefix: str  # trailing-* wildcard
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: str
+    terms: tuple  # tuple of str-or-None (None = stopword gap)
+
+
+@dataclass(frozen=True)
+class And:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Or:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class AndNot:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object  # unary complement (rank=1000 semantics)
+
+
+@dataclass(frozen=True)
+class Near:
+    left: object
+    right: object
+    distance: int
+
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|=|[^\s()=]+')
+_NEAR_RE = re.compile(r"^near(\d*)$", re.IGNORECASE)
+
+
+def _lex(q: str):
+    return _TOKEN_RE.findall(q)
+
+
+class _Parser:
+    def __init__(self, tokens, cfg: TokenizerConfig, default_field: str):
+        self.toks = tokens
+        self.i = 0
+        self.cfg = cfg
+        self.default_field = default_field
+        self.dropped_stopwords = 0
+        self.kept_terms = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # expr := unit (op unit)*  — left-to-right, no precedence
+    def parse_expr(self, field):
+        node = self.parse_unit(field)
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                return node
+            op = t.lower()
+            m = _NEAR_RE.match(op)
+            if op == "and":
+                self.next()
+                nxt = self.peek()
+                if nxt and nxt.lower() == "not":  # "and not" → andnot
+                    self.next()
+                    rhs = self.parse_unit(field)
+                    node = self._combine_andnot(node, rhs)
+                else:
+                    rhs = self.parse_unit(field)
+                    node = self._combine(And, node, rhs)
+            elif op == "or":
+                self.next()
+                rhs = self.parse_unit(field)
+                node = self._combine(Or, node, rhs)
+            elif op == "not":
+                self.next()
+                rhs = self.parse_unit(field)
+                node = self._combine_andnot(node, rhs)
+            elif m:
+                self.next()
+                d = int(m.group(1)) if m.group(1) else 5
+                rhs = self.parse_unit(field)
+                if node is None or rhs is None:
+                    node = node or rhs
+                else:
+                    node = Near(node, rhs, d)
+            else:
+                rhs = self.parse_unit(field)  # implicit AND
+                node = self._combine(And, node, rhs)
+
+    @staticmethod
+    def _combine(cls, left, right):
+        if left is None:
+            return right
+        if right is None:
+            return left
+        return cls(left, right)
+
+    @staticmethod
+    def _combine_andnot(left, right):
+        if right is None:
+            return left
+        if left is None:
+            return Not(right)  # dangling NOT → unary complement
+        return AndNot(left, right)
+
+    def parse_unit(self, field):
+        t = self.peek()
+        if t is None or t == ")":
+            return None
+        self.next()
+        if t == "(":
+            node = self.parse_expr(field)
+            if self.peek() == ")":
+                self.next()
+            return node
+        if t == "=":
+            raise QueryError("syntax error: dangling '='")
+        # field= scoping
+        if self.peek() == "=":
+            self.next()
+            fname = t.lower()
+            nxt = self.peek()
+            if nxt == "(":
+                self.next()
+                node = self.parse_expr(fname)
+                if self.peek() == ")":
+                    self.next()
+                return node
+            if nxt is None:
+                raise QueryError("syntax error: field= with no term")
+            self.next()
+            return self._atom(nxt, fname)
+        return self._atom(t, field)
+
+    def _atom(self, tok, field):
+        if tok.startswith('"'):
+            words = tokenize_query_text(tok.strip('"'), self.cfg)
+            self.dropped_stopwords += sum(1 for w in words if w is None)
+            # trim leading/trailing gaps
+            while words and words[0] is None:
+                words.pop(0)
+            while words and words[-1] is None:
+                words.pop()
+            if not words:
+                return None
+            self.kept_terms += sum(1 for w in words if w is not None)
+            if len(words) == 1:
+                return Term(field, words[0])
+            return Phrase(field, tuple(words))
+        if tok.startswith("*") or tok.startswith("?"):
+            raise QueryError(f"leading wildcard not allowed: {tok!r}")
+        wildcard = tok.endswith("*")
+        body = tok[:-1] if wildcard else tok
+        words = [w for w in tokenize_query_text(body, self.cfg)]
+        if not words:
+            return None
+        if all(w is None for w in words):
+            self.dropped_stopwords += len(words)
+            return None
+        words = [w for w in words if w is not None]
+        self.kept_terms += len(words)
+        if wildcard:
+            if len(words) != 1:
+                raise QueryError(f"bad wildcard token: {tok!r}")
+            return Prefix(field, words[0])
+        if len(words) == 1:
+            return Term(field, words[0])
+        # a token like "mother-in-law" sub-splits: implicit phrase
+        return Phrase(field, tuple(words))
+
+
+def parse_query(q: str, cfg: TokenizerConfig | None = None,
+                default_field: str = DEFAULT_FIELD):
+    """Compile a query string to an AST. Raises WordsTooCommon if every
+    word was a stopword, QueryError on syntax errors."""
+    cfg = cfg or TokenizerConfig()
+    toks = _lex(q)
+    if not toks:
+        raise QueryError("empty query")
+    p = _Parser(toks, cfg, default_field)
+    node = p.parse_expr(default_field)
+    if node is None:
+        if p.dropped_stopwords and not p.kept_terms:
+            raise WordsTooCommon("all query words are stopwords")
+        raise QueryError("empty query after parsing")
+    return node
+
+
+def collect_terms(node):
+    """All (field, term) leaves (Prefix excluded) — used for posting
+    prefetch planning."""
+    out = []
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.append((n.field, n.term))
+        elif isinstance(n, Phrase):
+            out.extend((n.field, t) for t in n.terms if t is not None)
+        elif isinstance(n, (And, Or, AndNot, Near)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Not):
+            walk(n.child)
+
+    walk(node)
+    return out
+
+
+def collect_prefixes(node):
+    out = []
+
+    def walk(n):
+        if isinstance(n, Prefix):
+            out.append((n.field, n.prefix))
+        elif isinstance(n, (And, Or, AndNot, Near)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Not):
+            walk(n.child)
+
+    walk(node)
+    return out

@@ -1,0 +1,339 @@
+"""HTML/XML/TXT text extraction — the byte-identical surface.
+
+Re-expresses the reference parser semantics (libxml2 SAX push parser,
+/root/reference/src/parser.c) as a pure-Python, dependency-free extractor
+built on stdlib ``html.parser``. Semantics reproduced (SURVEY.md §2.2):
+
+- structure bits per token: IN_FILE / IN_TITLE / IN_HEAD / IN_BODY /
+  IN_COMMENTS / IN_HEADER / IN_EMPHASIZED / IN_META
+  (reference bit flags: /root/reference/src/swish.h:305-324, maintained in
+  check_html_tag /root/reference/src/parser.c:1153-1317),
+- a word split by inline markup stays ONE token (``so<b>me</b>thing`` →
+  ``something``), with emphasized bits OR-ed over the token's characters
+  (flush-to-last-word semantics, /root/reference/src/parser.c:793-812),
+- position bumping at block-level tag boundaries, title/body and meta
+  transitions, and comments, so phrases never match across structure
+  (/root/reference/src/parser.c:988,1117-1118,1229,1241,1298-1310),
+- ``<meta name= content=>`` becomes a searchable field; ``robots noindex``
+  aborts the document (/root/reference/src/parser.c:1482-1527),
+- ``<!-- noindex -->`` / ``<!-- index -->`` comment toggles; optional
+  comment-text indexing (/root/reference/src/parser.c:1671-1721),
+- UTF-8 → Latin-1 lossy conversion with unconvertible characters replaced
+  by a space (Convert_to_latin1, /root/reference/src/parser.c:851-958),
+- entity decoding (stdlib convert_charrefs replaces
+  /root/reference/src/entities.c),
+- StoreDescription-style capture of the first N chars of body text
+  (/root/reference/src/parser.c:116-124,1080-1096).
+
+This module is pure Python and single-doc; the Spark engine parallelizes
+it inside an Arrow-batched ``mapInPandas`` kernel (swish_e_spark.index).
+The oracle calls the very same function — byte-identity of extracted text
+per url between engine and oracle therefore holds by construction, which
+is the mitigation SURVEY.md §7 prescribes for libxml2 version drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Structure bits (values mirror the reference flag semantics, not the
+# exact bit layout — /root/reference/src/swish.h:305-324).
+IN_FILE = 1
+IN_TITLE = 2
+IN_HEAD = 4
+IN_BODY = 8
+IN_COMMENTS = 16
+IN_HEADER = 32
+IN_EMPHASIZED = 64
+IN_META = 128
+
+STRUCTURE_LETTERS = {  # for the -t HBthec style structure mask
+    "H": IN_HEAD,
+    "B": IN_BODY,
+    "t": IN_TITLE,
+    "h": IN_HEADER,
+    "e": IN_EMPHASIZED,
+    "c": IN_COMMENTS,
+    "f": IN_FILE,
+    "m": IN_META,
+}
+
+DEFAULT_FIELD = "swishdefault"
+TITLE_FIELD = "swishtitle"
+
+_INLINE_TAGS = frozenset(
+    "a abbr acronym b big cite code em font i kbd label q s samp small span "
+    "strike strong sub sup tt u var".split()
+)
+_HEADER_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "h7", "h8", "h9"})
+_EMPH_TAGS = frozenset({"b", "i", "em", "strong"})
+_IGNORE_CONTENT_TAGS = frozenset({"script", "style"})
+
+DESCRIPTION_MAX = 200  # StoreDescription cap (chars of body text)
+
+
+def to_latin1_text(s: str) -> str:
+    """Lossy UTF-8/Unicode → Latin-1 text: any char not representable in
+    ISO-8859-1 becomes a single space (ENCODE_ERROR_CHAR = ' ',
+    /root/reference/src/config.h:84)."""
+    return "".join(ch if ord(ch) < 256 else " " for ch in s)
+
+
+@dataclass
+class Event:
+    """One extraction event: a run of text in one field with one
+    structure-bit context. ``hard_break`` marks a position bump BEFORE
+    this event (token adjacency broken)."""
+
+    field_name: str
+    text: str
+    structure: int
+    hard_break: bool
+
+
+@dataclass
+class ExtractedDoc:
+    title: str = ""
+    description: str = ""
+    events: list = field(default_factory=list)
+    noindex: bool = False
+    xml: bool = False
+
+    def body_text(self) -> str:
+        """Canonical extracted text (the byte-identity artifact): body
+        (default-field) events — all tag fields in XML mode — whitespace
+        collapsed within an event, hard breaks rendered as newline."""
+        parts: list[str] = []
+        for ev in self.events:
+            if ev.structure & IN_COMMENTS:
+                continue
+            if not self.xml and ev.field_name != DEFAULT_FIELD:
+                continue
+            chunk = " ".join(ev.text.split())
+            if not chunk:
+                continue
+            if parts:
+                parts.append("\n" if ev.hard_break else " ")
+            parts.append(chunk)
+        return "".join(parts)
+
+
+class _SwishHTMLParser(HTMLParser):
+    """HTML mode: fixed tag vocabulary. XML mode (xml_mode=True): every
+    tag is a metaname — the innermost tag names the field
+    (parse_XML, /root/reference/src/parser.c:227-242)."""
+
+    def __init__(self, index_comments: bool = False,
+                 xml_mode: bool = False) -> None:
+        super().__init__(convert_charrefs=True)
+        self.index_comments = index_comments
+        self.xml_mode = xml_mode
+        self._xml_stack: list[str] = []
+        self.doc = ExtractedDoc()
+        self._in_title = False
+        self._header_depth = 0
+        self._emph_depth = 0
+        self._ignore_depth = 0
+        self._noindex_toggle = False
+        self._meta_field: str | None = None
+        self._pending_break = True  # document start is a boundary
+        self._buf: list[str] = []
+        self._buf_bits = 0
+        self._buf_field = DEFAULT_FIELD
+        self._buf_break = True
+
+    # -- buffering: consecutive character data in the same field merges
+    # into one event; inline tags OR their bits into the open buffer so a
+    # tag-split word stays one token with merged bits.
+
+    def _bits(self) -> int:
+        b = IN_FILE
+        if self._in_title:
+            b |= IN_TITLE
+        else:
+            b |= IN_BODY
+        if self._header_depth:
+            b |= IN_HEAD | IN_HEADER
+        if self._emph_depth:
+            b |= IN_EMPHASIZED
+        if self._meta_field:
+            b |= IN_META
+        return b
+
+    def _flush(self) -> None:
+        if self._buf:
+            text = "".join(self._buf)
+            if text.strip():
+                self.doc.events.append(
+                    Event(self._buf_field, to_latin1_text(text),
+                          self._buf_bits, self._buf_break)
+                )
+                self._buf_break = False
+            self._buf = []
+            self._buf_bits = 0
+
+    def _field_now(self) -> str:
+        if self._meta_field:
+            return self._meta_field
+        if self._in_title:
+            return TITLE_FIELD
+        if self.xml_mode and self._xml_stack:
+            return self._xml_stack[-1]
+        return DEFAULT_FIELD
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or self._noindex_toggle:
+            return
+        fld = self._field_now()
+        if self._pending_break or fld != self._buf_field:
+            self._flush()
+            self._buf_field = fld
+            self._buf_break = self._buf_break or self._pending_break
+            self._pending_break = False
+        self._buf.append(data)
+        self._buf_bits |= self._bits()
+
+    def handle_starttag(self, tag, attrs) -> None:
+        tag = tag.lower()
+        if self.xml_mode:
+            self._flush()
+            self._pending_break = True
+            self._xml_stack.append(tag)
+            return
+        if tag in _IGNORE_CONTENT_TAGS:
+            self._ignore_depth += 1
+            return
+        if tag == "meta":
+            d = dict(attrs)
+            name = (d.get("name") or "").lower()
+            content = d.get("content") or ""
+            if name == "robots" and "noindex" in (content or "").lower():
+                self.doc.noindex = True
+            elif name and content:
+                # meta content is its own positional island
+                self._flush()
+                self.doc.events.append(
+                    Event(name, to_latin1_text(content), IN_FILE | IN_META, True)
+                )
+                self._pending_break = True
+            return
+        if tag == "title":
+            self._flush()
+            self._in_title = True
+            self._pending_break = True
+            return
+        if tag in _EMPH_TAGS:
+            # inline: do NOT flush — the open token keeps accumulating;
+            # bits OR in (flush-to-last-word semantics)
+            self._emph_depth += 1
+            self._buf_bits |= self._bits() if self._buf else 0
+            return
+        if tag in _INLINE_TAGS:
+            return
+        # block-level: token boundary + position bump
+        self._flush()
+        self._pending_break = True
+        if tag in _HEADER_TAGS:
+            self._header_depth += 1
+
+    def handle_endtag(self, tag) -> None:
+        tag = tag.lower()
+        if self.xml_mode:
+            self._flush()
+            self._pending_break = True
+            if self._xml_stack and self._xml_stack[-1] == tag:
+                self._xml_stack.pop()
+            return
+        if tag in _IGNORE_CONTENT_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if tag == "title":
+            self._flush()
+            self._in_title = False
+            self._pending_break = True
+            return
+        if tag in _EMPH_TAGS:
+            # defer bit-off: nothing to do buffer-side; depth drops
+            self._emph_depth = max(0, self._emph_depth - 1)
+            return
+        if tag in _INLINE_TAGS:
+            return
+        self._flush()
+        self._pending_break = True
+        if tag in _HEADER_TAGS:
+            self._header_depth = max(0, self._header_depth - 1)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_comment(self, data: str) -> None:
+        directive = data.strip().lower()
+        if directive == "noindex":
+            self._flush()
+            self._noindex_toggle = True
+            self._pending_break = True
+            return
+        if directive == "index":
+            self._noindex_toggle = False
+            self._pending_break = True
+            return
+        if self.index_comments and not self._noindex_toggle:
+            self._flush()
+            self.doc.events.append(
+                Event(DEFAULT_FIELD, to_latin1_text(data),
+                      IN_FILE | IN_COMMENTS, True)
+            )
+            self._pending_break = True
+
+
+def _decode_bytes(html: bytes) -> str:
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        return html.decode("latin-1")
+
+
+def extract_html(html: bytes | str, index_comments: bool = False,
+                 xml_mode: bool = False) -> ExtractedDoc:
+    """Extract an HTML/XML document into ordered field/structure events."""
+    raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
+    p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode)
+    p.feed(raw)
+    p.close()
+    p._flush()
+    doc = p.doc
+    doc.xml = xml_mode
+    title_parts = [
+        " ".join(ev.text.split()) for ev in doc.events
+        if ev.field_name == TITLE_FIELD
+    ]
+    doc.title = " ".join(t for t in title_parts if t)
+    body = doc.body_text()
+    doc.description = body[:DESCRIPTION_MAX]
+    return doc
+
+
+def extract_txt(text: bytes | str) -> ExtractedDoc:
+    """TXT passthrough (parse_TXT, /root/reference/src/parser.c:280-312):
+    each line is an event; line breaks are hard breaks."""
+    raw = _decode_bytes(text) if isinstance(text, (bytes, bytearray)) else text
+    doc = ExtractedDoc()
+    for line in raw.splitlines():
+        if line.strip():
+            doc.events.append(
+                Event(DEFAULT_FIELD, to_latin1_text(line), IN_FILE | IN_BODY, True)
+            )
+    body = doc.body_text()
+    doc.description = body[:DESCRIPTION_MAX]
+    return doc
+
+
+def extract(content: bytes | str, doctype: str = "html",
+            index_comments: bool = False) -> ExtractedDoc:
+    if doctype == "txt":
+        return extract_txt(content)
+    if doctype == "xml":
+        return extract_html(content, index_comments=index_comments,
+                            xml_mode=True)
+    return extract_html(content, index_comments=index_comments)

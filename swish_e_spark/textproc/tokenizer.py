@@ -1,0 +1,141 @@
+"""Tokenizer / term pipeline — shared by the oracle and the Spark UDFs.
+
+Re-expresses the reference's single tokenizer ``indexstring``
+(/root/reference/src/index.c:2554-2761) and its stages (SURVEY.md §2.3):
+
+1. whitespace split (next_word, /root/reference/src/index.c:2411-2440)
+2. lowercase (/root/reference/src/index.c:2595)
+3. BuzzWords exact-match bypass (/root/reference/src/index.c:2611-2625)
+4. TranslateCharacters map (/root/reference/src/index.c:2632)
+5. sub-split on non-WordCharacters (next_swish_word,
+   /root/reference/src/index.c:2444-2492)
+6. Ignore{First,Last}Char strip (/root/reference/src/swish_words.c:1238-1295)
+7. stopword + min/max length checks (isokword,
+   /root/reference/src/check.c:56-150; limits
+   /root/reference/src/config.h:203-215)
+8. optional Porter stemming (fuzzy_convert dispatch,
+   /root/reference/src/stemmer.c:156-165)
+9. one global per-doc position counter across all fields (addword,
+   /root/reference/src/index.c:2396-2405)
+
+Position semantics in this engine: every token that survives the
+word-character / length checks consumes one position (so stopwords leave
+a gap — the query compiler compensates in phrases); hard breaks between
+extraction events add +1 so phrases never match across structure.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from .extractor import ExtractedDoc
+from .porter import porter_stem
+from .stopwords import DEFAULT_STOPWORDS
+
+MIN_WORD_LEN = 1   # /root/reference/src/config.h:203
+MAX_WORD_LEN = 40  # /root/reference/src/config.h:215
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_WS_RE = re.compile(r"\s+")
+
+# Default TranslateCharacters map: fold Latin-1 accented letters to
+# ASCII so the entity path folds (Espa&ntilde;a → espana). The reference
+# ships this as a config directive (TranslateCharacters,
+# /root/reference/src/index.c:2632, table /root/reference/src/swish.h:580).
+DEFAULT_TRANSLATE = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿðø",
+    "aaaaaaceeeeiiiinooooouuuuyydo",
+)
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    stem: bool = False
+    stopwords: frozenset = DEFAULT_STOPWORDS
+    buzzwords: frozenset = frozenset()
+    min_word_len: int = MIN_WORD_LEN
+    max_word_len: int = MAX_WORD_LEN
+    translate: dict | None = None  # TranslateCharacters (None = default fold)
+
+
+@dataclass
+class Posting:
+    """One (field, term) occurrence list within a single document."""
+
+    field_name: str
+    term: str
+    positions: list = dc_field(default_factory=list)
+    structures: list = dc_field(default_factory=list)
+
+
+def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
+    """Stages 6-8 for one already-split subword: length checks, stopword
+    check, stemming. Returns None if the token is dropped."""
+    if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
+        return None
+    if tok in cfg.stopwords:
+        return None
+    if cfg.stem:
+        tok = porter_stem(tok)
+    return tok
+
+
+def split_words(text: str, cfg: TokenizerConfig):
+    """Stages 1-5: whitespace split, lowercase, buzzword bypass,
+    translate, word-character sub-split. Yields raw subword tokens in
+    order; buzzwords come through verbatim (lowercased)."""
+    for word in _WS_RE.split(text):
+        if not word:
+            continue
+        low = word.lower()
+        if low in cfg.buzzwords:
+            yield low
+            continue
+        low = low.translate(cfg.translate if cfg.translate is not None
+                            else DEFAULT_TRANSLATE)
+        yield from _WORD_RE.findall(low)
+
+
+def tokenize_query_text(text: str, cfg: TokenizerConfig):
+    """Tokenize a query word through the same pipeline; stopwords return
+    None placeholders so phrase matching can keep positional gaps
+    (parse_swish_words, /root/reference/src/swish_words.c:296-362)."""
+    out = []
+    for tok in split_words(text, cfg):
+        if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
+            continue
+        if tok in cfg.stopwords:
+            out.append(None)
+            continue
+        out.append(porter_stem(tok) if cfg.stem else tok)
+    return out
+
+
+def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
+    """Tokenize an extracted document.
+
+    Returns ``(postings, doc_len)`` where postings is a dict
+    ``(field_name, term) -> Posting`` with sorted positions, and doc_len
+    is the number of position-consuming tokens (BM25 length;
+    setTotalWordsPerFile analogue /root/reference/src/db_write.c:773).
+    """
+    postings: dict = {}
+    pos = 0
+    for ev in doc.events:
+        if ev.hard_break and pos:
+            pos += 1  # adjacency break across structure
+        for raw in split_words(ev.text, cfg):
+            if not (cfg.min_word_len <= len(raw) <= cfg.max_word_len):
+                continue
+            pos += 1
+            if raw in cfg.stopwords:
+                continue
+            term = porter_stem(raw) if cfg.stem else raw
+            key = (ev.field_name, term)
+            p = postings.get(key)
+            if p is None:
+                p = postings[key] = Posting(ev.field_name, term)
+            p.positions.append(pos)
+            p.structures.append(ev.structure)
+    return postings, pos

@@ -1,0 +1,175 @@
+"""Unit tests for the text pipeline: Porter, extractor, tokenizer.
+
+Edge cases transcribed from the reference semantics (SURVEY.md §2.2-2.3);
+fixture shapes mirror /root/reference/tests/*.html|txt|xml.
+"""
+
+from swish_e_spark.textproc.extractor import (
+    DEFAULT_FIELD, IN_COMMENTS, IN_EMPHASIZED, IN_HEADER, IN_TITLE,
+    TITLE_FIELD, extract,
+)
+from swish_e_spark.textproc.porter import porter_stem, stem_series
+from swish_e_spark.textproc.tokenizer import TokenizerConfig, tokenize_doc
+
+
+class TestPorter:
+    def test_known_vectors(self):
+        vectors = {
+            "caresses": "caress", "ponies": "poni", "cats": "cat",
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "motoring": "motor", "hopping": "hop", "falling": "fall",
+            "happy": "happi", "relational": "relat", "rational": "ration",
+            "operator": "oper", "feudalism": "feudal", "formative": "form",
+            "electrical": "electr", "hopeful": "hope", "goodness": "good",
+            "adjustable": "adjust", "replacement": "replac",
+            "adoption": "adopt", "activate": "activ", "effective": "effect",
+            "rate": "rate", "cease": "ceas", "roll": "roll",
+            "running": "run", "runs": "run", "run": "run",
+            "connection": "connect", "connected": "connect",
+            "connecting": "connect", "differently": "differ",
+        }
+        for w, expected in vectors.items():
+            assert porter_stem(w) == expected, w
+
+    def test_short_words_unchanged(self):
+        for w in ("a", "is", "be", ""):
+            assert porter_stem(w) == w
+
+    def test_stem_series_matches_scalar(self):
+        toks = ["running", "runs", "connection", "running", "cats"]
+        assert list(stem_series(toks)) == [porter_stem(t) for t in toks]
+
+
+class TestExtractor:
+    def test_title_and_body(self):
+        doc = extract(b"<html><head><title>My Title</title></head>"
+                      b"<body><p>hello world</p></body></html>")
+        assert doc.title == "My Title"
+        assert doc.body_text() == "hello world"
+
+    def test_inline_tag_keeps_word_whole(self):
+        # so<b>me</b>thing stays ONE token (flush-to-last-word,
+        # /root/reference/src/parser.c:793-812)
+        doc = extract(b"<body><p>so<b>me</b>thing else</p></body>")
+        assert doc.body_text() == "something else"
+
+    def test_block_tag_breaks_word(self):
+        doc = extract(b"<body><p>fir</p><p>st</p></body>")
+        assert doc.body_text() == "fir\nst"
+
+    def test_structure_bits(self):
+        doc = extract(b"<html><head><title>tw</title></head><body>"
+                      b"<h1>hw</h1><p>pw <em>ew</em></p></body></html>")
+        by_field = {}
+        for ev in doc.events:
+            by_field.setdefault(ev.field_name, []).append(ev)
+        assert by_field[TITLE_FIELD][0].structure & IN_TITLE
+        body_evs = by_field[DEFAULT_FIELD]
+        assert body_evs[0].structure & IN_HEADER  # h1
+        assert any(ev.structure & IN_EMPHASIZED for ev in body_evs)
+
+    def test_entities_decoded_and_latin1(self):
+        doc = extract(b"<body><p>Espa&ntilde;a &amp; more \xe2\x82\xac</p></body>")
+        text = doc.body_text()
+        assert "Espa\xf1a" in text
+        assert "&" in text
+        # euro sign is not Latin-1 → replaced by space, collapsed
+        assert "€" not in text
+        # byte-identity artifact encodes clean to latin-1
+        text.encode("latin-1")
+
+    def test_meta_tags_become_fields(self):
+        doc = extract(b'<head><meta name="meta1" content="metatest1 foo">'
+                      b"</head><body>body</body>")
+        fields = {ev.field_name for ev in doc.events}
+        assert "meta1" in fields
+
+    def test_robots_noindex(self):
+        doc = extract(b'<head><meta name="robots" content="noindex"></head>'
+                      b"<body>secret</body>")
+        assert doc.noindex
+
+    def test_noindex_comment_toggle(self):
+        doc = extract(b"<body>seen <!-- noindex -->hidden<!-- index --> "
+                      b"also</body>")
+        assert "hidden" not in doc.body_text()
+        assert "seen" in doc.body_text() and "also" in doc.body_text()
+
+    def test_comment_indexing_flag(self):
+        html = b"<body>x <!--keywords secretword--> y</body>"
+        assert "secretword" not in extract(html).body_text()
+        doc = extract(html, index_comments=True)
+        comment_evs = [ev for ev in doc.events if ev.structure & IN_COMMENTS]
+        assert comment_evs and "secretword" in comment_evs[0].text
+
+    def test_script_style_ignored(self):
+        doc = extract(b"<body><script>var x=1;</script><style>.a{}</style>"
+                      b"visible</body>")
+        assert doc.body_text() == "visible"
+
+    def test_xml_tags_are_fields(self):
+        doc = extract(b"<all><meta3>metatest3 word</meta3>"
+                      b"<desc>descword</desc></all>", doctype="xml")
+        fields = {ev.field_name for ev in doc.events}
+        assert {"meta3", "desc"} <= fields
+        assert "descword" in doc.body_text()
+
+    def test_txt_lines(self):
+        doc = extract(b"line one\nline two\n", doctype="txt")
+        assert doc.body_text() == "line one\nline two"
+
+    def test_description_capped(self):
+        doc = extract(("<body>" + "word " * 200 + "</body>").encode())
+        assert len(doc.description) <= 200
+
+
+class TestTokenizer:
+    def test_positions_and_gaps(self):
+        doc = extract(b"<body><p>alpha the beta</p></body>")
+        postings, doc_len = tokenize_doc(doc, TokenizerConfig())
+        assert doc_len == 3  # stopword consumes a position
+        assert postings[(DEFAULT_FIELD, "alpha")].positions == [1]
+        assert postings[(DEFAULT_FIELD, "beta")].positions == [3]
+        assert (DEFAULT_FIELD, "the") not in postings
+
+    def test_hard_break_bumps_position(self):
+        doc = extract(b"<body><p>one</p><p>two</p></body>")
+        postings, _ = tokenize_doc(doc, TokenizerConfig())
+        p1 = postings[(DEFAULT_FIELD, "one")].positions[0]
+        p2 = postings[(DEFAULT_FIELD, "two")].positions[0]
+        assert p2 - p1 == 2  # not adjacent → phrases cannot cross blocks
+
+    def test_max_word_len_dropped(self):
+        doc = extract(("<body>" + "y" * 41 + " ok</body>").encode())
+        postings, _ = tokenize_doc(doc, TokenizerConfig())
+        terms = {t for _, t in postings}
+        assert "y" * 41 not in terms and "ok" in terms
+
+    def test_buzzword_bypasses_split(self):
+        cfg = TokenizerConfig(buzzwords=frozenset({"c++"}))
+        doc = extract(b"<body>c++ rocks</body>")
+        postings, _ = tokenize_doc(doc, cfg)
+        assert (DEFAULT_FIELD, "c++") in postings
+        # without buzzword, c++ → "c"
+        postings2, _ = tokenize_doc(doc, TokenizerConfig())
+        assert (DEFAULT_FIELD, "c") in postings2
+
+    def test_accent_fold(self):
+        doc = extract(b"<body><p>Espa&ntilde;a</p></body>")
+        postings, _ = tokenize_doc(doc, TokenizerConfig())
+        assert (DEFAULT_FIELD, "espana") in postings
+
+    def test_stemming(self):
+        doc = extract(b"<body>running runs</body>")
+        postings, _ = tokenize_doc(doc, TokenizerConfig(stem=True))
+        assert postings[(DEFAULT_FIELD, "run")].positions == [1, 2]
+
+    def test_global_position_counter_across_fields(self):
+        # one global per-doc counter (addword,
+        # /root/reference/src/index.c:2396-2405)
+        doc = extract(b"<html><head><title>tword</title></head>"
+                      b"<body>bword</body></html>")
+        postings, doc_len = tokenize_doc(doc, TokenizerConfig())
+        pt = postings[(TITLE_FIELD, "tword")].positions[0]
+        pb = postings[(DEFAULT_FIELD, "bword")].positions[0]
+        assert pt < pb and doc_len >= 2
