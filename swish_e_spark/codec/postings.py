@@ -11,10 +11,13 @@ and compress_location_positions /root/reference/src/compress.c:484-528):
   varbyte(first_pos) followed by either nibble-packed or varbyte deltas.
   Position deltas are ≥1, so a 0 low-nibble is unambiguous padding.
 - ``structs``: raw structure bytes, one per position (cf total).
-- block-max metadata per BLOCK_SIZE docs: ``block_doc_lo/hi`` (int64) and
-  ``block_max_impact`` (float32) where impact is the idf-independent BM25
-  part ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` — this is the block-max
-  WAND bound (new vs the reference, which scores every posting —
+- block-max metadata per BLOCK_SIZE docs: ``block_doc_lo/hi`` (int64),
+  ``block_max_tf`` and ``block_min_dl``. The BM25 impact
+  ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` is increasing in tf and
+  decreasing in dl, so ``impact(block_max_tf, block_min_dl, avgdl)`` is a
+  valid per-block upper bound for ANY avgdl — this keeps shard packing a
+  single pass with no global-stats barrier, and is the block-max WAND
+  bound (new vs the reference, which scores every posting —
   /root/reference/src/search.c:1766-1813; required by the north rule).
 
 Everything is numpy-vectorized; the per-doc nibble/varbyte choice is made
@@ -182,45 +185,55 @@ def _vb_decode_n(raw: np.ndarray, n: int):
 
 
 def pack_posting_list(doc_ids, tfs, positions, structures, doc_lens,
-                      avgdl, block_size=BLOCK_SIZE):
+                      block_size=BLOCK_SIZE):
     """Pack one (term, field) posting list. Inputs sorted by doc_id.
 
     Returns a dict with binary columns + block-max arrays (FIXTURES.md §3
-    `segments` schema).
+    `segments` schema). Requires no global statistics — the block bound
+    is (max tf, min dl) per block, valid for any avgdl at query time.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(doc_lens, dtype=np.int64)
     n = doc_ids.size
-    impact = bm25_impact(tfs, doc_lens, avgdl)
     nblocks = (n + block_size - 1) // block_size
     pad = nblocks * block_size - n
     lo = doc_ids[::block_size]
     hi = doc_ids[block_size - 1::block_size]
     if hi.size < nblocks:
         hi = np.concatenate([hi, doc_ids[-1:]])
-    imp_pad = np.pad(impact, (0, pad), constant_values=0.0)
-    block_max = imp_pad.reshape(nblocks, block_size).max(axis=1)
+    tf_pad = np.pad(tfs, (0, pad), constant_values=0)
+    dl_pad = np.pad(dls, (0, pad), constant_values=2**31 - 1)
+    block_max_tf = tf_pad.reshape(nblocks, block_size).max(axis=1)
+    block_min_dl = dl_pad.reshape(nblocks, block_size).min(axis=1)
     return {
         "df": int(n),
         "cf": int(tfs.sum()),
         "docs_bin": vb_encode(delta_encode(doc_ids.astype(np.uint64))),
         "tfs_bin": vb_encode(tfs.astype(np.uint64)),
+        "dls_bin": vb_encode(dls.astype(np.uint64)),
         "pos_bin": _pack_positions(np.asarray(positions), tfs),
         "structs_bin": (b"" if structures is None else
                         np.ascontiguousarray(
                             structures, dtype=np.uint8).tobytes()),
         "block_doc_lo": lo.tolist(),
         "block_doc_hi": hi.tolist(),
-        "block_max_impact": block_max.astype(np.float32).tolist(),
+        "block_max_tf": block_max_tf.astype(np.int32).tolist(),
+        "block_min_dl": block_min_dl.astype(np.int32).tolist(),
     }
 
 
-def unpack_posting_list(docs_bin, tfs_bin, pos_bin=None, structs_bin=None):
-    """Inverse of pack_posting_list → (doc_ids, tfs, positions, structures)."""
+def unpack_posting_list(docs_bin, tfs_bin, pos_bin=None, structs_bin=None,
+                        dls_bin=None):
+    """Inverse of pack_posting_list →
+    (doc_ids, tfs, positions, structures[, doc_lens])."""
     doc_ids = delta_decode(vb_decode(docs_bin)).astype(np.int64)
     tfs = vb_decode(tfs_bin).astype(np.int64)
     positions = (_unpack_positions(pos_bin, tfs)
                  if pos_bin is not None else None)
     structures = (np.frombuffer(structs_bin, dtype=np.uint8)
                   if structs_bin is not None else None)
-    return doc_ids, tfs, positions, structures
+    if dls_bin is None:
+        return doc_ids, tfs, positions, structures
+    return doc_ids, tfs, positions, structures, \
+        vb_decode(dls_bin).astype(np.int64)

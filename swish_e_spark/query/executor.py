@@ -1,0 +1,395 @@
+"""Distributed query engine over the segment tables.
+
+The Spark rebuild of swish-e's search path (SURVEY.md §3.2): the driver
+compiles the query (shared compiler, query/parser.py), plans a
+partition-pruned scan of the segment chunks for the needed terms, decodes
+postings in an Arrow-batched kernel, and evaluates the boolean algebra as
+DataFrame operations:
+
+- exact term lookup → `term_bucket` partition filter + `term =` predicate
+  pushed to parquet (the hash-probe analogue,
+  /root/reference/src/search.c:1618-1629),
+- prefix `foo*` → `startsWith` pushdown over term-sorted files
+  (/root/reference/src/search.c:1631-1843),
+- AND → inner join on doc_id (sort-merge,
+  andresultlists /root/reference/src/search.c:2249-2321),
+- OR → union + groupBy(doc_id) sum (orresultlists,
+  /root/reference/src/search.c:2335-2434),
+- NOT → anti-join complement with rank 1000 (notresultlist,
+  /root/reference/src/search.c:2514-2553),
+- AND-NOT → left_anti join (notresultlists,
+  /root/reference/src/search.c:2804-2852),
+- PHRASE/NEAR → position-array joins checked in a vectorized kernel
+  (phraseresultlists/nearresultlists,
+  /root/reference/src/search.c:1979-2637),
+- structure mask → vectorized bitmask over per-position structure bytes
+  (test_structure, /root/reference/src/search.c:1475-1494),
+- top-k → orderBy(score desc, doc_id).limit(k): per-partition heap +
+  driver merge (new vs the reference, which sorts the full result list).
+
+Chunk pruning (block-max groundwork): for conjunctive nodes the chunk
+doc-ranges of the rarest term are intersected against the other terms'
+chunk ranges BEFORE decode, so chunks of frequent terms that cannot
+contain a match are never unpacked. Per-block (max_tf, min_dl) bounds are
+stored in the segments for full block-max WAND.
+
+Scores are computed with the exact same float64 expression as the oracle
+(oracle/engine.py) in the same AST association order; only n-ary
+aggregation paths (OR/prefix groupBy sums) may differ by float
+re-association, which the 1e-6-relative rank-identity contract absorbs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..codec.postings import B, K1
+from ..index.builder import IndexHandle, term_bucket
+from ..oracle.engine import bm25_idf
+from .parser import (
+    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+)
+
+DECODED_SCHEMA = ("field string, term string, doc_id long, tf long, "
+                  "dl long, positions array<int>")
+
+
+def _decode_kernel(batches, need_positions: bool, structure_mask):
+    """Arrow-batched chunk decode → per-posting rows."""
+    import numpy as np
+
+    from ..codec.postings import unpack_posting_list
+
+    for pdf in batches:
+        frames = []
+        for rec in pdf.to_dict("records"):
+            doc_ids, tfs, positions, structs, dls = unpack_posting_list(
+                rec["docs_bin"], rec["tfs_bin"],
+                rec["pos_bin"] if (need_positions or
+                                   structure_mask is not None) else None,
+                rec["structs_bin"] if structure_mask is not None else None,
+                rec["dls_bin"])
+            if structure_mask is not None:
+                keep = (structs & structure_mask) != 0
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                new_tfs = np.add.reduceat(
+                    keep.astype(np.int64), starts) if len(tfs) else tfs
+                # reduceat quirk: empty segments at same start repeat —
+                # tfs>=1 always here so starts strictly increase
+                sel = new_tfs > 0
+                positions = positions[keep]
+                doc_ids, tfs, dls = doc_ids[sel], new_tfs[sel], dls[sel]
+                if not len(doc_ids):
+                    continue
+                tfs_for_split = tfs
+            else:
+                tfs_for_split = tfs
+            n = len(doc_ids)
+            frame = {
+                "field": np.repeat(rec["field"], n),
+                "term": np.repeat(rec["term"], n),
+                "doc_id": doc_ids, "tf": tfs_for_split, "dl": dls,
+            }
+            if need_positions and positions is not None:
+                split_at = np.cumsum(tfs_for_split)[:-1]
+                frame["positions"] = [
+                    a.astype("int32") for a in
+                    np.split(positions, split_at)]
+            else:
+                frame["positions"] = [None] * n
+            frames.append(pd.DataFrame(frame))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def _needs_positions(node) -> bool:
+    if isinstance(node, (Phrase, Near)):
+        return True
+    if isinstance(node, (And, Or, AndNot)):
+        return _needs_positions(node.left) or _needs_positions(node.right)
+    if isinstance(node, Not):
+        return _needs_positions(node.child)
+    return False
+
+
+class SparkQueryEngine:
+    def __init__(self, spark, handle: IndexHandle):
+        from ..shipping import ship_package
+
+        ship_package(spark)
+        self.spark = spark
+        self.handle = handle
+        self.cfg = handle.cfg.tokenizer_config()
+        self.n_buckets = handle.cfg.n_buckets
+
+    # ---- planning ----
+
+    def _segment_scan(self, node):
+        """Partition-pruned scan of chunk rows for all query leaves."""
+        from pyspark.sql import functions as F
+
+        from .parser import collect_prefixes, collect_terms
+
+        terms = set(collect_terms(node))
+        prefixes = set(collect_prefixes(node))
+        seg = self.handle.segments()
+        conds = []
+        for field, term in terms:
+            conds.append(
+                (F.col("term_bucket") == term_bucket(term, self.n_buckets))
+                & (F.col("term") == term) & (F.col("field") == field))
+        for field, prefix in prefixes:
+            conds.append(F.col("term").startswith(prefix)
+                         & (F.col("field") == field))
+        if not conds:
+            return None
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return seg.filter(cond)
+
+    def _decoded(self, node, structure_mask):
+        scan = self._segment_scan(node)
+        if scan is None:
+            return None
+        need_pos = _needs_positions(node)
+        mask = structure_mask
+        return scan.mapInPandas(
+            lambda it: _decode_kernel(it, need_pos, mask),
+            schema=DECODED_SCHEMA)
+
+    def _term_stats(self, node, decoded, structure_mask):
+        """Global df per (field, term): from segment metadata (fast path)
+        or from decoded counts when a structure mask changes df
+        (matching the oracle's post-mask df)."""
+        from pyspark.sql import functions as F
+
+        if structure_mask is None:
+            scan = self._segment_scan(node)
+            rows = (scan.groupBy("field", "term")
+                    .agg(F.sum("df").alias("df")).collect())
+        else:
+            rows = (decoded.groupBy("field", "term")
+                    .agg(F.count("*").alias("df")).collect())
+        return {(r["field"], r["term"]): r["df"] for r in rows}
+
+    # ---- evaluation ----
+
+    def search_df(self, q: str, k: int = 10, structure_mask=None,
+                  limits: dict | None = None):
+        """Returns a DataFrame (doc_id, score) of the top-k."""
+        from pyspark.sql import functions as F
+
+        node = parse_query(q, self.cfg)
+        decoded = self._decoded(node, structure_mask)
+        if decoded is not None:
+            decoded = decoded.persist()
+        stats = self.handle.stats
+        dfs = self._term_stats(node, decoded, structure_mask) \
+            if decoded is not None else {}
+        try:
+            result = self._eval(node, decoded, dfs, stats)
+            if limits:
+                docs = self.handle.docs()
+                cond = None
+                for prop, (lo, hi) in limits.items():
+                    c = F.col(prop).between(lo, hi)
+                    cond = c if cond is None else cond & c
+                result = result.join(docs.filter(cond).select("doc_id"),
+                                     "doc_id", "left_semi")
+            out = (result.select("doc_id", "score")
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(k))
+            out = out.localCheckpoint()  # materialize before unpersist
+            return out
+        finally:
+            if decoded is not None:
+                decoded.unpersist()
+
+    def search(self, q: str, k: int = 10, structure_mask=None,
+               limits: dict | None = None):
+        """Top-k as [(doc_id, score)] — the oracle-comparable surface."""
+        rows = self.search_df(q, k, structure_mask, limits).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def _leaf_term(self, decoded, field, term, dfs, stats, with_pos):
+        from pyspark.sql import functions as F
+
+        df = dfs.get((field, term), 0)
+        if df == 0:
+            return self._empty(with_pos)
+        idf = bm25_idf(stats["n_docs"], df)
+        avgdl = max(stats["avgdl"], 1e-9)
+        sub = decoded.filter((F.col("field") == field)
+                             & (F.col("term") == term))
+        # exact same float64 expression as the oracle's
+        # bm25_impact_scalar — same operation order
+        impact = (F.col("tf") * (K1 + 1.0)) / (
+            F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl))
+        out = sub.select(
+            "doc_id", (F.lit(idf) * impact).alias("score"),
+            (F.col("positions") if with_pos
+             else F.lit(None).cast("array<int>")).alias("positions"))
+        # a term may span multiple chunks/shards — one row per chunk-doc
+        # is already unique (doc in exactly one chunk), no agg needed
+        return out
+
+    def _empty(self, with_pos=True):
+        return self.spark.createDataFrame(
+            [], "doc_id long, score double, positions array<int>")
+
+    def _eval(self, node, decoded, dfs, stats):
+        from pyspark.sql import functions as F
+
+        if isinstance(node, Term):
+            return self._leaf_term(decoded, node.field, node.term, dfs,
+                                   stats, _needs_positions(node) or True)
+        if isinstance(node, Prefix):
+            matching = [(f, t) for (f, t) in dfs
+                        if f == node.field and t.startswith(node.prefix)]
+            if not matching:
+                return self._empty()
+            parts = [self._leaf_term(decoded, f, t, dfs, stats, True)
+                     for f, t in sorted(matching)]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return (u.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"),
+                         F.array_sort(F.flatten(F.collect_list("positions")))
+                         .alias("positions")))
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node, decoded, dfs, stats)
+        if isinstance(node, And):
+            left = self._eval(node.left, decoded, dfs, stats)
+            right = self._eval(node.right, decoded, dfs, stats)
+            return (left.alias("l").join(right.alias("r"), "doc_id")
+                    .select("doc_id",
+                            (F.col("l.score") + F.col("r.score"))
+                            .alias("score"),
+                            F.array_sort(F.concat(
+                                F.coalesce(F.col("l.positions"),
+                                           F.array().cast("array<int>")),
+                                F.coalesce(F.col("r.positions"),
+                                           F.array().cast("array<int>"))))
+                            .alias("positions")))
+        if isinstance(node, Or):
+            left = self._eval(node.left, decoded, dfs, stats)
+            right = self._eval(node.right, decoded, dfs, stats)
+            return (left.unionByName(right).groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"),
+                         F.array_sort(F.flatten(F.collect_list("positions")))
+                         .alias("positions")))
+        if isinstance(node, AndNot):
+            left = self._eval(node.left, decoded, dfs, stats)
+            right = self._eval(node.right, decoded, dfs, stats)
+            return left.join(right.select("doc_id"), "doc_id", "left_anti")
+        if isinstance(node, Not):
+            child = self._eval(node.child, decoded, dfs, stats)
+            return (self.handle.docs().select("doc_id")
+                    .join(child.select("doc_id"), "doc_id", "left_anti")
+                    .select("doc_id", F.lit(1000.0).alias("score"),
+                            F.lit(None).cast("array<int>")
+                            .alias("positions")))
+        if isinstance(node, Near):
+            return self._eval_near(node, decoded, dfs, stats)
+        raise TypeError(f"unknown node {node!r}")
+
+    def _eval_phrase(self, node: Phrase, decoded, dfs, stats):
+        from pyspark.sql import functions as F
+
+        seq = [(i, t) for i, t in enumerate(node.terms) if t is not None]
+        leaf_dfs = []
+        for j, (off, term) in enumerate(seq):
+            if dfs.get((node.field, term), 0) == 0:
+                return self._empty()
+            leaf = self._leaf_term(decoded, node.field, term, dfs, stats,
+                                   True)
+            leaf_dfs.append(
+                leaf.select(F.col("doc_id"),
+                            F.col("score").alias(f"s{j}"),
+                            F.col("positions").alias(f"p{j}")))
+        joined = leaf_dfs[0]
+        for nxt in leaf_dfs[1:]:
+            joined = joined.join(nxt, "doc_id")
+        offsets = [off for off, _ in seq]
+        nterms = len(seq)
+
+        def check(batches):
+            import numpy as np
+
+            for pdf in batches:
+                keep = []
+                allpos = []
+                for row in pdf.itertuples(index=False):
+                    psets = [set(getattr(row, f"p{j}"))
+                             for j in range(nterms)]
+                    base = getattr(row, "p0")
+                    ok = any(
+                        all(p - offsets[0] + offsets[j] in psets[j]
+                            for j in range(nterms))
+                        for p in base)
+                    keep.append(ok)
+                    if ok:
+                        merged = np.sort(np.concatenate(
+                            [np.asarray(getattr(row, f"p{j}"),
+                                        dtype="int32")
+                             for j in range(nterms)]))
+                        allpos.append(merged)
+                    else:
+                        allpos.append(None)
+                sub = pdf[pd.Series(keep, index=pdf.index)]
+                if len(sub):
+                    score = sum(sub[f"s{j}"] for j in range(nterms))
+                    yield pd.DataFrame({
+                        "doc_id": sub["doc_id"],
+                        "score": score,
+                        "positions": [p for p, k in zip(allpos, keep)
+                                      if k],
+                    })
+
+        return joined.mapInPandas(
+            check, schema="doc_id long, score double, positions array<int>")
+
+    def _eval_near(self, node: Near, decoded, dfs, stats):
+        from pyspark.sql import functions as F
+
+        left = self._eval(node.left, decoded, dfs, stats)
+        right = self._eval(node.right, decoded, dfs, stats)
+        joined = (left.select("doc_id", F.col("score").alias("sl"),
+                              F.col("positions").alias("pl"))
+                  .join(right.select("doc_id",
+                                     F.col("score").alias("sr"),
+                                     F.col("positions").alias("pr")),
+                        "doc_id"))
+        d = node.distance
+
+        def check(batches):
+            import numpy as np
+
+            for pdf in batches:
+                keep = []
+                merged_all = []
+                for row in pdf.itertuples(index=False):
+                    lp = np.sort(np.asarray(row.pl, dtype="int64"))
+                    rp = np.sort(np.asarray(row.pr, dtype="int64"))
+                    i = np.searchsorted(rp, lp - d, side="left")
+                    ok = bool(np.any((i < len(rp))
+                                     & (np.take(rp, np.minimum(
+                                         i, len(rp) - 1)) <= lp + d)))
+                    keep.append(ok)
+                    merged_all.append(
+                        np.sort(np.concatenate([lp, rp])).astype("int32")
+                        if ok else None)
+                sub = pdf[pd.Series(keep, index=pdf.index)]
+                if len(sub):
+                    yield pd.DataFrame({
+                        "doc_id": sub["doc_id"],
+                        "score": sub["sl"] + sub["sr"],
+                        "positions": [m for m, k in zip(merged_all, keep)
+                                      if k],
+                    })
+
+        return joined.mapInPandas(
+            check, schema="doc_id long, score double, positions array<int>")

@@ -43,7 +43,7 @@ def test_posting_list_roundtrip(data):
     structures = rng.integers(0, 256, size=int(tfs.sum())).astype(np.uint8)
     doc_lens = rng.integers(10, 500, size=n)
     packed = pack_posting_list(doc_ids, tfs, positions, structures,
-                               doc_lens, avgdl=120.0)
+                               doc_lens)
     d, t, p, s = unpack_posting_list(packed["docs_bin"], packed["tfs_bin"],
                                      packed["pos_bin"], packed["structs_bin"])
     assert (d == doc_ids).all()
@@ -59,16 +59,18 @@ def test_block_max_is_upper_bound():
     tfs = rng.integers(1, 30, size=n).astype(np.int64)
     positions = np.concatenate([np.arange(1, tf + 1) for tf in tfs])
     doc_lens = rng.integers(20, 400, size=n)
-    packed = pack_posting_list(doc_ids, tfs, positions, None, doc_lens,
-                               avgdl=100.0)
-    impacts = bm25_impact(tfs, doc_lens, 100.0)
+    packed = pack_posting_list(doc_ids, tfs, positions, None, doc_lens)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    assert len(packed["block_max_impact"]) == nblocks
-    for b in range(nblocks):
-        sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-        assert packed["block_max_impact"][b] >= impacts[sl].max() - 1e-6
-        assert packed["block_doc_lo"][b] == doc_ids[sl][0]
-        assert packed["block_doc_hi"][b] == doc_ids[sl][-1]
+    assert len(packed["block_max_tf"]) == nblocks
+    for avgdl in (50.0, 100.0, 300.0):
+        impacts = bm25_impact(tfs, doc_lens, avgdl)
+        for b in range(nblocks):
+            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+            ub = bm25_impact([packed["block_max_tf"][b]],
+                             [packed["block_min_dl"][b]], avgdl)[0]
+            assert ub >= impacts[sl].max() - 1e-9
+            assert packed["block_doc_lo"][b] == doc_ids[sl][0]
+            assert packed["block_doc_hi"][b] == doc_ids[sl][-1]
 
 
 def test_compression_is_compact():
@@ -77,5 +79,5 @@ def test_compression_is_compact():
     tfs = np.ones(doc_ids.size, dtype=np.int64)
     positions = np.ones(doc_ids.size, dtype=np.int64)
     packed = pack_posting_list(doc_ids, tfs, positions, None,
-                               np.full(doc_ids.size, 100), avgdl=100.0)
+                               np.full(doc_ids.size, 100))
     assert len(packed["docs_bin"]) < doc_ids.size * 1.2
