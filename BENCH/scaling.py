@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule): run the identical index
+build at local[8] and local[32] on the same input, in fresh JVMs, and
+report throughput at both plus efficiency = (T32/T8)/4.
+
+Writes BENCH/BASELINE.md. Usage:
+    python BENCH/scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_TEMPLATE = r"""
+import json, os, sys, tempfile, time, shutil
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName("swish-scaling")
+         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from swish_e_spark.index.builder import IndexConfig, build_index
+
+pages = spark.read.parquet({pages_path!r})
+idx = tempfile.mkdtemp(prefix="swish_scale_")
+t0 = time.time()
+meta = build_index(spark, pages, idx,
+                   IndexConfig(n_buckets=32, buzzwords=("c++",)),
+                   n_shards=1, resume=False)
+wall = time.time() - t0
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "wall_s": round(wall, 2),
+    "docs": meta["doc_count"], "tokens": meta["token_count"],
+    "postings": meta["posting_count"],
+    "docs_per_sec": round(meta["doc_count"] / wall, 1)}}))
+shutil.rmtree(idx, ignore_errors=True)
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages_path: str) -> dict:
+    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus,
+                               pages_path=pages_path)
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run at local[{cpus}] failed:\n{proc.stdout[-2000:]}"
+                       f"\n{proc.stderr[-3000:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    pages_path = os.path.join(REPO, ".cache", f"bench_pages_{n_docs}")
+    if not os.path.exists(pages_path):
+        gen = RUN_TEMPLATE  # reuse session bootstrap inline
+        code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from swish_e_spark.index.builder import generate_pages_df
+generate_pages_df(spark, {n_docs}, partitions=64) \\
+    .write.mode("overwrite").parquet({pages_path!r})
+spark.stop()
+"""
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=3600)
+
+    r8 = run_at(8, pages_path)
+    r32 = run_at(32, pages_path)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    report = {
+        "n_docs": n_docs, "local8": r8, "local32": r32,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(report, indent=1))
+
+    md = f"""# BENCH — measured baseline (swish-e-spark)
+
+## Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
+
+Identical index-build job (extract → tokenize → partial-pack → salted
+merge shuffle → segment write) on the same {n_docs:,}-doc synthetic
+Common-Crawl-style corpus, fresh JVM per run:
+
+| parallelism | wall (s) | docs/s | positions/s | efficiency vs local[8] |
+|---|---|---|---|---|
+| local[8]  | {r8['wall_s']} | {r8['docs_per_sec']:,} | {round(r8['tokens']/r8['wall_s']):,} | 1.00 |
+| local[32] | {r32['wall_s']} | {r32['docs_per_sec']:,} | {round(r32['tokens']/r32['wall_s']):,} | {eff:.3f} |
+
+**Scaling efficiency (local[8] → local[32], 4× cores): {eff:.3f}**
+
+## Reference comparison
+
+The reference's only published number is ~84.5 docs/s single-thread
+(23,840 files in 282 s, /root/reference/src/compress.c:396-404).
+This engine indexes {r32['docs_per_sec']:,.0f} docs/s at local[32]
+({r32['docs_per_sec'] / 84.5:,.0f}× the reference) and
+{r8['docs_per_sec']:,.0f} docs/s at local[8].
+
+Corpus: docs={r8['docs']:,}, token positions={r8['tokens']:,},
+postings={r8['postings']:,}.
+
+Counters are identical across both runs (build is deterministic):
+docs {r8['docs']}=={r32['docs']}, tokens {r8['tokens']}=={r32['tokens']},
+postings {r8['postings']}=={r32['postings']}.
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

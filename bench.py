@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + query latencies for the
+swish-e-spark engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total wall sec>, "unit": "sec",
+   "queries": {...per-step seconds...}, "sf": <sf>,
+   "docs_per_sec": ..., "positions_per_sec": ...}
+
+Corpus: deterministic synthetic Common-Crawl-style pages
+(swish_e_spark.datagen.pages), n_docs = 500_000 * sf — i.e. 50k docs at
+the default sf0.1 — generated distributed and cached as parquet under
+.cache/. Reference single-thread baseline: ~84.5 docs/s
+(/root/reference/src/compress.c:396-404; BASELINE.md).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOCS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = {
+    "q_term": "common0",
+    "q_and": "pigs AND wolf",
+    "q_or": "pigs OR sugar",
+    "q_andnot": "common0 NOT wolf",
+    "q_phrase": '"three little pigs"',
+    "q_near": "little NEAR5 wolf",
+    "q_field": "meta1=metatest1",
+    "q_prefix": "meta*",
+    "q_tail": "tailterm3",
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", int(500_000 * sf)))
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("swish-e-spark-bench")
+             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from swish_e_spark.index.builder import (
+        IndexConfig, IndexHandle, build_index, generate_pages_df,
+    )
+    from swish_e_spark.query.executor import SparkQueryEngine
+
+    times: dict = {}
+    t_all = time.time()
+
+    # corpus (cached parquet; generation timed separately)
+    cache = os.path.join(REPO, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    pages_path = os.path.join(cache, f"bench_pages_{n_docs}")
+    if not os.path.exists(pages_path):
+        t0 = time.time()
+        generate_pages_df(spark, n_docs, partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(pages_path)
+        times["gen_corpus"] = round(time.time() - t0, 3)
+    pages = spark.read.parquet(pages_path)
+
+    # index build (the headline metric)
+    idx_dir = tempfile.mkdtemp(prefix="swish_bench_idx_")
+    try:
+        t0 = time.time()
+        cfg = IndexConfig(n_buckets=max(cpus, 16), buzzwords=("c++",))
+        meta = build_index(spark, pages, idx_dir, cfg, n_shards=1,
+                           resume=False)
+        t_build = time.time() - t0
+        times["index_build"] = round(t_build, 3)
+
+        handle = IndexHandle(spark, idx_dir)
+        engine = SparkQueryEngine(spark, handle)
+        _ = handle.stats  # warm stats outside per-query timing
+
+        for name, q in BENCH_QUERIES.items():
+            t0 = time.time()
+            engine.search(q, k=10)
+            times[name] = round(time.time() - t0, 3)
+
+        total = round(time.time() - t_all, 3)
+        out = {
+            "metric": "index_build_plus_query_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "n_docs": meta["doc_count"],
+            "docs_per_sec": round(meta["doc_count"] / t_build, 1),
+            "positions_per_sec": round(meta["token_count"] / t_build, 1),
+            "posting_count": meta["posting_count"],
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

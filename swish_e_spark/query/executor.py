@@ -210,8 +210,41 @@ class SparkQueryEngine:
     def search(self, q: str, k: int = 10, structure_mask=None,
                limits: dict | None = None):
         """Top-k as [(doc_id, score)] — the oracle-comparable surface."""
+        if k >= 1 << 20:
+            # huge k = "all matches": avoid TakeOrdered's O(k) buffer
+            rows = self.match_df(q, structure_mask, limits).collect()
+            return sorted(((r["doc_id"], r["score"]) for r in rows),
+                          key=lambda t: (-t[1], t[0]))[:k]
         rows = self.search_df(q, k, structure_mask, limits).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
+
+    def match_df(self, q: str, structure_mask=None,
+                 limits: dict | None = None):
+        """All matching (doc_id, score) rows, unranked — for match-set
+        queries where top-k pruning is not wanted."""
+        from pyspark.sql import functions as F
+
+        node = parse_query(q, self.cfg)
+        decoded = self._decoded(node, structure_mask)
+        if decoded is not None:
+            decoded = decoded.persist()
+        stats = self.handle.stats
+        dfs = self._term_stats(node, decoded, structure_mask) \
+            if decoded is not None else {}
+        try:
+            result = self._eval(node, decoded, dfs, stats)
+            if limits:
+                docs = self.handle.docs()
+                cond = None
+                for prop, (lo, hi) in limits.items():
+                    c = F.col(prop).between(lo, hi)
+                    cond = c if cond is None else cond & c
+                result = result.join(docs.filter(cond).select("doc_id"),
+                                     "doc_id", "left_semi")
+            return result.select("doc_id", "score").localCheckpoint()
+        finally:
+            if decoded is not None:
+                decoded.unpersist()
 
     def _leaf_term(self, decoded, field, term, dfs, stats, with_pos):
         from pyspark.sql import functions as F
