@@ -184,6 +184,85 @@ def _vb_decode_n(raw: np.ndarray, n: int):
     return vb_decode(raw[:stop].tobytes()), stop
 
 
+def _vb_encode_scalar(vals) -> bytes:
+    """Scalar varbyte for short lists — for tiny Zipf-tail runs the
+    Python loop beats the ~10 full-array numpy calls of vb_encode."""
+    out = bytearray()
+    for v in vals:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+_SMALL_RUN = 64  # below this df, scalar paths win
+
+
+def _pack_small(doc_ids, tfs, positions, structures, doc_lens,
+                block_size):
+    """Scalar fast path for short posting lists (one block)."""
+    n = len(doc_ids)
+    doc_ids = [int(d) for d in doc_ids]
+    tfs = [int(t) for t in tfs]
+    dls = [int(d) for d in doc_lens]
+    pos = [int(p) for p in positions]
+    # doc deltas
+    deltas = [doc_ids[0]] + [doc_ids[i] - doc_ids[i - 1]
+                             for i in range(1, n)]
+    # positions: flag bitmap + firsts + nibble/varbyte sections
+    nibble = []
+    firsts = []
+    nib = bytearray()
+    vb_deltas = []
+    off = 0
+    for i, tf in enumerate(tfs):
+        p = pos[off:off + tf]
+        off += tf
+        firsts.append(p[0])
+        pd = [p[j] - p[j - 1] for j in range(1, tf)]
+        if tf > 1 and all(d < 16 for d in pd):
+            nibble.append(True)
+            for j in range(0, len(pd) - 1, 2):
+                nib.append((pd[j] << 4) | pd[j + 1])
+            if len(pd) % 2:
+                nib.append(pd[-1] << 4)
+        else:
+            nibble.append(False)
+            vb_deltas.extend(pd)
+    flags = bytearray((n + 7) // 8)
+    for i, fl in enumerate(nibble):
+        if fl:
+            flags[i >> 3] |= 0x80 >> (i & 7)
+    pos_bin = (bytes(flags) + _vb_encode_scalar(firsts)
+               + len(nib).to_bytes(4, "little") + bytes(nib)
+               + _vb_encode_scalar(vb_deltas))
+    nblocks = (n + block_size - 1) // block_size
+    lo = [doc_ids[b * block_size] for b in range(nblocks)]
+    hi = [doc_ids[min((b + 1) * block_size, n) - 1]
+          for b in range(nblocks)]
+    bmax = [max(tfs[b * block_size:(b + 1) * block_size])
+            for b in range(nblocks)]
+    bmin = [min(dls[b * block_size:(b + 1) * block_size])
+            for b in range(nblocks)]
+    return {
+        "df": n, "cf": sum(tfs),
+        "docs_bin": _vb_encode_scalar(deltas),
+        "tfs_bin": _vb_encode_scalar(tfs),
+        "dls_bin": _vb_encode_scalar(dls),
+        "pos_bin": pos_bin,
+        "structs_bin": (b"" if structures is None else bytes(
+            bytearray(int(s) for s in structures))),
+        "block_doc_lo": lo, "block_doc_hi": hi,
+        "block_max_tf": bmax, "block_min_dl": bmin,
+    }
+
+
 def pack_posting_list(doc_ids, tfs, positions, structures, doc_lens,
                       block_size=BLOCK_SIZE):
     """Pack one (term, field) posting list. Inputs sorted by doc_id.
@@ -191,7 +270,12 @@ def pack_posting_list(doc_ids, tfs, positions, structures, doc_lens,
     Returns a dict with binary columns + block-max arrays (FIXTURES.md §3
     `segments` schema). Requires no global statistics — the block bound
     is (max tf, min dl) per block, valid for any avgdl at query time.
+    Short Zipf-tail runs take a scalar fast path; long runs the
+    vectorized numpy path. Both produce identical bytes.
     """
+    if len(doc_ids) <= _SMALL_RUN and len(positions) <= 4 * _SMALL_RUN:
+        return _pack_small(doc_ids, tfs, positions, structures,
+                           doc_lens, block_size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(doc_lens, dtype=np.int64)
@@ -221,6 +305,78 @@ def pack_posting_list(doc_ids, tfs, positions, structures, doc_lens,
         "block_max_tf": block_max_tf.astype(np.int32).tolist(),
         "block_min_dl": block_min_dl.astype(np.int32).tolist(),
     }
+
+
+def _vb_decode_scalar(buf: bytes) -> list:
+    out = []
+    v = 0
+    shift = 0
+    for byte in buf:
+        v |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            out.append(v)
+            v = 0
+            shift = 0
+    return out
+
+
+def unpack_posting_list_small(docs_bin, tfs_bin, pos_bin=None,
+                              structs_bin=None, dls_bin=None):
+    """Scalar decode for short lists (merge-stage hot path). Returns
+    plain Python lists; same values as unpack_posting_list."""
+    deltas = _vb_decode_scalar(docs_bin)
+    doc_ids = []
+    acc = 0
+    for d in deltas:
+        acc += d
+        doc_ids.append(acc)
+    tfs = _vb_decode_scalar(tfs_bin)
+    dls = _vb_decode_scalar(dls_bin) if dls_bin is not None else None
+    positions = None
+    if pos_bin is not None:
+        n = len(tfs)
+        nflag = (n + 7) // 8
+        flags = pos_bin[:nflag]
+        rest = pos_bin[nflag:]
+        vals = _vb_decode_scalar(rest)  # over-decodes; split by counts
+        firsts = vals[:n]
+        # re-scan rest to find byte offset after n varbyte values
+        cnt = 0
+        off = 0
+        for i, byte in enumerate(rest):
+            if not (byte & 0x80):
+                cnt += 1
+                if cnt == n:
+                    off = i + 1
+                    break
+        nib_len = int.from_bytes(rest[off:off + 4], "little")
+        nib = rest[off + 4:off + 4 + nib_len]
+        vb_rest = _vb_decode_scalar(rest[off + 4 + nib_len:])
+        positions = []
+        ni = 0
+        vi = 0
+        for i, tf in enumerate(tfs):
+            p = [firsts[i]]
+            is_nib = bool(flags[i >> 3] & (0x80 >> (i & 7)))
+            if is_nib and tf > 1:
+                nd = []
+                nbytes = (tf - 1 + 1) // 2
+                for b in nib[ni:ni + nbytes]:
+                    nd.append(b >> 4)
+                    nd.append(b & 0x0F)
+                nd = nd[:tf - 1]
+                ni += nbytes
+                for d in nd:
+                    p.append(p[-1] + d)
+            elif tf > 1:
+                for d in vb_rest[vi:vi + tf - 1]:
+                    p.append(p[-1] + d)
+                vi += tf - 1
+            positions.extend(p)
+    structures = structs_bin
+    return doc_ids, tfs, positions, structures, dls
 
 
 def unpack_posting_list(docs_bin, tfs_bin, pos_bin=None, structs_bin=None,

@@ -49,13 +49,6 @@ from ..codec.postings import pack_posting_list, unpack_posting_list
 from ..textproc.extractor import extract
 from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
 
-TOKENIZED_SCHEMA = (
-    "pid int, local_idx long, url string, title string, doc_len long, "
-    "size long, warc_ts timestamp, description string, lang string, "
-    "postings array<struct<field: string, term: string, "
-    "positions: array<int>, structures: binary>>"
-)
-
 DOCS_SCHEMA_COLS = ["doc_id", "url", "title", "doc_len", "size",
                     "warc_ts", "description", "lang"]
 
@@ -65,6 +58,14 @@ CHUNK_SCHEMA = (
     "pos_bin binary, structs_bin binary, block_doc_lo array<long>, "
     "block_doc_hi array<long>, block_max_tf array<int>, "
     "block_min_dl array<int>"
+)
+
+# one staged union row type: kind=0 doc rows, kind=1 locally-packed
+# chunk rows (doc ids local to the partition; rebased at merge)
+STAGED_SCHEMA = (
+    "kind int, pid int, local_idx long, url string, title string, "
+    "doc_len long, size long, warc_ts timestamp, description string, "
+    "lang string, " + CHUNK_SCHEMA
 )
 
 
@@ -111,17 +112,66 @@ def doctype_of_url(url: str) -> str:
 # Stage kernels (executed on executors via mapInPandas)
 # --------------------------------------------------------------------
 
-def _extract_tokenize_iter(batches, cfg: IndexConfig):
-    """Stage-2 kernel: pages batches → tokenized per-doc rows."""
+_CHUNK_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
+               for c in CHUNK_SCHEMA.split(", ")]
+_STAGED_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
+                for c in STAGED_SCHEMA.split(", ")]
+_N_DOC_COLS = 10  # kind..lang prefix of STAGED_SCHEMA
+
+
+def _extract_pack_iter(batches, cfg: IndexConfig):
+    """Stage-2 kernel: pages → doc rows + locally-packed chunk rows, in
+    ONE pass. Postings accumulate in an in-memory (field, term) hash —
+    the ENTRY-hash analogue (getentry/addentry,
+    /root/reference/src/index.c:1237-1407) — and are packed (compressed)
+    with LOCAL doc ids every ``flush_docs`` documents, mirroring the
+    reference's 10k-doc chunk coalescing
+    (/root/reference/src/index.c:1997-2071, config.h:346). Local doc ids
+    are rebased to global dense ids at the merge stage in O(1) per chunk
+    (only the first docID delta is absolute)."""
     from pyspark import TaskContext
+
+    from ..codec.postings import BLOCK_SIZE, _pack_small
 
     pid = TaskContext.get().partitionId()
     tok_cfg = cfg.tokenizer_config()
+    acc: dict = {}
     local_idx = 0
+    since_flush = 0
+    def flush_chunks():
+        """Pack every accumulated (field, term) list → columnar chunk
+        frame (column lists, not per-row tuples)."""
+        nonlocal since_flush
+        n = len(acc)
+        cols = {c: [None] * n for c in _STAGED_COLS}
+        cols["kind"] = [1] * n
+        cols["pid"] = [pid] * n
+        for j, ((field, term), slot) in enumerate(acc.items()):
+            ids, tfs, pos, structs, dls = slot
+            if len(ids) <= 64 and len(pos) <= 256:
+                packed = _pack_small(ids, tfs, pos, structs, dls,
+                                     BLOCK_SIZE)
+            else:
+                packed = pack_posting_list(
+                    np.asarray(ids, dtype=np.int64),
+                    np.asarray(tfs, dtype=np.int64),
+                    np.asarray(pos, dtype=np.int64),
+                    np.frombuffer(bytes(structs), dtype=np.uint8),
+                    np.asarray(dls, dtype=np.int64))
+            cols["term_bucket"][j] = term_bucket(term, cfg.n_buckets)
+            cols["term"][j] = term
+            cols["field"][j] = field
+            cols["doc_lo"][j] = ids[0]
+            cols["doc_hi"][j] = ids[-1]
+            for k, v in packed.items():
+                cols[k][j] = v
+        acc.clear()
+        since_flush = 0
+        return pd.DataFrame(cols, columns=_STAGED_COLS)
+
+    doc_col_names = _STAGED_COLS[:_N_DOC_COLS]
+    dcols = {c: [] for c in doc_col_names}
     for pdf in batches:
-        out = {k: [] for k in ("local_idx", "url", "title", "doc_len",
-                               "size", "warc_ts", "description", "lang",
-                               "postings")}
         for url, html, warc_ts, lang in zip(
                 pdf["url"], pdf["html"], pdf["warc_ts"], pdf["lang"]):
             blob = bytes(html) if html is not None else b""
@@ -130,162 +180,132 @@ def _extract_tokenize_iter(batches, cfg: IndexConfig):
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)
-            plist = [
-                {"field": f, "term": t,
-                 "positions": np.asarray(p.positions, dtype=np.int32),
-                 "structures": bytes(bytearray(p.structures))}
-                for (f, t), p in postings.items()
-            ]
-            out["local_idx"].append(local_idx)
-            out["url"].append(url)
-            out["title"].append(doc.title)
-            out["doc_len"].append(doc_len)
-            out["size"].append(len(blob))
-            out["warc_ts"].append(warc_ts)
-            out["description"].append(doc.description)
-            out["lang"].append(lang)
-            out["postings"].append(plist)
+            for key, p in postings.items():
+                slot = acc.get(key)
+                if slot is None:
+                    slot = acc[key] = ([], [], [], bytearray(), [])
+                slot[0].append(local_idx)
+                slot[1].append(len(p.positions))
+                slot[2].extend(p.positions)
+                slot[3].extend(p.structures)
+                slot[4].append(doc_len)
+            for c, v in zip(doc_col_names,
+                            (0, pid, local_idx, url, doc.title, doc_len,
+                             len(blob), warc_ts, doc.description, lang)):
+                dcols[c].append(v)
             local_idx += 1
-        if out["url"]:
-            res = pd.DataFrame(out)
-            res.insert(0, "pid", pid)
-            yield res
+            since_flush += 1
+            if since_flush >= cfg.flush_docs:
+                yield flush_chunks()
+        if dcols["url"]:
+            frame = pd.DataFrame(dcols, columns=doc_col_names)
+            for c in _STAGED_COLS[_N_DOC_COLS:]:
+                frame[c] = None
+            yield frame
+            dcols = {c: [] for c in doc_col_names}
+    if acc:
+        yield flush_chunks()
 
 
-class _RunPacker:
-    """Streams sorted (term, field, doc_id) posting rows and emits packed
-    chunk rows per (term, field) run, flushing at chunk_docs postings."""
+def _rebase_docs_bin(buf, base: int) -> bytes:
+    """Add ``base`` to the (absolute) first docID of a packed doc-delta
+    stream — O(1) global rebasing of a locally-packed chunk."""
+    from ..codec.postings import _vb_encode_scalar
 
-    def __init__(self, cfg: IndexConfig):
-        self.cfg = cfg
-        self.key = None
-        self.doc_ids: list = []
-        self.tfs: list = []
-        self.positions: list = []
-        self.structs: list = []
-        self.doc_lens: list = []
-        self.rows: list = []
-
-    def _flush(self):
-        if not self.doc_ids:
-            return
-        term, field = self.key
-        packed = pack_posting_list(
-            np.asarray(self.doc_ids, dtype=np.int64),
-            np.asarray(self.tfs, dtype=np.int64),
-            np.concatenate(self.positions) if self.positions
-            else np.empty(0, dtype=np.int64),
-            np.frombuffer(b"".join(self.structs), dtype=np.uint8),
-            np.asarray(self.doc_lens, dtype=np.int64),
-        )
-        self.rows.append({
-            "term_bucket": term_bucket(term, self.cfg.n_buckets),
-            "term": term, "field": field,
-            "doc_lo": int(self.doc_ids[0]), "doc_hi": int(self.doc_ids[-1]),
-            **packed,
-        })
-        self.doc_ids, self.tfs = [], []
-        self.positions, self.structs, self.doc_lens = [], [], []
-
-    def push(self, term, field, doc_id, positions, structures, doc_len):
-        key = (term, field)
-        if key != self.key:
-            self._flush()
-            self.key = key
-        elif len(self.doc_ids) >= self.cfg.chunk_docs:
-            self._flush()
-        self.doc_ids.append(doc_id)
-        self.tfs.append(len(positions))
-        self.positions.append(np.asarray(positions, dtype=np.int64))
-        self.structs.append(bytes(structures) if structures is not None
-                            else b"")
-        self.doc_lens.append(doc_len)
-
-    def drain(self):
-        rows, self.rows = self.rows, []
-        if rows:
-            return pd.DataFrame(rows)[[c.split(" ")[0].strip() for c in
-                                       CHUNK_SCHEMA.split(", ")]]
-        return None
-
-
-def _partial_pack_iter(batches, cfg: IndexConfig):
-    """Stage-3 kernel: sorted posting rows → packed partial chunk rows."""
-    packer = _RunPacker(cfg)
-    for pdf in batches:
-        for term, field, doc_id, positions, structures, doc_len in zip(
-                pdf["term"], pdf["field"], pdf["doc_id"],
-                pdf["positions"], pdf["structures"], pdf["doc_len"]):
-            packer.push(term, field, int(doc_id), positions, structures,
-                        int(doc_len))
-        if len(packer.rows) >= 64:
-            out = packer.drain()
-            if out is not None:
-                yield out
-    packer._flush()
-    out = packer.drain()
-    if out is not None:
-        yield out
+    buf = bytes(buf)
+    i = 0
+    while buf[i] & 0x80:
+        i += 1
+    first = 0
+    shift = 0
+    for b in buf[:i + 1]:
+        first |= (b & 0x7F) << shift
+        shift += 7
+    return _vb_encode_scalar([first + base]) + buf[i + 1:]
 
 
 def _merge_chunks_iter(batches, cfg: IndexConfig):
     """Stage-4 kernel: partial chunks sorted by (term, field, doc_lo) →
-    coalesced final chunks. Small adjacent chunks are decoded and
-    re-packed together; chunks already ≥ chunk_docs/2 pass through
-    untouched (sort-merge consolidation, the -M merge analogue,
-    /root/reference/src/merge.c:77-400)."""
+    coalesced final chunks. Small adjacent chunks are decoded (scalar
+    fast path) and re-packed together; chunks already ≥ chunk_docs/2
+    pass through with an O(1) docID rebase (sort-merge consolidation,
+    the -M merge analogue, /root/reference/src/merge.c:77-400). Rows
+    travel as tuples in _CHUNK_COLS + [base] order; doc_lo/doc_hi and
+    block bound columns are already global (rebased JVM-side); the
+    binary streams carry partition-local ids until here."""
+    from ..codec.postings import unpack_posting_list_small
+
     half = cfg.chunk_docs // 2
-    state = {"key": None, "buf": [], "buf_docs": 0, "out": []}
+    key = None
+    buf: list = []
+    buf_docs = 0
+    out: list = []
+    BASE = len(_CHUNK_COLS)  # index of the base column
 
     def flush_buf():
-        if not state["buf"]:
+        nonlocal buf, buf_docs
+        if not buf:
             return
-        term, field = state["key"]
-        if len(state["buf"]) == 1:
-            row = state["buf"][0]
+        if len(buf) == 1:
+            r = buf[0]
+            out.append((*r[:7], _rebase_docs_bin(r[7], int(r[BASE])),
+                        *r[8:BASE]))
         else:
-            d_all, t_all, p_all, s_all, dl_all = [], [], [], [], []
-            for r in state["buf"]:
-                d, t, p, s, dl = unpack_posting_list(
-                    r["docs_bin"], r["tfs_bin"], r["pos_bin"],
-                    r["structs_bin"], r["dls_bin"])
-                d_all.append(d)
-                t_all.append(t)
-                p_all.append(p)
-                s_all.append(s)
-                dl_all.append(dl)
-            doc_ids = np.concatenate(d_all)
+            d_all, t_all, p_all, s_parts, dl_all = [], [], [], [], []
+            for r in buf:
+                base = int(r[BASE])
+                if r[5] <= 64:
+                    d, t, p, s, dl = unpack_posting_list_small(
+                        r[7], r[8], r[10], r[11], r[9])
+                    d_all.extend(x + base for x in d)
+                else:
+                    d, t, p, s, dl = unpack_posting_list(
+                        r[7], r[8], r[10], r[11], r[9])
+                    d_all.extend((d + base).tolist())
+                t_all.extend(t)
+                p_all.extend(p)
+                s_parts.append(bytes(s))
+                dl_all.extend(dl)
             packed = pack_posting_list(
-                doc_ids, np.concatenate(t_all), np.concatenate(p_all),
-                np.concatenate(s_all), np.concatenate(dl_all))
-            row = {"term_bucket": state["buf"][0]["term_bucket"],
-                   "term": term, "field": field,
-                   "doc_lo": int(doc_ids[0]), "doc_hi": int(doc_ids[-1]),
-                   **packed}
-        state["out"].append(row)
-        state["buf"], state["buf_docs"] = [], 0
+                np.asarray(d_all, dtype=np.int64),
+                np.asarray(t_all, dtype=np.int64),
+                np.asarray(p_all, dtype=np.int64),
+                np.frombuffer(b"".join(s_parts), dtype=np.uint8),
+                np.asarray(dl_all, dtype=np.int64))
+            out.append((buf[0][0], buf[0][1], buf[0][2],
+                        int(d_all[0]), int(d_all[-1]),
+                        packed["df"], packed["cf"], packed["docs_bin"],
+                        packed["tfs_bin"], packed["dls_bin"],
+                        packed["pos_bin"], packed["structs_bin"],
+                        packed["block_doc_lo"], packed["block_doc_hi"],
+                        packed["block_max_tf"], packed["block_min_dl"]))
+        buf, buf_docs = [], 0
 
-    cols = [c.split(" ")[0].strip() for c in CHUNK_SCHEMA.split(", ")]
+    in_cols = _CHUNK_COLS + ["base"]
     for pdf in batches:
-        for rec in pdf.to_dict("records"):
-            key = (rec["term"], rec["field"])
-            if key != state["key"]:
+        arrays = [pdf[c].to_numpy() for c in in_cols]
+        for rec in zip(*arrays):
+            k = (rec[1], rec[2])
+            if k != key:
                 flush_buf()
-                state["key"] = key
-            if rec["df"] >= half:
+                key = k
+            df = rec[5]
+            if df >= half:
                 flush_buf()
-                state["out"].append(rec)
+                out.append((*rec[:7],
+                            _rebase_docs_bin(rec[7], int(rec[BASE])),
+                            *rec[8:BASE]))
                 continue
-            if state["buf_docs"] + rec["df"] > cfg.chunk_docs:
+            if buf_docs + df > cfg.chunk_docs:
                 flush_buf()
-            state["buf"].append(rec)
-            state["buf_docs"] += rec["df"]
-        if len(state["out"]) >= 128:
-            yield pd.DataFrame(state["out"])[cols]
-            state["out"] = []
+            buf.append(rec)
+            buf_docs += df
+        if len(out) >= 256:
+            yield pd.DataFrame(out, columns=_CHUNK_COLS)
+            out = []
     flush_buf()
-    if state["out"]:
-        yield pd.DataFrame(state["out"])[cols]
+    if out:
+        yield pd.DataFrame(out, columns=_CHUNK_COLS)
 
 
 # --------------------------------------------------------------------
@@ -389,54 +409,65 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     from pyspark.storagelevel import StorageLevel
 
     t0 = time.time()
+    prof = os.environ.get("SWISH_PROFILE")
+    marks = [("start", time.time())]
+
+    def mark(name):
+        if prof:
+            marks.append((name, time.time()))
     n_parts = max(shard_df.rdd.getNumPartitions(), 1)
 
-    # stage 2: extract + tokenize (one pass over html)
+    # single extraction pass: doc rows + locally-packed chunks, compact
     sorted_pages = (shard_df
                     .repartitionByRange(n_parts, "url")
                     .sortWithinPartitions("url"))
-    tokenized = sorted_pages.mapInPandas(
-        lambda it: _extract_tokenize_iter(it, cfg), schema=TOKENIZED_SCHEMA)
-    tokenized.persist(StorageLevel.DISK_ONLY)
+    staged = sorted_pages.mapInPandas(
+        lambda it: _extract_pack_iter(it, cfg), schema=STAGED_SCHEMA)
+    staged.persist(StorageLevel.MEMORY_AND_DISK)
 
     # dense doc_id = doc_base + offset[pid] + local_idx, offsets computed
     # over the persisted output (exact, partitioner-independent)
-    counts = {r["pid"]: r["cnt"] for r in
-              tokenized.groupBy("pid").agg(F.count("*").alias("cnt"))
-              .collect()}
+    mark("plan")
+    count_rows = (staged.filter(F.col("kind") == 0).groupBy("pid")
+                  .agg(F.count("*").alias("cnt"),
+                       F.sum("doc_len").alias("tok")).collect())
+    counts = {r["pid"]: r["cnt"] for r in count_rows}
+    token_count = int(sum(r["tok"] or 0 for r in count_rows))
+    mark("extract+counts")
     offsets, acc = {}, doc_base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     doc_count = acc - doc_base
     offs_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "pid int, base long")
-    with_ids = (tokenized.join(F.broadcast(offs_df), "pid")
-                .withColumn("doc_id", F.col("base") + F.col("local_idx"))
-                .drop("base"))
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, doc_base)],
+        "pid int, base long")
 
     # docs table
-    docs = with_ids.select(*DOCS_SCHEMA_COLS)
+    docs = (staged.filter(F.col("kind") == 0)
+            .join(F.broadcast(offs_df), "pid")
+            .withColumn("doc_id", F.col("base") + F.col("local_idx"))
+            .select(*DOCS_SCHEMA_COLS))
     docs_tmp = os.path.join(out_dir, f"_tmp_docs_{shard_id}")
     docs.write.mode("overwrite").parquet(docs_tmp)
     _commit_dir(docs_tmp, os.path.join(out_dir, "docs", f"shard={shard_id}"))
-    token_count = (docs.agg(F.sum("doc_len")).collect()[0][0] or 0)
+    mark("docs_write")
 
-    # stage 3+4: explode postings (JVM-side), partial pack, salted merge
-    exploded = (with_ids
-                .select("doc_id", "doc_len",
-                        F.explode("postings").alias("p"))
-                .select("doc_id", "doc_len",
-                        F.col("p.field").alias("field"),
-                        F.col("p.term").alias("term"),
-                        F.col("p.positions").alias("positions"),
-                        F.col("p.structures").alias("structures")))
-    partials = (exploded
-                .sortWithinPartitions("term", "field", "doc_id")
-                .mapInPandas(lambda it: _partial_pack_iter(it, cfg),
-                             schema=CHUNK_SCHEMA))
+    # chunk rows: rebase ranges JVM-side, salted merge shuffle, rebase
+    # binary streams in the merge kernel
+    chunks = (staged.filter(F.col("kind") == 1)
+              .join(F.broadcast(offs_df), "pid")
+              .withColumn("doc_lo", F.col("doc_lo") + F.col("base"))
+              .withColumn("doc_hi", F.col("doc_hi") + F.col("base"))
+              .withColumn("block_doc_lo", F.transform(
+                  "block_doc_lo", lambda x: x + F.col("base")))
+              .withColumn("block_doc_hi", F.transform(
+                  "block_doc_hi", lambda x: x + F.col("base")))
+              .select(*_CHUNK_COLS, "base"))
+    posting_count = int(chunks.agg(F.sum("df")).collect()[0][0] or 0)
+    mark("posting_agg")
     n_reduce = max(cfg.n_buckets, n_parts)
-    salted = partials.withColumn(
+    salted = chunks.withColumn(
         "salt",
         F.when(F.col("df") >= cfg.salt_threshold,
                F.pmod(F.xxhash64("term", "doc_lo"),
@@ -454,11 +485,13 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
      .partitionBy("term_bucket").parquet(seg_tmp))
     _commit_dir(seg_tmp,
                 os.path.join(out_dir, "segments", f"shard={shard_id}"))
-
-    seg_df = spark.read.parquet(
-        os.path.join(out_dir, "segments", f"shard={shard_id}"))
-    posting_count = seg_df.agg(F.sum("df")).collect()[0][0] or 0
-    tokenized.unpersist()
+    mark("segments_write")
+    staged.unpersist()
+    if prof:
+        import sys as _sys
+        steps = {marks[i][0]: round(marks[i][1] - marks[i-1][1], 2)
+                 for i in range(1, len(marks))}
+        print(f"PROFILE shard={shard_id} {steps}", file=_sys.stderr)
     return {
         "shard_id": shard_id, "doc_base": doc_base,
         "doc_count": int(doc_count), "token_count": int(token_count),
