@@ -415,7 +415,8 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     def mark(name):
         if prof:
             marks.append((name, time.time()))
-    n_parts = max(shard_df.rdd.getNumPartitions(), 1)
+    n_parts = max(shard_df.rdd.getNumPartitions(), 1,
+                  spark.sparkContext.defaultParallelism)
 
     # single extraction pass: doc rows + locally-packed chunks, compact
     sorted_pages = (shard_df
@@ -428,11 +429,17 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     # dense doc_id = doc_base + offset[pid] + local_idx, offsets computed
     # over the persisted output (exact, partitioner-independent)
     mark("plan")
-    count_rows = (staged.filter(F.col("kind") == 0).groupBy("pid")
-                  .agg(F.count("*").alias("cnt"),
-                       F.sum("doc_len").alias("tok")).collect())
-    counts = {r["pid"]: r["cnt"] for r in count_rows}
-    token_count = int(sum(r["tok"] or 0 for r in count_rows))
+    # ONE stats job materializes the cache and returns per-partition doc
+    # counts, token totals, and the posting count together
+    stat_rows = (staged.groupBy("kind", "pid")
+                 .agg(F.count("*").alias("cnt"),
+                      F.sum("doc_len").alias("tok"),
+                      F.sum("df").alias("post")).collect())
+    counts = {r["pid"]: r["cnt"] for r in stat_rows if r["kind"] == 0}
+    token_count = int(sum(r["tok"] or 0 for r in stat_rows
+                          if r["kind"] == 0))
+    posting_count = int(sum(r["post"] or 0 for r in stat_rows
+                            if r["kind"] == 1))
     mark("extract+counts")
     offsets, acc = {}, doc_base
     for pid in sorted(counts):
@@ -449,9 +456,6 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
             .withColumn("doc_id", F.col("base") + F.col("local_idx"))
             .select(*DOCS_SCHEMA_COLS))
     docs_tmp = os.path.join(out_dir, f"_tmp_docs_{shard_id}")
-    docs.write.mode("overwrite").parquet(docs_tmp)
-    _commit_dir(docs_tmp, os.path.join(out_dir, "docs", f"shard={shard_id}"))
-    mark("docs_write")
 
     # chunk rows: rebase ranges JVM-side, salted merge shuffle, rebase
     # binary streams in the merge kernel
@@ -464,8 +468,6 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
               .withColumn("block_doc_hi", F.transform(
                   "block_doc_hi", lambda x: x + F.col("base")))
               .select(*_CHUNK_COLS, "base"))
-    posting_count = int(chunks.agg(F.sum("df")).collect()[0][0] or 0)
-    mark("posting_agg")
     n_reduce = max(cfg.n_buckets, n_parts)
     salted = chunks.withColumn(
         "salt",
@@ -479,13 +481,50 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
               .sortWithinPartitions("term", "field", "doc_lo")
               .mapInPandas(lambda it: _merge_chunks_iter(it, cfg),
                            schema=CHUNK_SCHEMA))
-
     seg_tmp = os.path.join(out_dir, f"_tmp_segments_{shard_id}")
-    (merged.write.mode("overwrite")
-     .partitionBy("term_bucket").parquet(seg_tmp))
+
+    # both writes consume the materialized cache — run them as
+    # concurrent jobs so their driver-side commit latencies overlap
+    import threading
+
+    errs: list = []
+
+    def _w(fn):
+        try:
+            fn()
+        except BaseException as e:  # surfaced below
+            errs.append(e)
+
+    # terms summary table — the sorted word-list analogue
+    # (/root/reference/src/index.c:1965-1992): per-(term, field) df/cf;
+    # the query compiler prunes prefix scans to exact buckets with it
+    terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
+    terms_df = (chunks.groupBy("term_bucket", "term", "field")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .sortWithinPartitions("term"))
+
+    t_docs = threading.Thread(target=_w, args=(
+        lambda: docs.write.mode("overwrite").parquet(docs_tmp),))
+    t_segs = threading.Thread(target=_w, args=(
+        lambda: (merged.write.mode("overwrite")
+                 .partitionBy("term_bucket").parquet(seg_tmp)),))
+    t_terms = threading.Thread(target=_w, args=(
+        lambda: terms_df.write.mode("overwrite").parquet(terms_tmp),))
+    t_docs.start()
+    t_segs.start()
+    t_terms.start()
+    t_docs.join()
+    t_segs.join()
+    t_terms.join()
+    if errs:
+        raise errs[0]
+    _commit_dir(docs_tmp, os.path.join(out_dir, "docs",
+                                       f"shard={shard_id}"))
     _commit_dir(seg_tmp,
                 os.path.join(out_dir, "segments", f"shard={shard_id}"))
-    mark("segments_write")
+    _commit_dir(terms_tmp,
+                os.path.join(out_dir, "terms", f"shard={shard_id}"))
+    mark("writes")
     staged.unpersist()
     if prof:
         import sys as _sys
@@ -530,6 +569,12 @@ class IndexHandle:
     def segments(self):
         return self.spark.read.parquet(
             os.path.join(self.out_dir, "segments"))
+
+    def terms(self):
+        """(term_bucket, term, field, df, cf) summary — word-list
+        lookups and prefix-scan planning."""
+        return self.spark.read.parquet(
+            os.path.join(self.out_dir, "terms"))
 
     @property
     def stats(self):

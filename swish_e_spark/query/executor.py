@@ -122,8 +122,43 @@ class SparkQueryEngine:
         self.handle = handle
         self.cfg = handle.cfg.tokenizer_config()
         self.n_buckets = handle.cfg.n_buckets
+        self._prefix_cache: dict = {}
+
+    PREFIX_EXPAND_CAP = 5000  # max terms a wildcard may expand to via
+                              # the terms table before falling back to a
+                              # full range scan
 
     # ---- planning ----
+
+    def _expand_prefix(self, field, prefix):
+        """Expand ``prefix*`` against the terms summary table (sorted
+        word-list scan, /root/reference/src/search.c:1631-1843) →
+        [(bucket, term)], or None past the cap. The terms table is tiny
+        relative to segments, and the result turns an all-bucket scan
+        into exact partition-pruned lookups."""
+        from pyspark.sql import functions as F
+
+        key = (field, prefix)
+        if key in self._prefix_cache:
+            return self._prefix_cache[key]
+        result = None
+        try:
+            tdf = self.handle.terms()
+        except Exception:
+            tdf = None  # older index without a terms table
+        if tdf is not None:
+            rows = (tdf.filter((F.col("field") == field)
+                               & F.col("term").startswith(prefix))
+                    .select("term_bucket", "term").distinct()
+                    .limit(self.PREFIX_EXPAND_CAP + 1).collect())
+            if len(rows) <= self.PREFIX_EXPAND_CAP:
+                by_bucket: dict = {}
+                for r in rows:
+                    by_bucket.setdefault(r["term_bucket"], []).append(
+                        r["term"])
+                result = by_bucket
+        self._prefix_cache[key] = result
+        return result
 
     def _segment_scan(self, node):
         """Partition-pruned scan of chunk rows for all query leaves."""
@@ -140,8 +175,16 @@ class SparkQueryEngine:
                 (F.col("term_bucket") == term_bucket(term, self.n_buckets))
                 & (F.col("term") == term) & (F.col("field") == field))
         for field, prefix in prefixes:
-            conds.append(F.col("term").startswith(prefix)
-                         & (F.col("field") == field))
+            expanded = self._expand_prefix(field, prefix)
+            if expanded is None:  # too many matches: unpruned range scan
+                conds.append(F.col("term").startswith(prefix)
+                             & (F.col("field") == field))
+            else:
+                conds.extend(
+                    (F.col("term_bucket") == b)
+                    & F.col("term").isin(ts)
+                    & (F.col("field") == field)
+                    for b, ts in expanded.items())
         if not conds:
             return None
         cond = conds[0]

@@ -119,23 +119,43 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     ``(field_name, term) -> Posting`` with sorted positions, and doc_len
     is the number of position-consuming tokens (BM25 length;
     setTotalWordsPerFile analogue /root/reference/src/db_write.c:773).
+
+    Hot path: when no buzzword can occur in an event, stages 1-5
+    collapse to ONE regex pass over the lowercased+translated event text
+    — token-stream-identical to the word-at-a-time path (the regex
+    splits at whitespace exactly like the whitespace pre-split). A
+    substring hit on any buzzword falls back to the exact slow path.
     """
     postings: dict = {}
     pos = 0
+    stop = cfg.stopwords
+    stem = cfg.stem
+    minl, maxl = cfg.min_word_len, cfg.max_word_len
+    trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
+    buzz = cfg.buzzwords
+    get = postings.get
+    findall = _WORD_RE.findall
     for ev in doc.events:
         if ev.hard_break and pos:
             pos += 1  # adjacency break across structure
-        for raw in split_words(ev.text, cfg):
-            if not (cfg.min_word_len <= len(raw) <= cfg.max_word_len):
+        field = ev.field_name
+        structure = ev.structure
+        low = ev.text.lower()
+        if buzz and any(b in low for b in buzz):
+            toks = split_words(ev.text, cfg)
+        else:
+            toks = findall(low.translate(trans))
+        for raw in toks:
+            if not minl <= len(raw) <= maxl:
                 continue
             pos += 1
-            if raw in cfg.stopwords:
+            if raw in stop:
                 continue
-            term = porter_stem(raw) if cfg.stem else raw
-            key = (ev.field_name, term)
-            p = postings.get(key)
+            term = porter_stem(raw) if stem else raw
+            key = (field, term)
+            p = get(key)
             if p is None:
-                p = postings[key] = Posting(ev.field_name, term)
+                p = postings[key] = Posting(field, term)
             p.positions.append(pos)
-            p.structures.append(ev.structure)
+            p.structures.append(structure)
     return postings, pos
