@@ -82,6 +82,10 @@ class IndexConfig:
     flush_docs: int = 10000      # map-side combine flush interval
                                  # (INDEX_DEFAULT_CHUNK_SIZE,
                                  #  /root/reference/src/config.h:346)
+    bytes_per_partition: int = 5 << 20  # extract-stage granularity;
+                                 # derived from INPUT DATA SIZE so the
+                                 # plan shape is identical at any core
+                                 # count (≈6k docs of ~850B compressed)
 
     def tokenizer_config(self) -> TokenizerConfig:
         from ..textproc.stopwords import DEFAULT_STOPWORDS
@@ -312,6 +316,24 @@ def _merge_chunks_iter(batches, cfg: IndexConfig):
 # Driver orchestration
 # --------------------------------------------------------------------
 
+def _plan_partitions(df, cfg: IndexConfig, n_shards: int = 1) -> int:
+    """Extract-stage partition count from input bytes (driver-side file
+    metadata, no job). Falls back to a count() for non-file sources."""
+    total = 0
+    try:
+        for uri in df.inputFiles():
+            path = uri[7:] if uri.startswith("file://") else \
+                uri[5:] if uri.startswith("file:") else uri
+            total += os.path.getsize(path)
+    except Exception:
+        total = 0
+    if total <= 0:
+        rows = df.count()
+        total = rows * 850  # ≈ compressed bytes/doc of web pages
+    raw = total / max(n_shards, 1) / max(cfg.bytes_per_partition, 1)
+    return int(min(32768, max(8, round(raw / 8) * 8)))
+
+
 def _manifest_dir(out_dir):
     return os.path.join(out_dir, "_manifest")
 
@@ -387,7 +409,8 @@ def build_index(spark, pages_df, out_dir: str,
         if hi is not None:
             shard_df = shard_df.filter(F.col("url") < hi)
         sm = _build_shard(spark, shard_df, out_dir, cfg, shard_id,
-                          doc_base)
+                          doc_base,
+                          _plan_partitions(pages_df, cfg, n_shards))
         _atomic_write_json(shard_path, sm)
         doc_base += sm["doc_count"]
         total["docs"] += sm["doc_count"]
@@ -404,7 +427,8 @@ def build_index(spark, pages_df, out_dir: str,
 
 
 def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
-                 shard_id: int, doc_base: int):
+                 shard_id: int, doc_base: int,
+                 n_parts: int | None = None):
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
@@ -415,8 +439,16 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     def mark(name):
         if prof:
             marks.append((name, time.time()))
-    n_parts = max(shard_df.rdd.getNumPartitions(), 1,
-                  spark.sparkContext.defaultParallelism)
+    # Partition count derives from DATA SIZE only — the same input
+    # yields the same plan shape at local[2] and local[32] (scan-split
+    # counts vary with defaultParallelism, so they are NOT used).
+    # File sizes come from driver-side metadata (no Spark job), and the
+    # result is rounded to a multiple of 8 so task waves divide evenly
+    # into any executor count; at 100 TB n_parts is simply
+    # bytes/bytes_per_partition and the rounding is noise.
+    if n_parts is None:
+        n_parts = _plan_partitions(shard_df, cfg)
+    mark("plan_parts")
 
     # single extraction pass: doc rows + locally-packed chunks, compact
     sorted_pages = (shard_df
@@ -488,49 +520,56 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     import threading
 
     errs: list = []
+    wtimes: dict = {}
 
-    def _w(fn):
+    def _w(fn, name="write"):
+        t = time.time()
         try:
             fn()
         except BaseException as e:  # surfaced below
             errs.append(e)
-
-    # terms summary table — the sorted word-list analogue
-    # (/root/reference/src/index.c:1965-1992): per-(term, field) df/cf;
-    # the query compiler prunes prefix scans to exact buckets with it
-    terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
-    terms_df = (chunks.groupBy("term_bucket", "term", "field")
-                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                .sortWithinPartitions("term"))
+        wtimes[name] = round(time.time() - t, 2)
 
     t_docs = threading.Thread(target=_w, args=(
-        lambda: docs.write.mode("overwrite").parquet(docs_tmp),))
+        lambda: docs.write.mode("overwrite").parquet(docs_tmp), "docs"))
     t_segs = threading.Thread(target=_w, args=(
         lambda: (merged.write.mode("overwrite")
-                 .partitionBy("term_bucket").parquet(seg_tmp)),))
-    t_terms = threading.Thread(target=_w, args=(
-        lambda: terms_df.write.mode("overwrite").parquet(terms_tmp),))
+                 .partitionBy("term_bucket").parquet(seg_tmp)), "segs"))
     t_docs.start()
     t_segs.start()
-    t_terms.start()
     t_docs.join()
     t_segs.join()
-    t_terms.join()
     if errs:
         raise errs[0]
     _commit_dir(docs_tmp, os.path.join(out_dir, "docs",
                                        f"shard={shard_id}"))
     _commit_dir(seg_tmp,
                 os.path.join(out_dir, "segments", f"shard={shard_id}"))
+    mark("writes")
+
+    # terms summary table — the sorted word-list analogue
+    # (/root/reference/src/index.c:1965-1992): per-(term, field) df/cf;
+    # the query compiler prunes prefix scans to exact buckets with it.
+    # Derived from the just-written segments via a COLUMN-PRUNED parquet
+    # read (5 tiny columns, no posting binaries) — cheaper than a third
+    # full pass over the staged cache.
+    terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
+    seg_final = os.path.join(out_dir, "segments", f"shard={shard_id}")
+    (spark.read.parquet(seg_final)
+     .groupBy("term_bucket", "term", "field")
+     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(terms_tmp))
     _commit_dir(terms_tmp,
                 os.path.join(out_dir, "terms", f"shard={shard_id}"))
-    mark("writes")
+    mark("terms")
     staged.unpersist()
     if prof:
         import sys as _sys
         steps = {marks[i][0]: round(marks[i][1] - marks[i-1][1], 2)
                  for i in range(1, len(marks))}
-        print(f"PROFILE shard={shard_id} {steps}", file=_sys.stderr)
+        print(f"PROFILE shard={shard_id} {steps} writes={wtimes} "
+              f"n_parts={n_parts}", file=_sys.stderr)
     return {
         "shard_id": shard_id, "doc_base": doc_base,
         "doc_count": int(doc_count), "token_count": int(token_count),
