@@ -18,7 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from swish_e_spark.ops import dedup, engineq, fulltext, similarity, textstats
+from swish_e_spark.ops import (
+    dedup, engineq, fulltext, multimodal, similarity, textstats,
+)
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
 _K1, _B = 1.2, 0.75
@@ -50,6 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase_match": engineq.engine_phrase_match,
         "engine_near_match": engineq.engine_near_match,
         "engine_wildcard_match": engineq.engine_wildcard_match,
+        "engine_wand_topk": engineq.engine_wand_topk,
+        "engine_keyword_dump": engineq.engine_keyword_dump,
+        "engine_swishrank0_topk": engineq.engine_swishrank0_topk,  # rows-only
+        "engine_swishrank1_topk": engineq.engine_swishrank1_topk,  # rows-only
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -59,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,     # rows-only
+        # training-data pipeline: multimodal binary-column plumbing
+        "media_features": multimodal.media_features_q,
+        "media_frame_sample": multimodal.media_frame_sample_q,
         # training-data pipeline: text analysis
         "langid_heuristic": textstats.langid_heuristic,
         "quality_score": textstats.quality_score,
@@ -164,6 +173,12 @@ where a.t = 'merge' and b.t = 'batch' order by a.doc_id""",
         "engine_wildcard_match": f"""
 with {toks}
 select distinct doc_id from toks where t like 'sc%' order by doc_id""",
+        "engine_wand_topk": _bm25_sql("'hash','join'", 2),
+        "engine_keyword_dump": f"""
+with {toks}
+select t as term, count(distinct doc_id) as df, count(*) as cf
+from toks where t like 'sc%' and t <> ''
+group by t order by term""",
         # dedup
         "dedup_exact": """
 select md5(text) as h, count(*) as n, min(doc_id) as first_doc
@@ -218,6 +233,23 @@ select e.vec_id,
             as double) as cos
 from embeddings e, q where e.vec_id <> 0
 order by cos desc, e.vec_id asc limit 10""",
+        # multimodal plumbing
+        "media_features": """
+select doc_id as media_id,
+       case cast(doc_id % 3 as int) when 0 then 'image'
+            when 1 then 'audio' else 'video' end as kind,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       sha256(text) as sha256
+from documents order by media_id""",
+        "media_frame_sample": """
+with v as (select doc_id, octet_length(encode(text)) as nb
+           from documents where doc_id % 3 = 2),
+f as (select doc_id as media_id,
+             cast(unnest(range(0, greatest(nb // 64, 1), 4)) as int)
+               as frame_idx
+      from v)
+select media_id, frame_idx, cast(frame_idx * 40 as int) as ts_ms
+from f order by media_id, frame_idx""",
         # text analysis
         "langid_heuristic": f"""
 with {toks},

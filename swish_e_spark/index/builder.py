@@ -605,6 +605,29 @@ class IndexHandle:
     def docs(self):
         return self.spark.read.parquet(os.path.join(self.out_dir, "docs"))
 
+    def removed(self):
+        """Tombstoned doc_ids (index/maintenance.py) or None."""
+        path = os.path.join(self.out_dir, "removed")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def live_docs(self):
+        """Docs net of tombstones — the deleted-doc filter
+        (/root/reference/src/search.c:1789)."""
+        docs = self.docs()
+        removed = self.removed()
+        if removed is None:
+            return docs
+        return docs.join(removed.select("doc_id"), "doc_id", "left_anti")
+
+    @property
+    def shard_bases(self) -> dict:
+        """Per-shard doc_id rebase offsets for merged indexes
+        ({} = ids are already global)."""
+        return {int(k): int(v) for k, v in
+                self.meta.get("shard_bases", {}).items()}
+
     def segments(self):
         return self.spark.read.parquet(
             os.path.join(self.out_dir, "segments"))
@@ -617,10 +640,12 @@ class IndexHandle:
 
     @property
     def stats(self):
+        """Corpus stats net of tombstones, so BM25 after an update or
+        merge matches a from-scratch rebuild of the surviving docs."""
         if self._stats is None:
             from pyspark.sql import functions as F
 
-            row = self.docs().agg(
+            row = self.live_docs().agg(
                 F.count("*").alias("n"),
                 F.sum("doc_len").alias("total_len")).collect()[0]
             n = row["n"] or 0

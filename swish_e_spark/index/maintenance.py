@@ -1,0 +1,194 @@
+"""Index lifecycle maintenance — merge (-M), incremental update (-u)
+and remove (-r), re-expressed for Spark/Iceberg-style storage.
+
+Reference semantics:
+- merge (-M): k-way merge of indexes, deduping docs by path with the
+  NEWEST winning, renumbering filenums, concatenating worddata
+  (merge_indexes, /root/reference/src/merge.c:77-400).
+- update/remove (-u/-r): replace or delete docs by path; older versions
+  are skipped at search time (check_for_replace
+  /root/reference/src/index.c:824-922, deleted-doc filter
+  /root/reference/src/search.c:1789).
+
+Spark-first design: the reference rewrites the whole index file; at
+100 TB that is a non-starter. Here a merge/update is a METADATA
+operation in the style of an Iceberg snapshot commit:
+
+- each source index (or update batch) becomes one or more shards of the
+  result; posting binaries are NEVER rewritten — every shard gets a
+  ``doc_base`` recorded in the manifest, and the query-side decode
+  kernel adds the base to decoded doc ids (O(1) per chunk, same trick
+  the builder uses for partition-local ids).
+- superseded/removed docs become TOMBSTONES in a ``removed`` parquet
+  table; the executor anti-joins them out (the deleted-doc filter),
+  and index stats (N, avgdl) are computed net of tombstones so BM25
+  scores match a from-scratch rebuild of the surviving docs exactly
+  (given equal per-doc tf/dl, which posting data preserves).
+- ``compact()`` is the optional heavyweight rewrite (Iceberg
+  RewriteDataFiles analogue): decode → drop tombstoned docs → repack.
+
+The docs tables are small relative to postings and ARE rewritten with
+rebased ids (they carry no positional binaries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from .builder import (
+    IndexConfig,
+    IndexHandle,
+    _atomic_write_json,
+    _build_shard,
+    _manifest_dir,
+    _plan_partitions,
+)
+
+REMOVED_SCHEMA = "doc_id long, url string"
+
+
+def _copy_tree(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copytree(src, dst)
+
+
+def _load_meta(d: str) -> dict:
+    return json.load(open(os.path.join(_manifest_dir(d), "index.json")))
+
+
+def merge_indexes(spark, src_dirs: list[str], out_dir: str):
+    """Merge k complete indexes into ``out_dir``. Later sources win on
+    duplicate urls (newest-wins, /root/reference/src/merge.c:77-400).
+    Posting binaries are copied untouched; doc ids are rebased via
+    per-shard ``doc_base`` manifest entries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    metas = [_load_meta(d) for d in src_dirs]
+    for m, d in zip(metas, src_dirs):
+        if not m.get("complete"):
+            raise ValueError(f"source index {d} is incomplete")
+
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    shard_bases: dict[str, int] = {}
+    base = 0
+    out_shard = 0
+    docs_parts = []
+    for src_i, (src, meta) in enumerate(zip(src_dirs, metas)):
+        src_docs = spark.read.parquet(os.path.join(src, "docs"))
+        if "shard" in src_docs.columns:
+            src_docs = src_docs.drop("shard")  # partition-dir column
+        docs_parts.append(
+            src_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+            .withColumn("src_order", F.lit(src_i)))
+        for name in sorted(os.listdir(os.path.join(src, "segments"))):
+            if not name.startswith("shard="):
+                continue
+            _copy_tree(os.path.join(src, "segments", name),
+                       os.path.join(out_dir, "segments",
+                                    f"shard={out_shard}"))
+            term_dir = os.path.join(src, "terms", name)
+            if os.path.isdir(term_dir):
+                _copy_tree(term_dir, os.path.join(out_dir, "terms",
+                                                  f"shard={out_shard}"))
+            shard_bases[str(out_shard)] = base
+            out_shard += 1
+        # carry forward tombstones of the source itself
+        src_removed = os.path.join(src, "removed")
+        if os.path.isdir(src_removed):
+            rdf = (spark.read.parquet(src_removed)
+                   .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
+            _append_removed(spark, out_dir, rdf)
+        base += meta["doc_count"]
+
+    all_docs = docs_parts[0]
+    for p in docs_parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    # newest-wins dedupe by url: highest src_order survives
+    w = Window.partitionBy("url").orderBy(
+        F.desc("src_order"), F.desc("doc_id"))
+    ranked = all_docs.withColumn("_rn", F.row_number().over(w))
+    losers = ranked.filter(F.col("_rn") > 1).select("doc_id", "url")
+    _append_removed(spark, out_dir, losers)
+    docs_out = ranked.drop("_rn", "src_order")
+    tmp = os.path.join(out_dir, "_tmp_docs_merged")
+    docs_out.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(out_dir, "docs", "shard=0")
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.replace(tmp, final)
+
+    meta = {
+        "config": metas[-1]["config"],
+        "n_shards": out_shard,
+        "shard_bounds": [],
+        "complete": True,
+        "doc_count": base,
+        "token_count": sum(m.get("token_count", 0) for m in metas),
+        "posting_count": sum(m.get("posting_count", 0) for m in metas),
+        "shard_bases": shard_bases,
+        "merged_from": [os.path.abspath(d) for d in src_dirs],
+    }
+    _atomic_write_json(os.path.join(_manifest_dir(out_dir), "index.json"),
+                       meta)
+    return meta
+
+
+def _append_removed(spark, index_dir: str, df) -> None:
+    path = os.path.join(index_dir, "removed")
+    df.select("doc_id", "url").write.mode("append").parquet(path)
+
+
+def remove_documents(spark, index_dir: str, urls: list[str]):
+    """Tombstone docs by url (-r; deleted-doc filter
+    /root/reference/src/search.c:1789). Returns number removed."""
+    from pyspark.sql import functions as F
+
+    handle = IndexHandle(spark, index_dir)
+    hit = (handle.docs().filter(F.col("url").isin(list(urls)))
+           .select("doc_id", "url"))
+    n = hit.count()
+    if n:
+        _append_removed(spark, index_dir, hit)
+    return n
+
+
+def update_documents(spark, pages_df, index_dir: str):
+    """Incremental update (-u): index ``pages_df`` as a NEW shard and
+    tombstone any existing docs with the same urls (replace semantics,
+    check_for_replace /root/reference/src/index.c:824-922). Stats and
+    BM25 scores reflect the post-update corpus because the executor
+    computes them net of tombstones."""
+    from pyspark.sql import functions as F
+
+    meta = _load_meta(index_dir)
+    if not meta.get("complete"):
+        raise ValueError("cannot update an incomplete index")
+    cfg = IndexConfig(**meta["config"])
+    old_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    superseded = (old_docs.join(
+        pages_df.select("url").distinct(), "url", "inner")
+        .select("doc_id", "url"))
+
+    shard_id = meta["n_shards"]
+    doc_base = meta["doc_count"]
+    sm = _build_shard(spark, pages_df, index_dir, cfg, shard_id, doc_base,
+                      _plan_partitions(pages_df, cfg))
+    _atomic_write_json(
+        os.path.join(_manifest_dir(index_dir), f"shard_{shard_id}.json"),
+        sm)
+    n_replaced = superseded.count()
+    if n_replaced:
+        _append_removed(spark, index_dir, superseded)
+
+    meta["n_shards"] = shard_id + 1
+    meta["doc_count"] = doc_base + sm["doc_count"]
+    meta["token_count"] = meta.get("token_count", 0) + sm["token_count"]
+    meta["posting_count"] = (meta.get("posting_count", 0)
+                             + sm["posting_count"])
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+    return {"shard": sm, "replaced": n_replaced}

@@ -92,3 +92,55 @@ def engine_wildcard_match(spark, sf_dir, q="sc*"):
     eng = _engine(spark, sf_dir)
     df = eng.match_df(q)
     return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_wand_topk(spark, sf_dir, q="hash join", k=10):
+    """Same query as engine_bm25_topk but FORCING the block-max WAND
+    pruned path (executor._search_wand) — the DuckDB oracle checking
+    both proves the pruning is lossless."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.search_df(q, k=k, wand="force")
+    return df.select("doc_id", F.round("score", 4).alias("score")) \
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def engine_swishrank0_topk(spark, sf_dir, q="hash join", k=10):
+    """Swish-e scheme-0 (structure-weighted TF) ranked top-k — engine
+    path; rows-only driver check (the integer rank formula over per-
+    posting structure bytes is not expressible in the SQL token CTE).
+    Verified rank-identical to the pure-Python oracle in
+    tests/test_lifecycle.py."""
+    from ..query.swishrank import spark_swish_search
+
+    eng = _engine(spark, sf_dir)
+    rows = spark_swish_search(eng, q, k=k, scheme=0)
+    return spark.createDataFrame(
+        [(int(d), int(r)) for d, r in rows] or [(None, None)],
+        "doc_id long, rank long").where("doc_id is not null")
+
+
+def engine_swishrank1_topk(spark, sf_dir, q="hash join", k=10):
+    """Swish-e scheme-1 (IDF/density) ranked top-k — rows-only."""
+    from ..query.swishrank import spark_swish_search
+
+    eng = _engine(spark, sf_dir)
+    rows = spark_swish_search(eng, q, k=k, scheme=1)
+    return spark.createDataFrame(
+        [(int(d), int(r)) for d, r in rows] or [(None, None)],
+        "doc_id long, rank long").where("doc_id is not null")
+
+
+def engine_keyword_dump(spark, sf_dir, prefix="sc"):
+    """-k keyword dump over the terms summary table; SQL-checkable
+    (term, df, cf)."""
+    from ..query.output import keywords
+
+    handle = _index_for(spark, sf_dir)
+    rows = keywords(handle, startswith=prefix, limit=10000)
+    return spark.createDataFrame(
+        [(t, int(df), int(cf)) for t, df, cf in rows]
+        or [(None, None, None)],
+        "term string, df long, cf long").where("term is not null") \
+        .orderBy("term")

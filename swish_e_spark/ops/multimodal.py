@@ -92,6 +92,46 @@ def extract_features(media_df, fake: bool = True):
     return media_df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def media_from_documents(spark, sf_dir: str):
+    """Documents table → media table: text bytes as the opaque binary
+    payload (the 100 TB shape: media is just a binary column plus typed
+    metadata; here the payload is deterministic so the driver's SQL
+    oracle can verify the plumbing)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                             F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(48).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"))
+
+
+def media_features_q(spark, sf_dir: str):
+    """Driver-contract entry: decode→feature plumbing over the
+    documents-backed media table; the SQL-checkable columns are the
+    metadata the kernel computes from the payload bytes."""
+    from pyspark.sql import functions as F
+
+    feats = extract_features(media_from_documents(spark, sf_dir),
+                             fake=True)
+    return (feats.select(F.col("media_id"), "kind", "n_bytes", "sha256")
+            .orderBy("media_id"))
+
+
+def media_frame_sample_q(spark, sf_dir: str, every_n: int = 4):
+    """Driver-contract entry: video frame-sample fan-out rows."""
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(media_from_documents(spark, sf_dir),
+                          every_n=every_n, fake=True)
+    return frames.orderBy("media_id", "frame_idx")
+
+
 def frame_sample(media_df, every_n: int = 4, fake: bool = True):
     """Video frame-sampling plumbing: one row per sampled frame index.
     The decode is stubbed; the fan-out schema/batching is real."""

@@ -51,11 +51,14 @@ from .parser import (
 )
 
 DECODED_SCHEMA = ("field string, term string, doc_id long, tf long, "
-                  "dl long, positions array<int>")
+                  "dl long, positions array<int>, structs binary")
 
 
-def _decode_kernel(batches, need_positions: bool, structure_mask):
-    """Arrow-batched chunk decode → per-posting rows."""
+def _decode_kernel(batches, need_positions: bool, structure_mask,
+                   need_structs: bool = False):
+    """Arrow-batched chunk decode → per-posting rows. ``base`` column
+    (merged-index doc rebase, index/maintenance.py) is added to decoded
+    doc ids when present."""
     import numpy as np
 
     from ..codec.postings import unpack_posting_list
@@ -67,8 +70,12 @@ def _decode_kernel(batches, need_positions: bool, structure_mask):
                 rec["docs_bin"], rec["tfs_bin"],
                 rec["pos_bin"] if (need_positions or
                                    structure_mask is not None) else None,
-                rec["structs_bin"] if structure_mask is not None else None,
+                rec["structs_bin"] if (structure_mask is not None
+                                       or need_structs) else None,
                 rec["dls_bin"])
+            rebase = int(rec.get("base") or 0)
+            if rebase:
+                doc_ids = doc_ids + rebase
             if structure_mask is not None:
                 keep = (structs & structure_mask) != 0
                 ends = np.cumsum(tfs)
@@ -79,6 +86,8 @@ def _decode_kernel(batches, need_positions: bool, structure_mask):
                 # tfs>=1 always here so starts strictly increase
                 sel = new_tfs > 0
                 positions = positions[keep]
+                if structs is not None:
+                    structs = structs[keep]
                 doc_ids, tfs, dls = doc_ids[sel], new_tfs[sel], dls[sel]
                 if not len(doc_ids):
                     continue
@@ -91,13 +100,18 @@ def _decode_kernel(batches, need_positions: bool, structure_mask):
                 "term": np.repeat(rec["term"], n),
                 "doc_id": doc_ids, "tf": tfs_for_split, "dl": dls,
             }
+            split_at = np.cumsum(tfs_for_split)[:-1]
             if need_positions and positions is not None:
-                split_at = np.cumsum(tfs_for_split)[:-1]
                 frame["positions"] = [
                     a.astype("int32") for a in
                     np.split(positions, split_at)]
             else:
                 frame["positions"] = [None] * n
+            if need_structs and structs is not None:
+                frame["structs"] = [a.tobytes() for a in
+                                    np.split(structs, split_at)]
+            else:
+                frame["structs"] = [None] * n
             frames.append(pd.DataFrame(frame))
         if frames:
             yield pd.concat(frames, ignore_index=True)
@@ -111,6 +125,43 @@ def _needs_positions(node) -> bool:
     if isinstance(node, Not):
         return _needs_positions(node.child)
     return False
+
+
+def _wand_leaves(node):
+    """(scoring_leaves, aux_leaves) for a WAND-eligible tree, else None.
+
+    Eligible: Term / And / Or / AndNot over eligible subtrees. Scoring
+    leaves contribute to the doc-score upper bound (score = SUM over
+    matched leaves); aux leaves (AndNot right sides) only remove docs
+    and are decoded unpruned. Phrase/Near/Not/Prefix fall back to the
+    exhaustive path."""
+    if isinstance(node, Term):
+        return [(node.field, node.term)], []
+    if isinstance(node, (And, Or)):
+        lt = _wand_leaves(node.left)
+        rt = _wand_leaves(node.right)
+        if lt is None or rt is None:
+            return None
+        return lt[0] + rt[0], lt[1] + rt[1]
+    if isinstance(node, AndNot):
+        lt = _wand_leaves(node.left)
+        rt = _wand_leaves(node.right)
+        if lt is None or rt is None:
+            return None
+        return lt[0], lt[1] + rt[0] + rt[1]
+    return None
+
+
+def _required_leaves(node):
+    """Leaves conjunctively REQUIRED for a match (every matching doc
+    contains them) — used for chunk doc-range intersection pruning."""
+    if isinstance(node, Term):
+        return {(node.field, node.term)}
+    if isinstance(node, And):
+        return _required_leaves(node.left) | _required_leaves(node.right)
+    if isinstance(node, AndNot):
+        return _required_leaves(node.left)
+    return set()
 
 
 class SparkQueryEngine:
@@ -192,23 +243,39 @@ class SparkQueryEngine:
             cond = cond | c
         return seg.filter(cond)
 
-    def _decoded(self, node, structure_mask):
+    def _decoded(self, node, structure_mask, need_structs: bool = False):
+        from pyspark.sql import functions as F
+
         scan = self._segment_scan(node)
         if scan is None:
             return None
+        bases = self.handle.shard_bases
+        if bases:
+            # merged index: per-shard doc-id rebase (maintenance.py)
+            expr = F.lit(0).cast("long")
+            for sid, b in bases.items():
+                expr = F.when(F.col("shard") == sid,
+                              F.lit(b).cast("long")).otherwise(expr)
+            scan = scan.withColumn("base", expr)
         need_pos = _needs_positions(node)
         mask = structure_mask
-        return scan.mapInPandas(
-            lambda it: _decode_kernel(it, need_pos, mask),
+        out = scan.mapInPandas(
+            lambda it: _decode_kernel(it, need_pos, mask, need_structs),
             schema=DECODED_SCHEMA)
+        removed = self.handle.removed()
+        if removed is not None:
+            # deleted-doc filter (/root/reference/src/search.c:1789)
+            out = out.join(removed.select("doc_id"), "doc_id",
+                           "left_anti")
+        return out
 
     def _term_stats(self, node, decoded, structure_mask):
         """Global df per (field, term): from segment metadata (fast path)
-        or from decoded counts when a structure mask changes df
-        (matching the oracle's post-mask df)."""
+        or from decoded counts when a structure mask or tombstones change
+        df (matching the oracle's df over surviving postings)."""
         from pyspark.sql import functions as F
 
-        if structure_mask is None:
+        if structure_mask is None and self.handle.removed() is None:
             scan = self._segment_scan(node)
             rows = (scan.groupBy("field", "term")
                     .agg(F.sum("df").alias("df")).collect())
@@ -217,14 +284,206 @@ class SparkQueryEngine:
                     .agg(F.count("*").alias("df")).collect())
         return {(r["field"], r["term"]): r["df"] for r in rows}
 
+    # ---- block-max WAND top-k (north-rule pruning) ----
+
+    WAND_MIN_CHUNKS = 64  # below this, exhaustive decode is cheaper
+
+    def _search_wand(self, node, k: int, limits, force: bool = False):
+        """Distributed block-max WAND: prune posting chunks whose score
+        upper bound cannot reach the top-k threshold BEFORE decoding.
+
+        The reference scores every posting of every matched term
+        (/root/reference/src/search.c:1766-1813); block-max pruning is
+        the north-rule addition. Distributed shape (one tiny metadata
+        job + one seed job + the pruned main job, instead of WAND's
+        sequential pointer walk):
+
+        1. metadata-only scan: per chunk, ub = idf * max over blocks of
+           impact(block_max_tf, block_min_dl) — computed JVM-side from
+           the block arrays, no posting binaries read;
+        2. seed decode of the best-ub chunk per term (plus, for
+           conjunctions, overlapping chunks of the rarest term's best
+           range): exact achievable scores -> threshold θ = k-th best;
+        3. main decode keeps chunk c of term t only if
+           ub_c + Σ_{t'≠t} max-ub_{t'} >= θ, and (for conjunctively
+           required terms) its doc range intersects every other required
+           term's ranges. Safety: any pruned doc's true score < θ <= the
+           true k-th score, so the exact top-k always survives; docs
+           partially decoded due to pruning score strictly below θ and
+           cannot displace them.
+
+        Returns the top-k DataFrame, or None to fall back.
+        """
+        from pyspark.sql import functions as F
+
+        if self.handle.removed() is not None:
+            return None  # tombstones change df/idf: take the exact path
+        leaves = _wand_leaves(node)
+        if leaves is None:
+            return None
+        scoring, aux = leaves
+        if not scoring:
+            return None
+        scan = self._segment_scan(node)
+        if scan is None:
+            return None
+        stats = self.handle.stats
+        avgdl = max(stats["avgdl"], 1e-9)
+        impact = lambda t, d: (t * (K1 + 1.0)) / (  # noqa: E731
+            t + K1 * (1.0 - B + B * d / avgdl))
+        meta = (scan.select(
+            "field", "term", "doc_lo", "doc_hi", "df",
+            F.array_max(F.zip_with(
+                F.transform("block_max_tf",
+                            lambda x: x.cast("double")),
+                F.transform("block_min_dl",
+                            lambda x: x.cast("double")),
+                impact)).alias("ub_raw")).collect())
+        if not force and len(meta) < self.WAND_MIN_CHUNKS:
+            return None
+
+        # driver-side planning over chunk metadata (tiny)
+        df_by_leaf: dict = {}
+        for r in meta:
+            key = (r["field"], r["term"])
+            df_by_leaf[key] = df_by_leaf.get(key, 0) + r["df"]
+        idf_by_leaf = {key: bm25_idf(stats["n_docs"], d)
+                       for key, d in df_by_leaf.items()}
+        chunks: dict = {}  # leaf -> [(doc_lo, doc_hi, ub)]
+        for r in meta:
+            key = (r["field"], r["term"])
+            ub = idf_by_leaf[key] * (r["ub_raw"] or 0.0)
+            chunks.setdefault(key, []).append(
+                (r["doc_lo"], r["doc_hi"], ub))
+        scoring_set = set(scoring)
+        gub = {key: max(ub for _, _, ub in cl)
+               for key, cl in chunks.items() if key in scoring_set}
+        total_gub = sum(gub.values())
+
+        required = _required_leaves(node) & set(chunks)
+        ranges = {key: [(lo, hi) for lo, hi, _ in chunks[key]]
+                  for key in required}
+
+        def overlaps_required(key, lo, hi):
+            for rk in required:
+                if rk == key:
+                    continue
+                if not any(l2 <= hi and lo <= h2
+                           for l2, h2 in ranges[rk]):
+                    return False
+            return True
+
+        # seed: best-ub chunk per scoring leaf; for conjunctions also
+        # every other required leaf's chunks overlapping the rarest
+        # required leaf's best range (so the seed can produce matches)
+        seed: set = set()
+        for key in scoring_set & set(chunks):
+            lo, hi, _ = max(chunks[key], key=lambda c: c[2])
+            seed.add((key, lo))
+        if required:
+            rare = min(required, key=lambda kk: df_by_leaf[kk])
+            rlo, rhi, _ = max(chunks[rare], key=lambda c: c[2])
+            for key in required:
+                for lo, hi, _ in chunks[key]:
+                    if lo <= rhi and rlo <= hi:
+                        seed.add((key, lo))
+        for key in set(chunks) - scoring_set:  # aux: decode fully
+            for lo, _, _ in chunks[key]:
+                seed.add((key, lo))
+
+        def scan_for(keys: set):
+            cond = None
+            by_leaf: dict = {}
+            for (key, lo) in keys:
+                by_leaf.setdefault(key, []).append(lo)
+            for (field, term), los in by_leaf.items():
+                c = ((F.col("term_bucket")
+                      == term_bucket(term, self.n_buckets))
+                     & (F.col("term") == term)
+                     & (F.col("field") == field)
+                     & F.col("doc_lo").isin(los))
+                cond = c if cond is None else cond | c
+            return self.handle.segments().filter(cond) if cond is not None \
+                else None
+
+        def decode_eval(sub_scan):
+            bases = self.handle.shard_bases
+            if bases:
+                expr = F.lit(0).cast("long")
+                for sid, b2 in bases.items():
+                    expr = F.when(F.col("shard") == sid,
+                                  F.lit(b2).cast("long")).otherwise(expr)
+                sub_scan = sub_scan.withColumn("base", expr)
+            decoded = sub_scan.mapInPandas(
+                lambda it: _decode_kernel(it, False, None),
+                schema=DECODED_SCHEMA)
+            result = self._eval(node, decoded, df_by_leaf, stats)
+            if limits:
+                docs = self.handle.live_docs()
+                lcond = None
+                for prop, (lo2, hi2) in limits.items():
+                    c = F.col(prop).between(lo2, hi2)
+                    lcond = c if lcond is None else lcond & c
+                result = result.join(
+                    docs.filter(lcond).select("doc_id"),
+                    "doc_id", "left_semi")
+            return result
+
+        seed_scan = scan_for(seed)
+        theta = 0.0
+        if seed_scan is not None:
+            seed_rows = (decode_eval(seed_scan)
+                         .select("doc_id", "score")
+                         .orderBy(F.desc("score"), F.asc("doc_id"))
+                         .limit(k).collect())
+            if len(seed_rows) == k:
+                theta = seed_rows[-1]["score"]
+
+        keep: set = set()
+        pruned = 0
+        for key, cl in chunks.items():
+            if key not in scoring_set:
+                for lo, _, _ in cl:
+                    keep.add((key, lo))
+                continue
+            others = total_gub - gub[key]
+            for lo, hi, ub in cl:
+                if ub + others < theta or (
+                        key in required
+                        and not overlaps_required(key, lo, hi)):
+                    pruned += 1
+                    continue
+                keep.add((key, lo))
+        self.last_wand_stats = {
+            "chunks_total": len(meta), "chunks_pruned": pruned,
+            "theta": theta, "seed_chunks": len(seed)}
+        main_scan = scan_for(keep)
+        if main_scan is None:
+            return self._empty(False).select("doc_id", "score").limit(0)
+        out = (decode_eval(main_scan)
+               .select("doc_id", "score")
+               .orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(k))
+        return out.localCheckpoint()
+
     # ---- evaluation ----
 
     def search_df(self, q: str, k: int = 10, structure_mask=None,
-                  limits: dict | None = None):
-        """Returns a DataFrame (doc_id, score) of the top-k."""
+                  limits: dict | None = None, wand: str = "auto"):
+        """Returns a DataFrame (doc_id, score) of the top-k.
+
+        ``wand``: "auto" applies block-max pruning when the query shape
+        allows it and the index is big enough; "force" always tries;
+        "off" always takes the exhaustive path.
+        """
         from pyspark.sql import functions as F
 
         node = parse_query(q, self.cfg)
+        if structure_mask is None and wand in ("auto", "force"):
+            pruned = self._search_wand(node, k, limits,
+                                       force=(wand == "force"))
+            if pruned is not None:
+                return pruned
         decoded = self._decoded(node, structure_mask)
         if decoded is not None:
             decoded = decoded.persist()
@@ -234,7 +493,7 @@ class SparkQueryEngine:
         try:
             result = self._eval(node, decoded, dfs, stats)
             if limits:
-                docs = self.handle.docs()
+                docs = self.handle.live_docs()
                 cond = None
                 for prop, (lo, hi) in limits.items():
                     c = F.col(prop).between(lo, hi)
@@ -277,7 +536,7 @@ class SparkQueryEngine:
         try:
             result = self._eval(node, decoded, dfs, stats)
             if limits:
-                docs = self.handle.docs()
+                docs = self.handle.live_docs()
                 cond = None
                 for prop, (lo, hi) in limits.items():
                     c = F.col(prop).between(lo, hi)
@@ -363,7 +622,7 @@ class SparkQueryEngine:
             return left.join(right.select("doc_id"), "doc_id", "left_anti")
         if isinstance(node, Not):
             child = self._eval(node.child, decoded, dfs, stats)
-            return (self.handle.docs().select("doc_id")
+            return (self.handle.live_docs().select("doc_id")
                     .join(child.select("doc_id"), "doc_id", "left_anti")
                     .select("doc_id", F.lit(1000.0).alias("score"),
                             F.lit(None).cast("array<int>")

@@ -1,0 +1,181 @@
+"""Result surface — sorting, pagination, property columns, and output
+formatting (SURVEY.md §2.8).
+
+Reference surface:
+- ``-s p1 asc p2 desc`` multi-key property sort with rank special-cased
+  (init_sort_propIDs /root/reference/src/search.c:487-587,
+  compare_results_single_index /root/reference/src/result_sort.c:67-133),
+- ``-b``/``-m`` begin offset + max hits
+  (/root/reference/src/swish.c:1150-1166),
+- ``-p`` extra property columns, ``-d`` delimiter
+  (/root/reference/src/swish.c:1197-1220),
+- ``-x`` extended format: %r rank, %p path, %t title, %l size, %d
+  description, %c reccount, plus ``<propname>`` property interpolation
+  and ``\\n``/``\\t`` escapes (printTagAbbrevControl
+  /root/reference/src/result_output.c:505-563, parsePropertyResultControl
+  576-646),
+- ``-k c`` keyword dump (OutputKeyChar
+  /root/reference/src/keychar_out.c:63),
+- ``-T``/``-H`` header introspection (/root/reference/src/dump.c,
+  header_map /root/reference/src/headers.c:65-91).
+
+Spark mapping: ranked results join the docs table for properties
+(broadcast — a top-k result is tiny against the docs dim), property
+sort is a native orderBy, and pagination is offset slicing of the
+collected top page. A missing property sorts BEFORE present ones
+(/root/reference/src/docprop.c:1139-1147) — Spark's default
+``asc_nulls_first`` matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+PROP_COLS = ["url", "title", "size", "warc_ts", "description", "lang",
+             "doc_len"]
+
+# %x abbreviations (/root/reference/src/result_output.c:505-563)
+_TAG_MAP = {
+    "r": "rank", "p": "url", "t": "title", "l": "size",
+    "d": "description", "c": "reccount", "I": "doc_id", "%": "%",
+}
+
+
+def ranked_results(engine, q: str, k: int = 10, props=None,
+                   sort=None, begin: int = 0, structure_mask=None,
+                   limits=None):
+    """Top results with property columns.
+
+    ``sort`` = [(prop, 'asc'|'desc'), ...]; 'swishrank' means the BM25
+    score (rank sort special-case, /root/reference/src/search.c:487-587)
+    and 'swishdocpath' the url. ``begin`` is the -b offset (0-based).
+    Returns a list of dicts.
+    """
+    from pyspark.sql import functions as F
+
+    props = list(props) if props else ["url", "title"]
+    sort = list(sort) if sort else [("swishrank", "desc")]
+    rank_only = all(p == "swishrank" for p, _ in sort)
+
+    if rank_only:
+        # fast path: top-(begin+k) by score, then slice
+        result = engine.search_df(q, begin + k, structure_mask, limits)
+    else:
+        result = engine.match_df(q, structure_mask, limits)
+
+    docs = engine.handle.docs()
+    needed = sorted({c for c in props if c in set(PROP_COLS)}
+                    | {_prop_col(p) for p, _ in sort
+                       if _prop_col(p) in set(PROP_COLS)})
+    joined = result.join(
+        F.broadcast(docs.select("doc_id", *needed)) if needed
+        else docs.select("doc_id"), "doc_id", "left")
+
+    order = []
+    for prop, direction in sort:
+        col = F.col("score") if prop == "swishrank" \
+            else F.col(_prop_col(prop))
+        order.append(col.desc() if direction.lower().startswith("d")
+                     else col.asc())
+    order.append(F.col("doc_id").asc())  # total order under ties
+    rows = joined.orderBy(*order).limit(begin + k).collect()[begin:]
+
+    out = []
+    for i, r in enumerate(rows):
+        d = {"doc_id": r["doc_id"], "rank": r["score"],
+             "reccount": begin + i + 1}
+        for p in props:
+            d[p] = r[p] if p in r.__fields__ else None
+        out.append(d)
+    return out
+
+
+def _prop_col(prop: str) -> str:
+    return {"swishdocpath": "url", "swishtitle": "title",
+            "swishdocsize": "size", "swishlastmodified": "warc_ts",
+            "swishdescription": "description",
+            "swishreccount": "reccount"}.get(prop, prop)
+
+
+_FMT_RE = re.compile(r"%(.)|<([A-Za-z_][\w]*)(?:\s+fmt=/([^/]*)/)?>")
+
+
+def format_results(rows: list[dict], fmt: str = '%r %p "%t" %l',
+                   delimiter: str | None = None) -> list[str]:
+    """Render result dicts with a swish-e -x/-d format string
+    (printPropertyResultControl,
+    /root/reference/src/result_output.c:659-777)."""
+    fmt = fmt.replace("\\n", "\n").replace("\\t", "\t")
+    out = []
+    for row in rows:
+        def sub(m):
+            tag, prop, pfmt = m.group(1), m.group(2), m.group(3)
+            if tag is not None:
+                if tag == "%":
+                    return "%"
+                key = _TAG_MAP.get(tag)
+                return _fmt_val(row.get(key) if key else None, None)
+            return _fmt_val(row.get(_prop_col(prop), row.get(prop)),
+                            pfmt)
+
+        line = _FMT_RE.sub(sub, fmt)
+        if delimiter is not None:
+            line = line.replace(" ", delimiter)
+        out.append(line)
+    return out
+
+
+def _fmt_val(v, pfmt) -> str:
+    if v is None:
+        return ""
+    if pfmt:
+        try:
+            if "%" in pfmt and hasattr(v, "strftime"):
+                return v.strftime(pfmt)
+            return pfmt % v
+        except (TypeError, ValueError):
+            return str(v)
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+def keywords(handle, startswith: str = "", field=None, limit: int = 1000):
+    """Sorted word list, optionally restricted to a prefix/field — the
+    -k keyword dump (OutputKeyChar,
+    /root/reference/src/keychar_out.c:63). Reads only the tiny terms
+    summary table."""
+    from pyspark.sql import functions as F
+
+    tdf = handle.terms()
+    if field is not None:
+        tdf = tdf.filter(F.col("field") == field)
+    if startswith:
+        tdf = tdf.filter(F.col("term").startswith(startswith))
+    rows = (tdf.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .orderBy("term").limit(limit).collect())
+    return [(r["term"], r["df"], r["cf"]) for r in rows]
+
+
+def info(handle) -> dict:
+    """Index header introspection — the -T/-H surface
+    (/root/reference/src/dump.c; header_map
+    /root/reference/src/headers.c:65-91)."""
+    meta = handle.meta
+    stats = handle.stats
+    removed = handle.removed()
+    return {
+        "name": handle.out_dir,
+        "doc_count": meta.get("doc_count"),
+        "live_doc_count": stats["n_docs"],
+        "removed_count": int(removed.count()) if removed is not None
+        else 0,
+        "token_count": meta.get("token_count"),
+        "posting_count": meta.get("posting_count"),
+        "avgdl": stats["avgdl"],
+        "n_shards": meta.get("n_shards"),
+        "shard_bases": meta.get("shard_bases", {}),
+        "config": meta.get("config", {}),
+        "merged_from": meta.get("merged_from"),
+    }

@@ -1,0 +1,491 @@
+"""Swish-e-compatible ranking — schemes 0 and 1 (SURVEY.md §2.7).
+
+Scheme 0, structure-weighted TF (getrankDEF,
+/root/reference/src/rank.c:358-497):
+  1. per-posting weight = structure_map[structure]; structure_map = 1 +
+     TITLE +7, HEADER +5, META +3, COMMENTS +1, EMPHASIZED +0
+     (build_struct_map /root/reference/src/rank.c:274-293, constants
+     /root/reference/src/config.h:329-333),
+  2. rank = 1 + sum of weights over the first min(tf, 100) postings
+     (/root/reference/src/rank.c:413-426), clamped >= 1,
+  3. log-scaled: round(ln(rank) * 10000) (scale_word_score,
+     /root/reference/src/rank.c:773-785),
+  4. divided by log10(words_in_doc): rank = rank*100 // reduction with
+     reduction = round(log10(dl) * 100) (/root/reference/src/rank.c:475-494).
+
+Scheme 1, IDF/density (getrankIDF, /root/reference/src/rank.c:524-771):
+  - idf = max(1, int(ln(N // df) * 1000))   (integer division inside the
+    log as in /root/reference/src/rank.c:609-619),
+  - density = max(1, ((avg_words*1000) // dl) * tf) with
+    avg_words = total_positions // N (/root/reference/src/rank.c:638-700),
+  - word_weight = density * idf // 100,
+  - rank = 1 + sum over the first tf postings of
+    word_weight * structure_map[s_i] (/root/reference/src/rank.c:713-726),
+    clamped >= 1, then scale_word_score.
+
+Combination across operators (/root/reference/src/search.c):
+  AND / NEAR: running average weighted by andLevel —
+    new = (r1*level + r2) // (level+1) (src/search.c:1209-1272, 2249-2321)
+  OR:     r1 + r2                     (src/search.c:2335-2434)
+  NOT:    complement docs rank 1000   (src/search.c:2514-2553)
+  AND-NOT: keep left rank             (src/search.c:2804-2852)
+  PHRASE: pairwise mean (r1+r2)//2    (src/search.c:2561-2637)
+
+Display scaling: scale = 1000/bigrank, shown = clamp(rank*scale, 1,
+1000), >=999 -> 1000 (/root/reference/src/result_sort.c:454-482).
+
+Divergence note: the reference quantizes ln/log10 through 1000-entry
+integer lookup tables (/root/reference/src/rank.c:37-244); this module
+computes the same quantities with float log + round. The committed
+pure-Python oracle below is the normative scorer for rank-identity
+tests; the Spark engine calls the very same scalar functions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..textproc.extractor import (
+    IN_COMMENTS,
+    IN_EMPHASIZED,
+    IN_HEADER,
+    IN_META,
+    IN_TITLE,
+)
+from .parser import (
+    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+)
+
+# structure bonus constants (/root/reference/src/config.h:329-333)
+RANK_TITLE = 7
+RANK_HEADER = 5
+RANK_META = 3
+RANK_COMMENTS = 1
+RANK_EMPHASIZED = 0
+
+FREQ_CAP = 100  # scheme-0 tf cap (/root/reference/src/rank.c:413-426)
+
+
+def _build_struct_map() -> np.ndarray:
+    """256-entry structure byte -> weight map
+    (build_struct_map, /root/reference/src/rank.c:274-293)."""
+    m = np.ones(256, dtype=np.int64)
+    for s in range(256):
+        w = 1
+        if s & IN_TITLE:
+            w += RANK_TITLE
+        if s & IN_HEADER:
+            w += RANK_HEADER
+        if s & IN_META:
+            w += RANK_META
+        if s & IN_COMMENTS:
+            w += RANK_COMMENTS
+        if s & IN_EMPHASIZED:
+            w += RANK_EMPHASIZED
+        m[s] = w
+    return m
+
+
+STRUCT_MAP = _build_struct_map()
+
+
+def scale_word_score(rank: int) -> int:
+    """round(ln(rank)*10000), min 1
+    (/root/reference/src/rank.c:773-785)."""
+    return max(1, int(round(math.log(max(rank, 1)) * 10000)))
+
+
+def scheme0_rank(structs: bytes, dl: int) -> int:
+    """Structure-weighted TF rank for one (doc, term)
+    (getrankDEF, /root/reference/src/rank.c:358-497)."""
+    arr = np.frombuffer(structs[:FREQ_CAP], dtype=np.uint8)
+    rank = 1 + int(STRUCT_MAP[arr].sum())
+    rank = scale_word_score(rank)
+    reduction = max(100, int(round(math.log10(max(dl, 1)) * 100)))
+    return max(1, rank * 100 // reduction)
+
+
+def scheme1_rank(structs: bytes, dl: int, df: int, n_docs: int,
+                 total_positions: int) -> int:
+    """IDF/density rank for one (doc, term)
+    (getrankIDF, /root/reference/src/rank.c:524-771)."""
+    idf = max(1, int(math.log(max(n_docs // max(df, 1), 1)) * 1000))
+    avg_words = max(total_positions // max(n_docs, 1), 1)
+    tf = len(structs)
+    density = max(1, ((avg_words * 1000) // max(dl, 1)) * tf)
+    word_weight = density * idf // 100
+    arr = np.frombuffer(structs, dtype=np.uint8)
+    rank = 1 + int(word_weight * STRUCT_MAP[arr].sum())
+    return scale_word_score(max(rank, 1))
+
+
+def display_scale(ranked: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Scale raw ranks to the 1-1000 display range
+    (/root/reference/src/result_sort.c:454-482)."""
+    if not ranked:
+        return []
+    big = max(r for _, r in ranked)
+    scale = 1000.0 / max(big, 1)
+    out = []
+    for d, r in ranked:
+        shown = int(r * scale)
+        shown = 1000 if shown >= 999 else max(shown, 1)
+        out.append((d, shown))
+    return out
+
+
+# --------------------------------------------------------------------
+# Oracle-side evaluator (normative)
+# --------------------------------------------------------------------
+
+def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
+                       scaled: bool = False):
+    """Evaluate ``q`` over an OracleIndex with swish-compatible ranking.
+    Returns [(doc_id, rank)] ordered (rank desc, doc_id asc)."""
+    node = parse_query(q, oidx.cfg)
+    results = _o_eval(oidx, node, scheme)
+    ranked = sorted(((d, r) for d, (r, _) in results.items()),
+                    key=lambda t: (-t[1], t[0]))[:k]
+    return display_scale(ranked) if scaled else ranked
+
+
+def _o_total_words(oidx) -> int:
+    """Σ doc_len — the TOTALWORDSPERFILE total the reference divides by
+    (setTotalWordsPerFile, /root/reference/src/db_write.c:773); same
+    quantity as the engine manifest's token_count."""
+    cached = getattr(oidx, "_swish_total_words", None)
+    if cached is None:
+        cached = sum(d["doc_len"] for d in oidx.docs.values())
+        oidx._swish_total_words = cached
+    return cached
+
+
+def _o_leaf(oidx, field: str, term: str, scheme: int):
+    slot = oidx.postings.get((field, term))
+    if not slot:
+        return {}
+    df = len(slot)
+    out = {}
+    for doc_id, (positions, structs) in slot.items():
+        dl = oidx.docs[doc_id]["doc_len"]
+        sb = bytes(structs)
+        if scheme == 0:
+            r = scheme0_rank(sb, dl)
+        else:
+            r = scheme1_rank(sb, dl, df, oidx.n_docs,
+                             _o_total_words(oidx))
+        out[doc_id] = (r, list(positions))
+    return out
+
+
+def _o_eval(oidx, node, scheme: int, _level: int = 1):
+    """node -> {doc_id: (rank, positions)} with swish combination."""
+    if isinstance(node, Term):
+        return _o_leaf(oidx, node.field, node.term, scheme)
+    if isinstance(node, Prefix):
+        out: dict = {}
+        for (f, t) in oidx._vocab:
+            if f == node.field and t.startswith(node.prefix):
+                for d, (r, p) in _o_leaf(oidx, f, t, scheme).items():
+                    if d in out:
+                        out[d] = (out[d][0] + r, sorted(out[d][1] + p))
+                    else:
+                        out[d] = (r, p)
+        return out
+    if isinstance(node, Phrase):
+        return _o_phrase(oidx, node, scheme)
+    if isinstance(node, (And, Near)):
+        left = _o_eval(oidx, node.left, scheme, _level)
+        right = _o_eval(oidx, node.right, scheme, 1)
+        level = _and_level(node.left)
+        out = {}
+        for d in left.keys() & right.keys():
+            if isinstance(node, Near) and not _near_ok(
+                    left[d][1], right[d][1], node.distance):
+                continue
+            r = (left[d][0] * level + right[d][0]) // (level + 1)
+            out[d] = (max(r, 1), sorted(left[d][1] + right[d][1]))
+        return out
+    if isinstance(node, Or):
+        left = _o_eval(oidx, node.left, scheme)
+        right = _o_eval(oidx, node.right, scheme)
+        out = dict(left)
+        for d, (r, p) in right.items():
+            if d in out:
+                out[d] = (out[d][0] + r, sorted(out[d][1] + p))
+            else:
+                out[d] = (r, p)
+        return out
+    if isinstance(node, AndNot):
+        left = _o_eval(oidx, node.left, scheme)
+        right = _o_eval(oidx, node.right, scheme)
+        return {d: v for d, v in left.items() if d not in right}
+    if isinstance(node, Not):
+        child = _o_eval(oidx, node.child, scheme)
+        return {d: (1000, []) for d in oidx.docs if d not in child}
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _and_level(left_node) -> int:
+    """Depth of the left AND spine (andLevel,
+    /root/reference/src/search.c:1209-1272)."""
+    lvl = 1
+    n = left_node
+    while isinstance(n, (And, Near)):
+        lvl += 1
+        n = n.left
+    return lvl
+
+
+def _near_ok(lpos, rpos, d):
+    i = j = 0
+    while i < len(lpos) and j < len(rpos):
+        diff = lpos[i] - rpos[j]
+        if abs(diff) <= d:
+            return True
+        if diff < 0:
+            i += 1
+        else:
+            j += 1
+    return False
+
+
+def _o_phrase(oidx, node: Phrase, scheme: int):
+    """Phrase with pairwise-mean rank chain
+    ((r1+r2)//2, /root/reference/src/search.c:2561-2637)."""
+    seq = [(i, t) for i, t in enumerate(node.terms) if t is not None]
+    leaves = [_o_leaf(oidx, node.field, t, scheme) for _, t in seq]
+    if not leaves or any(not e for e in leaves):
+        return {}
+    common = set(leaves[0])
+    for e in leaves[1:]:
+        common &= e.keys()
+    off0 = seq[0][0]
+    out = {}
+    for d in common:
+        possets = [set(leaves[j][d][1]) for j in range(len(seq))]
+        ok = any(all(p - off0 + off in possets[j]
+                     for j, (off, _) in enumerate(seq))
+                 for p in leaves[0][d][1])
+        if not ok:
+            continue
+        rank = leaves[0][d][0]
+        allpos = list(leaves[0][d][1])
+        for j in range(1, len(seq)):
+            rank = (rank + leaves[j][d][0]) // 2
+            allpos.extend(leaves[j][d][1])
+        out[d] = (max(rank, 1), sorted(allpos))
+    return out
+
+
+# --------------------------------------------------------------------
+# Spark-side evaluator
+# --------------------------------------------------------------------
+
+RANKED_SCHEMA = "doc_id long, rank long, positions array<int>"
+
+
+def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
+                       scaled: bool = False):
+    """Swish-compatible ranked top-k over the Spark engine's segments.
+    Calls the SAME scalar rank functions as the oracle evaluator; only
+    the execution is distributed. Returns [(doc_id, rank)]."""
+    node = parse_query(q, engine.cfg)
+    decoded = engine._decoded(node, None, need_structs=True)
+    if decoded is None:
+        return []
+    decoded = decoded.persist()
+    try:
+        dfs = engine._term_stats(node, decoded, None)
+        stats = engine.handle.stats
+        total_positions = engine.handle.meta.get("token_count", 0)
+        result = _s_eval(engine, node, decoded, dfs, stats,
+                         total_positions, scheme)
+        from pyspark.sql import functions as F
+
+        rows = (result.select("doc_id", "rank")
+                .orderBy(F.desc("rank"), F.asc("doc_id"))
+                .limit(k).collect())
+        ranked = [(r["doc_id"], r["rank"]) for r in rows]
+        return display_scale(ranked) if scaled else ranked
+    finally:
+        decoded.unpersist()
+
+
+def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
+            scheme):
+    from pyspark.sql import functions as F
+
+    df = dfs.get((field, term), 0)
+    if df == 0:
+        return engine.spark.createDataFrame([], RANKED_SCHEMA)
+    n_docs = stats["n_docs"]
+    sub = decoded.filter((F.col("field") == field)
+                         & (F.col("term") == term))
+
+    def rank_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ranks = []
+            for structs, dl in zip(pdf["structs"], pdf["dl"]):
+                sb = bytes(structs)
+                if scheme == 0:
+                    ranks.append(scheme0_rank(sb, int(dl)))
+                else:
+                    ranks.append(scheme1_rank(sb, int(dl), df, n_docs,
+                                              total_positions))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rank": ranks,
+                                "positions": pdf["positions"]})
+
+    return sub.mapInPandas(rank_kernel, schema=RANKED_SCHEMA)
+
+
+def _s_eval(engine, node, decoded, dfs, stats, total_positions, scheme,
+            _level: int = 1):
+    from pyspark.sql import functions as F
+
+    def rec(n, lvl=1):
+        return _s_eval(engine, n, decoded, dfs, stats, total_positions,
+                       scheme, lvl)
+
+    if isinstance(node, Term):
+        return _s_leaf(engine, decoded, node.field, node.term, dfs,
+                       stats, total_positions, scheme)
+    if isinstance(node, Prefix):
+        matching = sorted((f, t) for (f, t) in dfs
+                          if f == node.field
+                          and t.startswith(node.prefix))
+        if not matching:
+            return engine.spark.createDataFrame([], RANKED_SCHEMA)
+        u = None
+        for f, t in matching:
+            leaf = _s_leaf(engine, decoded, f, t, dfs, stats,
+                           total_positions, scheme)
+            u = leaf if u is None else u.unionByName(leaf)
+        return (u.groupBy("doc_id")
+                .agg(F.sum("rank").alias("rank"),
+                     F.array_sort(F.flatten(F.collect_list("positions")))
+                     .alias("positions")))
+    if isinstance(node, (And, Near)):
+        left = rec(node.left, _level)
+        right = rec(node.right, 1)
+        level = _and_level(node.left)
+        joined = (left.select("doc_id", F.col("rank").alias("rl"),
+                              F.col("positions").alias("pl"))
+                  .join(right.select("doc_id",
+                                     F.col("rank").alias("rr"),
+                                     F.col("positions").alias("pr")),
+                        "doc_id"))
+        if isinstance(node, Near):
+            d = node.distance
+
+            def near_kernel(batches):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    keep, merged = [], []
+                    for row in pdf.itertuples(index=False):
+                        lp = sorted(row.pl if row.pl is not None else [])
+                        rp = sorted(row.pr if row.pr is not None else [])
+                        ok = _near_ok(lp, rp, d)
+                        keep.append(ok)
+                        merged.append(
+                            np.sort(np.concatenate(
+                                [np.asarray(lp, "int32"),
+                                 np.asarray(rp, "int32")]))
+                            if ok else None)
+                    sub = pdf[pd.Series(keep, index=pdf.index)]
+                    if len(sub):
+                        rank = (sub["rl"] * level + sub["rr"]) \
+                            // (level + 1)
+                        yield pd.DataFrame({
+                            "doc_id": sub["doc_id"],
+                            "rank": rank.clip(lower=1),
+                            "positions": [m for m, kq in
+                                          zip(merged, keep) if kq]})
+
+            return joined.mapInPandas(near_kernel, schema=RANKED_SCHEMA)
+        return joined.select(
+            "doc_id",
+            F.greatest((F.col("rl") * level + F.col("rr"))
+                       .cast("long") / F.lit(level + 1),
+                       F.lit(1)).cast("long").alias("rank"),
+            F.array_sort(F.concat(
+                F.coalesce(F.col("pl"), F.array().cast("array<int>")),
+                F.coalesce(F.col("pr"), F.array().cast("array<int>"))))
+            .alias("positions"))
+    if isinstance(node, Or):
+        left = rec(node.left)
+        right = rec(node.right)
+        return (left.unionByName(right).groupBy("doc_id")
+                .agg(F.sum("rank").alias("rank"),
+                     F.array_sort(F.flatten(F.collect_list("positions")))
+                     .alias("positions")))
+    if isinstance(node, AndNot):
+        left = rec(node.left)
+        right = rec(node.right)
+        return left.join(right.select("doc_id"), "doc_id", "left_anti")
+    if isinstance(node, Not):
+        child = rec(node.child)
+        return (engine.handle.live_docs().select("doc_id")
+                .join(child.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(1000).cast("long").alias("rank"),
+                        F.lit(None).cast("array<int>")
+                        .alias("positions")))
+    if isinstance(node, Phrase):
+        return _s_phrase(engine, node, decoded, dfs, stats,
+                         total_positions, scheme)
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _s_phrase(engine, node: Phrase, decoded, dfs, stats,
+              total_positions, scheme):
+    from pyspark.sql import functions as F
+
+    seq = [(i, t) for i, t in enumerate(node.terms) if t is not None]
+    leaves = []
+    for j, (off, term) in enumerate(seq):
+        if dfs.get((node.field, term), 0) == 0:
+            return engine.spark.createDataFrame([], RANKED_SCHEMA)
+        leaf = _s_leaf(engine, decoded, node.field, term, dfs, stats,
+                       total_positions, scheme)
+        leaves.append(leaf.select(
+            "doc_id", F.col("rank").alias(f"r{j}"),
+            F.col("positions").alias(f"p{j}")))
+    joined = leaves[0]
+    for nxt in leaves[1:]:
+        joined = joined.join(nxt, "doc_id")
+    offsets = [off for off, _ in seq]
+    nterms = len(seq)
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                psets = [set(getattr(row, f"p{j}"))
+                         for j in range(nterms)]
+                ok = any(all(p - offsets[0] + offsets[j] in psets[j]
+                             for j in range(nterms))
+                         for p in getattr(row, "p0"))
+                if not ok:
+                    continue
+                rank = getattr(row, "r0")
+                allpos = list(getattr(row, "p0"))
+                for j in range(1, nterms):
+                    rank = (rank + getattr(row, f"r{j}")) // 2
+                    allpos.extend(getattr(row, f"p{j}"))
+                out_rows.append((row.doc_id, max(int(rank), 1),
+                                 np.sort(np.asarray(allpos, "int32"))))
+            if out_rows:
+                yield pd.DataFrame(out_rows,
+                                   columns=["doc_id", "rank",
+                                            "positions"])
+
+    return joined.mapInPandas(check, schema=RANKED_SCHEMA)
