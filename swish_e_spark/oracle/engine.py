@@ -24,7 +24,8 @@ from bisect import bisect_left
 
 from ..codec.postings import B, K1
 from ..query.parser import (
-    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+    And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
+    parse_query,
 )
 from ..textproc.extractor import DEFAULT_FIELD, extract
 from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
@@ -135,6 +136,31 @@ class OracleIndex:
                         out[doc_id] = (s0 + sc, sorted(p0 + pos))
                     else:
                         out[doc_id] = (sc, pos)
+                i += 1
+            return out
+        if isinstance(node, Pattern):
+            # sorted-word scan bounded by the literal prefix, candidates
+            # post-filtered against the pattern
+            # (/root/reference/src/search.c:1662-1728)
+            import re as _re
+
+            rx = _re.compile(node.regex())
+            pre = node.literal_prefix()
+            lo = bisect_left(self._vocab, (node.field, pre))
+            out = {}
+            i = lo
+            while i < len(self._vocab):
+                f, t = self._vocab[i]
+                if f != node.field or not t.startswith(pre):
+                    break
+                if rx.fullmatch(t):
+                    for doc_id, (sc, pos) in self._score_term(
+                            self._term_entries(f, t, mask)).items():
+                        if doc_id in out:
+                            s0, p0 = out[doc_id]
+                            out[doc_id] = (s0 + sc, sorted(p0 + pos))
+                        else:
+                            out[doc_id] = (sc, pos)
                 i += 1
             return out
         if isinstance(node, Phrase):

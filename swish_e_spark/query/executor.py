@@ -47,7 +47,8 @@ from ..codec.postings import B, K1
 from ..index.builder import IndexHandle, term_bucket
 from ..oracle.engine import bm25_idf
 from .parser import (
-    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+    And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
+    parse_query,
 )
 
 DECODED_SCHEMA = ("field string, term string, doc_id long, tf long, "
@@ -211,16 +212,66 @@ class SparkQueryEngine:
         self._prefix_cache[key] = result
         return result
 
+    def _expand_pattern(self, pat):
+        """Expand an in-word wildcard against the terms table: literal-
+        prefix range narrowing + anchored regex post-filter
+        (/root/reference/src/search.c:1662-1728)."""
+        from pyspark.sql import functions as F
+
+        key = ("pattern", pat.field, pat.pattern)
+        if key in self._prefix_cache:
+            return self._prefix_cache[key]
+        result = None
+        try:
+            tdf = self.handle.terms()
+        except Exception:
+            tdf = None
+        if tdf is not None:
+            cond = (F.col("field") == pat.field) \
+                & F.col("term").rlike("^" + pat.regex() + "$")
+            pre = pat.literal_prefix()
+            if pre:
+                cond = cond & F.col("term").startswith(pre)
+            rows = (tdf.filter(cond).select("term_bucket", "term")
+                    .distinct().limit(self.PREFIX_EXPAND_CAP + 1)
+                    .collect())
+            if len(rows) <= self.PREFIX_EXPAND_CAP:
+                by_bucket: dict = {}
+                for r in rows:
+                    by_bucket.setdefault(r["term_bucket"], []).append(
+                        r["term"])
+                result = by_bucket
+        self._prefix_cache[key] = result
+        return result
+
     def _segment_scan(self, node):
         """Partition-pruned scan of chunk rows for all query leaves."""
         from pyspark.sql import functions as F
 
-        from .parser import collect_prefixes, collect_terms
+        from .parser import (
+            collect_patterns, collect_prefixes, collect_terms,
+        )
 
         terms = set(collect_terms(node))
         prefixes = set(collect_prefixes(node))
+        patterns = collect_patterns(node)
         seg = self.handle.segments()
         conds = []
+        for pat in patterns:
+            expanded = self._expand_pattern(pat)
+            if expanded is None:  # too many matches: range + regex scan
+                c = (F.col("field") == pat.field) \
+                    & F.col("term").rlike("^" + pat.regex() + "$")
+                pre = pat.literal_prefix()
+                if pre:
+                    c = c & F.col("term").startswith(pre)
+                conds.append(c)
+            else:
+                conds.extend(
+                    (F.col("term_bucket") == b)
+                    & F.col("term").isin(ts)
+                    & (F.col("field") == pat.field)
+                    for b, ts in expanded.items())
         for field, term in terms:
             conds.append(
                 (F.col("term_bucket") == term_bucket(term, self.n_buckets))
@@ -580,9 +631,17 @@ class SparkQueryEngine:
         if isinstance(node, Term):
             return self._leaf_term(decoded, node.field, node.term, dfs,
                                    stats, _needs_positions(node) or True)
-        if isinstance(node, Prefix):
-            matching = [(f, t) for (f, t) in dfs
-                        if f == node.field and t.startswith(node.prefix)]
+        if isinstance(node, (Prefix, Pattern)):
+            if isinstance(node, Prefix):
+                matching = [(f, t) for (f, t) in dfs
+                            if f == node.field
+                            and t.startswith(node.prefix)]
+            else:
+                import re as _re
+
+                rx = _re.compile(node.regex())
+                matching = [(f, t) for (f, t) in dfs
+                            if f == node.field and rx.fullmatch(t)]
             if not matching:
                 return self._empty()
             parts = [self._leaf_term(decoded, f, t, dfs, stats, True)

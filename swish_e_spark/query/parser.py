@@ -62,6 +62,28 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Pattern:
+    """In-word wildcard: ``?`` matches one char, ``*`` any run —
+    candidate words post-filtered against the pattern during the
+    sorted-word scan (/root/reference/src/search.c:1662-1728)."""
+    field: str
+    pattern: str
+
+    def regex(self) -> str:
+        import re as _re
+
+        return "".join(
+            "." if c == "?" else ".*" if c == "*" else _re.escape(c)
+            for c in self.pattern)
+
+    def literal_prefix(self) -> str:
+        for i, c in enumerate(self.pattern):
+            if c in "?*":
+                return self.pattern[:i]
+        return self.pattern
+
+
+@dataclass(frozen=True)
 class Phrase:
     field: str
     terms: tuple  # tuple of str-or-None (None = stopword gap)
@@ -223,6 +245,20 @@ class _Parser:
             return Phrase(field, tuple(words))
         if tok.startswith("*") or tok.startswith("?"):
             raise QueryError(f"leading wildcard not allowed: {tok!r}")
+        if "?" in tok or "*" in tok[:-1]:
+            # in-word wildcard: normalize literal chars through the same
+            # lowercase+translate stages, keep ?/* verbatim; wildcard
+            # words bypass stemming/stopwords like the reference's
+            # sorted-word scan (/root/reference/src/search.c:1662-1728)
+            from ..textproc.tokenizer import DEFAULT_TRANSLATE
+
+            trans = (self.cfg.translate if self.cfg.translate is not None
+                     else DEFAULT_TRANSLATE)
+            pat = tok.lower().translate(trans)
+            if not re.fullmatch(r"[a-z0-9?*]+", pat):
+                raise QueryError(f"bad wildcard token: {tok!r}")
+            self.kept_terms += 1
+            return Pattern(field, pat)
         wildcard = tok.endswith("*")
         body = tok[:-1] if wildcard else tok
         words = [w for w in tokenize_query_text(body, self.cfg)]
@@ -286,6 +322,22 @@ def collect_prefixes(node):
     def walk(n):
         if isinstance(n, Prefix):
             out.append((n.field, n.prefix))
+        elif isinstance(n, (And, Or, AndNot, Near)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Not):
+            walk(n.child)
+
+    walk(node)
+    return out
+
+
+def collect_patterns(node):
+    out = []
+
+    def walk(n):
+        if isinstance(n, Pattern):
+            out.append(n)
         elif isinstance(n, (And, Or, AndNot, Near)):
             walk(n.left)
             walk(n.right)

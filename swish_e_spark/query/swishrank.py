@@ -55,8 +55,19 @@ from ..textproc.extractor import (
     IN_TITLE,
 )
 from .parser import (
-    And, AndNot, Near, Not, Or, Phrase, Prefix, Term, parse_query,
+    And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
+    parse_query,
 )
+
+
+def _leaf_matcher(node):
+    """Prefix/Pattern → predicate over (field, term)."""
+    if isinstance(node, Prefix):
+        return lambda f, t: f == node.field and t.startswith(node.prefix)
+    import re as _re
+
+    rx = _re.compile(node.regex())
+    return lambda f, t: f == node.field and rx.fullmatch(t) is not None
 
 # structure bonus constants (/root/reference/src/config.h:329-333)
 RANK_TITLE = 7
@@ -184,10 +195,11 @@ def _o_eval(oidx, node, scheme: int, _level: int = 1):
     """node -> {doc_id: (rank, positions)} with swish combination."""
     if isinstance(node, Term):
         return _o_leaf(oidx, node.field, node.term, scheme)
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Pattern)):
+        match = _leaf_matcher(node)
         out: dict = {}
         for (f, t) in oidx._vocab:
-            if f == node.field and t.startswith(node.prefix):
+            if match(f, t):
                 for d, (r, p) in _o_leaf(oidx, f, t, scheme).items():
                     if d in out:
                         out[d] = (out[d][0] + r, sorted(out[d][1] + p))
@@ -354,10 +366,9 @@ def _s_eval(engine, node, decoded, dfs, stats, total_positions, scheme,
     if isinstance(node, Term):
         return _s_leaf(engine, decoded, node.field, node.term, dfs,
                        stats, total_positions, scheme)
-    if isinstance(node, Prefix):
-        matching = sorted((f, t) for (f, t) in dfs
-                          if f == node.field
-                          and t.startswith(node.prefix))
+    if isinstance(node, (Prefix, Pattern)):
+        match = _leaf_matcher(node)
+        matching = sorted((f, t) for (f, t) in dfs if match(f, t))
         if not matching:
             return engine.spark.createDataFrame([], RANKED_SCHEMA)
         u = None

@@ -1,0 +1,101 @@
+"""In-word ? wildcard (Pattern), multi-index tape merge, alt syntax."""
+
+import pytest
+
+from swish_e_spark.index.builder import (
+    IndexConfig, IndexHandle, build_index, generate_pages_df,
+)
+from swish_e_spark.query.executor import SparkQueryEngine
+from swish_e_spark.query.multi import alt_to_boolean, search_multi
+from swish_e_spark.query.parser import Pattern, QueryError, parse_query
+
+CFG = dict(n_buckets=8, buzzwords=("c++",), chunk_docs=64,
+           salt_threshold=32, flush_docs=50)
+
+
+class TestPattern:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("pattern"))
+        pages = generate_pages_df(spark, 300, partitions=6)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        return SparkQueryEngine(spark, IndexHandle(spark, out))
+
+    def test_parse(self):
+        node = parse_query("p?gs")
+        assert isinstance(node, Pattern)
+        assert node.pattern == "p?gs"
+        assert node.regex() == "p.gs"
+        assert node.literal_prefix() == "p"
+        mid_star = parse_query("pi*s")
+        assert isinstance(mid_star, Pattern)
+        with pytest.raises(QueryError):
+            parse_query("?pigs")
+
+    @pytest.mark.parametrize("q", ["p?gs", "wol?", "pi*s",
+                                   "meta1=metatest?", "p?g* AND wolf"])
+    def test_rank_identity(self, q, engine, oracle300):
+        got = engine.search(q, k=10)
+        want = oracle300.query(q, k=10)
+        assert len(got) == len(want)
+        for (ed, es), (od, osc) in zip(got, want):
+            assert ed == od
+            assert es == pytest.approx(osc, rel=1e-6)
+
+    def test_pattern_matches_terms(self, engine, oracle300):
+        # sanity: p?gs expands to at least "pigs"
+        got = engine.search("p?gs", k=10)
+        assert got
+        assert [d for d, _ in got] == \
+            [d for d, _ in oracle300.query("p?gs", k=10)]
+
+
+class TestMultiIndexAndAlt:
+    @pytest.fixture(scope="class")
+    def engines(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        base = tmp_path_factory.mktemp("multi")
+        pages = generate_pages_df(spark, 300, partitions=6)
+        urls = sorted(r.url for r in pages.select("url").collect())
+        out = []
+        for i, (lo, hi) in enumerate([(None, urls[150]),
+                                      (urls[150], None)]):
+            d = str(base / f"i{i}")
+            sub = pages
+            if lo:
+                sub = sub.filter(F.col("url") >= lo)
+            if hi:
+                sub = sub.filter(F.col("url") < hi)
+            build_index(spark, sub, d, IndexConfig(**CFG), n_shards=1)
+            out.append(SparkQueryEngine(spark, IndexHandle(spark, d)))
+        return out
+
+    def test_tape_merge(self, engines):
+        merged = search_multi(engines, "pigs", k=10)
+        assert len(merged) == 10
+        scores = [s for _, _, s in merged]
+        assert scores == sorted(scores, reverse=True)
+        # every merged row exists in its source engine's own top-10
+        per = [dict(e.search("pigs", k=10)) for e in engines]
+        for i, d, s in merged:
+            assert per[i][d] == pytest.approx(s)
+        # the merge is exactly the k best of the union
+        union = sorted(((s, i, d) for i, p in enumerate(per)
+                        for d, s in p.items()),
+                       key=lambda t: (-t[0], t[1], t[2]))[:10]
+        assert [(i, d, pytest.approx(s)) for s, i, d in union] == \
+            [(i, d, pytest.approx(s)) for i, d, s in merged]
+
+    def test_alt_syntax(self):
+        assert alt_to_boolean("+pigs -wolf sugar") == \
+            "(pigs) AND (sugar) NOT wolf"
+        assert alt_to_boolean("pigs wolf") == "(pigs OR wolf)"
+        assert alt_to_boolean("+a +b") == "(a AND b)"
+        assert alt_to_boolean("-bad") == "NOT bad"
+
+    def test_alt_end_to_end(self, engines):
+        q = alt_to_boolean("+pigs -wolf sugar")
+        r1 = engines[0].search(q, k=5)
+        r2 = engines[0].search("(pigs) AND (sugar) NOT wolf", k=5)
+        assert r1 == r2
