@@ -44,7 +44,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName("swish-scaling")
          .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
          .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "48g")
+         .config("spark.driver.memory", "16g")
          .config("spark.driver.extraJavaOptions",
                  f"-XX:ActiveProcessorCount={{cpus}}")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -82,7 +82,7 @@ def run_at(cpus: int, pages_path: str) -> dict:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     n_hi = n_lo * mult
@@ -92,7 +92,7 @@ def main():
 import sys; sys.path.insert(0, {REPO!r})
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[32]")
-         .config("spark.driver.memory", "48g")
+         .config("spark.driver.memory", "16g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from swish_e_spark.index.builder import generate_pages_df

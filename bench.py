@@ -57,7 +57,7 @@ def main():
              .appName("swish-e-spark-bench")
              .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
              .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.driver.memory", "48g")
+             .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

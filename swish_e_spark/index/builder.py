@@ -318,7 +318,13 @@ def _merge_chunks_iter(batches, cfg: IndexConfig):
 
 def _plan_partitions(df, cfg: IndexConfig, n_shards: int = 1) -> int:
     """Extract-stage partition count from input bytes (driver-side file
-    metadata, no job). Falls back to a count() for non-file sources."""
+    metadata, no job). Falls back to a count() for non-file sources.
+
+    The data term dominates at scale (100 TB ⇒ tens of thousands of
+    partitions); the defaultParallelism floor only engages when the
+    input is small relative to the cluster, so one tiny corpus still
+    saturates every core while the same big input yields the same plan
+    shape at any core count."""
     total = 0
     try:
         for uri in df.inputFiles():
@@ -331,7 +337,8 @@ def _plan_partitions(df, cfg: IndexConfig, n_shards: int = 1) -> int:
         rows = df.count()
         total = rows * 850  # ≈ compressed bytes/doc of web pages
     raw = total / max(n_shards, 1) / max(cfg.bytes_per_partition, 1)
-    return int(min(32768, max(8, round(raw / 8) * 8)))
+    floor = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    return int(min(32768, max(floor, round(raw / 8) * 8)))
 
 
 def _manifest_dir(out_dir):
@@ -430,7 +437,6 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
                  shard_id: int, doc_base: int,
                  n_parts: int | None = None):
     from pyspark.sql import functions as F
-    from pyspark.storagelevel import StorageLevel
 
     t0 = time.time()
     prof = os.environ.get("SWISH_PROFILE")
@@ -450,19 +456,24 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
         n_parts = _plan_partitions(shard_df, cfg)
     mark("plan_parts")
 
-    # single extraction pass: doc rows + locally-packed chunks, compact
+    # single extraction pass: doc rows + locally-packed chunks, staged
+    # to parquet (columnar checkpoint). Downstream jobs (stats, docs,
+    # chunks) re-read it with column pruning and vectorized scans —
+    # measurably faster and far more stable than block-manager caching
+    # at high core counts, and the natural shape at 100 TB (the staging
+    # write is the recovery point of the shard).
     sorted_pages = (shard_df
                     .repartitionByRange(n_parts, "url")
                     .sortWithinPartitions("url"))
-    staged = sorted_pages.mapInPandas(
+    stage_tmp = os.path.join(out_dir, f"_tmp_staged_{shard_id}")
+    (sorted_pages.mapInPandas(
         lambda it: _extract_pack_iter(it, cfg), schema=STAGED_SCHEMA)
-    staged.persist(StorageLevel.MEMORY_AND_DISK)
+     .write.mode("overwrite").parquet(stage_tmp))
+    staged = spark.read.parquet(stage_tmp)
 
     # dense doc_id = doc_base + offset[pid] + local_idx, offsets computed
-    # over the persisted output (exact, partitioner-independent)
+    # over the staged output (exact, partitioner-independent)
     mark("plan")
-    # ONE stats job materializes the cache and returns per-partition doc
-    # counts, token totals, and the posting count together
     stat_rows = (staged.groupBy("kind", "pid")
                  .agg(F.count("*").alias("cnt"),
                       F.sum("doc_len").alias("tok"),
@@ -545,6 +556,7 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
                                        f"shard={shard_id}"))
     _commit_dir(seg_tmp,
                 os.path.join(out_dir, "segments", f"shard={shard_id}"))
+    shutil.rmtree(stage_tmp, ignore_errors=True)
     mark("writes")
 
     # terms summary table — the sorted word-list analogue
@@ -563,7 +575,6 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     _commit_dir(terms_tmp,
                 os.path.join(out_dir, "terms", f"shard={shard_id}"))
     mark("terms")
-    staged.unpersist()
     if prof:
         import sys as _sys
         steps = {marks[i][0]: round(marks[i][1] - marks[i-1][1], 2)

@@ -337,7 +337,10 @@ class SparkQueryEngine:
 
     # ---- block-max WAND top-k (north-rule pruning) ----
 
-    WAND_MIN_CHUNKS = 64  # below this, exhaustive decode is cheaper
+    WAND_MIN_CHUNKS = 64   # below this, exhaustive decode is cheaper
+    WAND_MIN_DOCS = 200_000  # auto mode: skip the metadata job outright
+                             # on small indexes (it would always fall
+                             # back); "force" bypasses the gate
 
     def _search_wand(self, node, k: int, limits, force: bool = False):
         """Distributed block-max WAND: prune posting chunks whose score
@@ -369,6 +372,9 @@ class SparkQueryEngine:
 
         if self.handle.removed() is not None:
             return None  # tombstones change df/idf: take the exact path
+        if not force and (self.handle.meta.get("doc_count", 0)
+                          < self.WAND_MIN_DOCS):
+            return None
         leaves = _wand_leaves(node)
         if leaves is None:
             return None
