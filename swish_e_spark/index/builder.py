@@ -76,6 +76,9 @@ class IndexConfig:
     salt_partitions: int = 8     # reducer fan-out for heavy chunks
     salt_threshold: int = 4096   # partial df at/above which salt applies
     stem: bool = False
+    fuzzy: str = ""              # ""/"none"/"porter"/"soundex"
+                                 # (FuzzyIndexingMode,
+                                 #  /root/reference/src/stemmer.c:117-145)
     index_comments: bool = False
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
@@ -92,6 +95,7 @@ class IndexConfig:
 
         return TokenizerConfig(
             stem=self.stem,
+            fuzzy=self.fuzzy,
             buzzwords=frozenset(self.buzzwords),
             stopwords=(DEFAULT_STOPWORDS if self.stopwords is None
                        else frozenset(self.stopwords)),

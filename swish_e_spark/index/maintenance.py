@@ -142,6 +142,40 @@ def _append_removed(spark, index_dir: str, df) -> None:
     df.select("doc_id", "url").write.mode("append").parquet(path)
 
 
+def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
+                       flimit: int = 10_000):
+    """IgnoreLimit auto-stopwords: words occurring in >= plimit percent
+    of files AND in >= flimit files become stopwords post-hoc
+    (getPositionsFromIgnoreLimitWords,
+    /root/reference/src/index.c:1614-1820; defaults OFF — PLIMIT=101,
+    FLIMIT=10000, /root/reference/src/config.h:160-163).
+
+    Spark-first: a METADATA-ONLY pass. The stopped words are recorded in
+    the manifest; the query compiler treats them as stopwords (so they
+    leave positional gaps in phrases — consistent with this engine's
+    index-time stopword semantics, which consume positions; the
+    reference's position renumbering exists only because ITS index-time
+    stopwords consume none). Posting data stays on disk untouched and
+    is dropped at the next compaction. Returns the stopped word list.
+    """
+    from pyspark.sql import functions as F
+
+    handle = IndexHandle(spark, index_dir)
+    n_docs = handle.stats["n_docs"]
+    rows = (handle.terms().groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter((F.col("df") >= flimit)
+                    & (F.col("df") * 100.0 >= plimit * n_docs))
+            .select("term").collect())
+    stopped = sorted(r["term"] for r in rows)
+    meta = _load_meta(index_dir)
+    meta["auto_stopwords"] = sorted(
+        set(meta.get("auto_stopwords", [])) | set(stopped))
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+    return stopped
+
+
 def remove_documents(spark, index_dir: str, urls: list[str]):
     """Tombstone docs by url (-r; deleted-doc filter
     /root/reference/src/search.c:1789). Returns number removed."""

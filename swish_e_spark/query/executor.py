@@ -173,6 +173,15 @@ class SparkQueryEngine:
         self.spark = spark
         self.handle = handle
         self.cfg = handle.cfg.tokenizer_config()
+        auto = handle.meta.get("auto_stopwords")
+        if auto:
+            # IgnoreLimit words stop out at query time
+            # (maintenance.apply_ignore_limit)
+            from dataclasses import replace
+
+            self.cfg = replace(
+                self.cfg,
+                stopwords=self.cfg.stopwords | frozenset(auto))
         self.n_buckets = handle.cfg.n_buckets
         self._prefix_cache: dict = {}
 

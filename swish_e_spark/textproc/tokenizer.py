@@ -57,6 +57,29 @@ class TokenizerConfig:
     min_word_len: int = MIN_WORD_LEN
     max_word_len: int = MAX_WORD_LEN
     translate: dict | None = None  # TranslateCharacters (None = default fold)
+    fuzzy: str = ""  # FuzzyIndexingMode: ""(derive from stem)/"none"/
+                     # "porter"/"soundex" (fuzzy_opts dispatch,
+                     # /root/reference/src/stemmer.c:117-165)
+
+    def fuzzy_fn(self):
+        """The per-token fuzzy transform, or None."""
+        mode = self.fuzzy or ("porter" if self.stem else "none")
+        if mode == "porter":
+            return porter_stem
+        if mode == "soundex":
+            from .soundex import soundex
+
+            return soundex
+        if mode == "none":
+            return None
+        raise ValueError(f"unknown fuzzy mode {mode!r}")
+
+
+def fuzzy_word(word: str, cfg: TokenizerConfig) -> str:
+    """The SwishFuzzyWord API analogue
+    (/root/reference/src/swish-e.h, perl/t/test.t stemming asserts)."""
+    fn = cfg.fuzzy_fn()
+    return fn(word.lower()) if fn else word.lower()
 
 
 @dataclass
@@ -76,9 +99,8 @@ def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
         return None
     if tok in cfg.stopwords:
         return None
-    if cfg.stem:
-        tok = porter_stem(tok)
-    return tok
+    fn = cfg.fuzzy_fn()
+    return fn(tok) if fn else tok
 
 
 def split_words(text: str, cfg: TokenizerConfig):
@@ -102,13 +124,14 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
     None placeholders so phrase matching can keep positional gaps
     (parse_swish_words, /root/reference/src/swish_words.c:296-362)."""
     out = []
+    fn = cfg.fuzzy_fn()
     for tok in split_words(text, cfg):
         if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
             continue
         if tok in cfg.stopwords:
             out.append(None)
             continue
-        out.append(porter_stem(tok) if cfg.stem else tok)
+        out.append(fn(tok) if fn else tok)
     return out
 
 
@@ -129,7 +152,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     postings: dict = {}
     pos = 0
     stop = cfg.stopwords
-    stem = cfg.stem
+    fuzzy_fn = cfg.fuzzy_fn()
     minl, maxl = cfg.min_word_len, cfg.max_word_len
     trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
     buzz = cfg.buzzwords
@@ -151,7 +174,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             pos += 1
             if raw in stop:
                 continue
-            term = porter_stem(raw) if stem else raw
+            term = fuzzy_fn(raw) if fuzzy_fn else raw
             key = (field, term)
             p = get(key)
             if p is None:

@@ -1,0 +1,106 @@
+"""Soundex fuzzy mode and IgnoreLimit auto-stopwords."""
+
+import pandas as pd
+import pytest
+
+from swish_e_spark.datagen.pages import doctype_of_url
+from swish_e_spark.index.builder import (
+    IndexConfig, IndexHandle, build_index, generate_pages_df,
+)
+from swish_e_spark.index.maintenance import apply_ignore_limit
+from swish_e_spark.oracle.engine import OracleIndex
+from swish_e_spark.query.executor import SparkQueryEngine
+from swish_e_spark.textproc.soundex import soundex
+from swish_e_spark.textproc.stopwords import DEFAULT_STOPWORDS
+from swish_e_spark.textproc.tokenizer import TokenizerConfig, fuzzy_word
+
+
+class TestSoundex:
+    @pytest.mark.parametrize("word,code", [
+        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+        ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+        ("Honeyman", "H555"), ("a", "A000"),
+    ])
+    def test_classic_examples(self, word, code):
+        assert soundex(word).upper() == code.upper()
+
+    def test_fuzzy_word_api(self):
+        cfg = TokenizerConfig(fuzzy="soundex")
+        assert fuzzy_word("Robert", cfg) == fuzzy_word("rupert", cfg)
+        cfg_p = TokenizerConfig(stem=True)
+        assert fuzzy_word("running", cfg_p) == fuzzy_word("runs", cfg_p)
+
+    def test_soundex_index_end_to_end(self, spark, tmp_path):
+        rows = [("a0.txt", "robert likes spark"),
+                ("a1.txt", "rupert hates hadoop"),
+                ("a2.txt", "nothing relevant here")]
+        from pyspark.sql import functions as F
+
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path / "sdx")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, fuzzy="soundex",
+                                stopwords=()), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        # "robert" matches both robert and rupert docs (same code R163)
+        hits = {d for d, _ in eng.search("robert", k=10)}
+        assert hits == {0, 1}
+
+        oracle = OracleIndex(TokenizerConfig(fuzzy="soundex",
+                                             stopwords=frozenset()))
+        for url, text in rows:
+            oracle.add(url, text.encode(), doctype="txt")
+        oracle.build()
+        got = eng.search("rupert", k=10)
+        want = oracle.query("rupert", k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, es), (_, osc) in zip(got, want):
+            assert es == pytest.approx(osc, rel=1e-6)
+
+
+class TestIgnoreLimit:
+    def test_auto_stopwords_rank_identity(self, spark, tmp_path,
+                                          corpus300):
+        out = str(tmp_path / "il")
+        pages = generate_pages_df(spark, 300, partitions=6)
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=8, buzzwords=("c++",)),
+                    n_shards=1)
+        stopped = apply_ignore_limit(spark, out, plimit=30, flimit=5)
+        assert stopped  # the synthetic corpus has >30%-df terms
+        assert "common0" in stopped
+
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        # stopped words now behave exactly like index-time stopwords
+        oracle = OracleIndex(TokenizerConfig(
+            buzzwords=frozenset({"c++"}),
+            stopwords=DEFAULT_STOPWORDS | frozenset(stopped)))
+        for r in corpus300:
+            oracle.add(r["url"], r["html"],
+                       doctype=doctype_of_url(r["url"]))
+        oracle.build()
+        for q in ["pigs AND wolf", '"three little pigs"',
+                  "pigs OR sugar"]:
+            got = eng.search(q, k=10)
+            want = oracle.query(q, k=10)
+            assert [d for d, _ in got] == [d for d, _ in want]
+            for (_, es), (_, osc) in zip(got, want):
+                assert es == pytest.approx(osc, rel=1e-6)
+
+    def test_stopped_word_query_raises(self, spark, tmp_path):
+        from swish_e_spark.query.parser import WordsTooCommon
+
+        out = str(tmp_path / "il2")
+        pages = generate_pages_df(spark, 200, partitions=4)
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=8), n_shards=1)
+        stopped = apply_ignore_limit(spark, out, plimit=30, flimit=5)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        with pytest.raises(WordsTooCommon):
+            eng.search(stopped[0], k=5)
