@@ -34,6 +34,7 @@ is the mitigation SURVEY.md §7 prescribes for libxml2 version drift.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -73,11 +74,15 @@ _IGNORE_CONTENT_TAGS = frozenset({"script", "style"})
 DESCRIPTION_MAX = 200  # StoreDescription cap (chars of body text)
 
 
+_NON_LATIN1_RE = re.compile("[^\x00-\xff]")
+
+
 def to_latin1_text(s: str) -> str:
     """Lossy UTF-8/Unicode → Latin-1 text: any char not representable in
     ISO-8859-1 becomes a single space (ENCODE_ERROR_CHAR = ' ',
-    /root/reference/src/config.h:84)."""
-    return "".join(ch if ord(ch) < 256 else " " for ch in s)
+    /root/reference/src/config.h:84). C-speed regex sub — identical
+    output to the per-char form (one space per unconvertible char)."""
+    return _NON_LATIN1_RE.sub(" ", s)
 
 
 @dataclass
