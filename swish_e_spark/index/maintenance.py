@@ -142,6 +142,136 @@ def _append_removed(spark, index_dir: str, df) -> None:
     df.select("doc_id", "url").write.mode("append").parquet(path)
 
 
+def compact_index(spark, index_dir: str):
+    """Heavyweight rewrite (Iceberg RewriteDataFiles analogue): decode
+    every posting chunk, drop tombstoned docs and IgnoreLimit-stopped
+    terms, and repack into one consolidated shard with globally-rebased
+    doc ids. Clears tombstones and shard_bases. Doc ids are preserved
+    (gaps where docs were removed are harmless — ids are identifiers,
+    not offsets), so query results before/after compaction are
+    identical. The reference's merge writes a fully renumbered index
+    (/root/reference/src/merge.c:77-400); at 100 TB an id-preserving
+    rewrite avoids the extra doc-id remap shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..codec.postings import pack_posting_list
+    from ..query.executor import DECODED_SCHEMA, _decode_kernel
+    from .builder import CHUNK_SCHEMA, _CHUNK_COLS, term_bucket
+
+    handle = IndexHandle(spark, index_dir)
+    cfg = handle.cfg
+    meta = dict(handle.meta)
+    stopped = frozenset(meta.get("auto_stopwords", []))
+
+    scan = handle.segments()
+    bases = handle.shard_bases
+    if bases:
+        expr = F.lit(0).cast("long")
+        for sid, b in bases.items():
+            expr = F.when(F.col("shard") == sid,
+                          F.lit(b).cast("long")).otherwise(expr)
+        scan = scan.withColumn("base", expr)
+    decoded = scan.mapInPandas(
+        lambda it: _decode_kernel(it, True, None, True),
+        schema=DECODED_SCHEMA)
+    removed = handle.removed()
+    if removed is not None:
+        decoded = decoded.join(removed.select("doc_id"), "doc_id",
+                               "left_anti")
+    if stopped:
+        decoded = decoded.filter(~F.col("term").isin(list(stopped)))
+
+    n_buckets = cfg.n_buckets
+    chunk_docs = cfg.chunk_docs
+
+    def repack(batches):
+        key = None
+        d, t, p, s, dl = [], [], [], [], []
+        out = []
+
+        def flush():
+            nonlocal d, t, p, s, dl
+            if not d:
+                return
+            packed = pack_posting_list(
+                np.asarray(d, dtype=np.int64),
+                np.asarray(t, dtype=np.int64),
+                np.asarray(p, dtype=np.int64),
+                np.frombuffer(b"".join(s), dtype=np.uint8),
+                np.asarray(dl, dtype=np.int64))
+            out.append((term_bucket(key[0], n_buckets), key[0], key[1],
+                        int(d[0]), int(d[-1]), packed["df"],
+                        packed["cf"], packed["docs_bin"],
+                        packed["tfs_bin"], packed["dls_bin"],
+                        packed["pos_bin"], packed["structs_bin"],
+                        packed["block_doc_lo"], packed["block_doc_hi"],
+                        packed["block_max_tf"], packed["block_min_dl"]))
+            d, t, p, s, dl = [], [], [], [], []
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                k = (row.term, row.field)
+                if k != key or len(d) >= chunk_docs:
+                    flush()
+                    key = k
+                d.append(int(row.doc_id))
+                t.append(int(row.tf))
+                p.extend(int(x) for x in row.positions)
+                s.append(bytes(row.structs))
+                dl.append(int(row.dl))
+            if len(out) >= 256:
+                yield pd.DataFrame(out, columns=_CHUNK_COLS)
+                out = []
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=_CHUNK_COLS)
+
+    n_reduce = max(n_buckets, 8)
+    compacted = (decoded
+                 .repartition(n_reduce, "term")
+                 .sortWithinPartitions("term", "field", "doc_id")
+                 .mapInPandas(repack, schema=CHUNK_SCHEMA))
+
+    seg_tmp = os.path.join(index_dir, "_tmp_compact_segments")
+    compacted.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(seg_tmp)
+    docs_tmp = os.path.join(index_dir, "_tmp_compact_docs")
+    live = handle.live_docs()
+    if "shard" in live.columns:
+        live = live.drop("shard")
+    live.write.mode("overwrite").parquet(docs_tmp)
+
+    terms_tmp = os.path.join(index_dir, "_tmp_compact_terms")
+    (spark.read.parquet(seg_tmp)
+     .groupBy("term_bucket", "term", "field")
+     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(terms_tmp))
+
+    for sub, tmp in (("segments", seg_tmp), ("docs", docs_tmp),
+                     ("terms", terms_tmp)):
+        final_root = os.path.join(index_dir, sub)
+        if os.path.exists(final_root):
+            shutil.rmtree(final_root)
+        os.makedirs(final_root)
+        os.replace(tmp, os.path.join(final_root, "shard=0"))
+    removed_dir = os.path.join(index_dir, "removed")
+    if os.path.isdir(removed_dir):
+        shutil.rmtree(removed_dir)
+
+    live_count = spark.read.parquet(
+        os.path.join(index_dir, "docs")).count()
+    # doc_count stays the doc-id HIGH-WATER mark (update_documents uses
+    # it as the next shard's base); live_doc_count is the survivor count
+    meta.update(n_shards=1, shard_bases={}, live_doc_count=live_count,
+                compacted=True)
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+    return meta
+
+
 def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
                        flimit: int = 10_000):
     """IgnoreLimit auto-stopwords: words occurring in >= plimit percent

@@ -302,3 +302,53 @@ class TestWand:
         # phrase queries take the exact path — results still correct
         r = engine.search('"three little pigs"', k=5)
         assert r
+
+
+class TestCompaction:
+    def test_compact_preserves_results(self, spark, tmp_path,
+                                       corpus300):
+        from swish_e_spark.index.maintenance import (
+            apply_ignore_limit, compact_index, remove_documents,
+            update_documents,
+        )
+
+        out = str(tmp_path / "cmp")
+        pages = generate_pages_df(spark, 300, partitions=6)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=2)
+        victims = sorted(r["url"] for r in corpus300)[:8]
+        remove_documents(spark, out, victims)
+        stopped = apply_ignore_limit(spark, out, plimit=30, flimit=5)
+
+        eng_before = SparkQueryEngine(spark, IndexHandle(spark, out))
+        queries = ["pigs AND wolf", '"three little pigs"',
+                   "pigs OR sugar", "meta1=metatest*"]
+        before = {q: eng_before.search(q, k=10) for q in queries}
+
+        meta = compact_index(spark, out)
+        assert meta["compacted"] and meta["n_shards"] == 1
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.handle.removed() is None
+        for q in queries:
+            after = eng.search(q, k=10)
+            assert len(after) == len(before[q])
+            for (bd, bs), (ad, asc) in zip(before[q], after):
+                assert bd == ad
+                assert asc == pytest.approx(bs, rel=1e-6)
+        # stopped terms' postings are physically gone
+        if stopped:
+            tdf = eng.handle.terms()
+            assert tdf.filter(tdf.term.isin(stopped[:5])).count() == 0
+        # incremental update still works after compaction (id space
+        # high-water mark preserved)
+        from pyspark.sql import functions as F
+
+        urls = sorted(r["url"] for r in corpus300)
+        # re-submit urls 10..15 — live docs (the first 8 were removed)
+        batch = pages.filter((F.col("url") >= urls[10])
+                             & (F.col("url") < urls[15]))
+        res = update_documents(spark, batch, out)
+        assert res["replaced"] >= 1
+        eng2 = SparkQueryEngine(spark, IndexHandle(spark, out))
+        docs = eng2.handle.live_docs()
+        assert docs.count() == docs.select("doc_id").distinct().count()
+        assert docs.count() == docs.select("url").distinct().count()
