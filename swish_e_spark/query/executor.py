@@ -319,6 +319,11 @@ class SparkQueryEngine:
             scan = scan.withColumn("base", expr)
         need_pos = _needs_positions(node)
         mask = structure_mask
+        if not need_pos and mask is None and not need_structs:
+            # TF-only scoring: positions/structures are the BULK of the
+            # index bytes — drop the columns so the parquet scan never
+            # reads them (column pruning through mapInPandas)
+            scan = scan.drop("pos_bin", "structs_bin")
         out = scan.mapInPandas(
             lambda it: _decode_kernel(it, need_pos, mask, need_structs),
             schema=DECODED_SCHEMA)
@@ -480,9 +485,10 @@ class SparkQueryEngine:
                     expr = F.when(F.col("shard") == sid,
                                   F.lit(b2).cast("long")).otherwise(expr)
                 sub_scan = sub_scan.withColumn("base", expr)
-            decoded = sub_scan.mapInPandas(
-                lambda it: _decode_kernel(it, False, None),
-                schema=DECODED_SCHEMA)
+            decoded = (sub_scan.drop("pos_bin", "structs_bin")
+                       .mapInPandas(
+                           lambda it: _decode_kernel(it, False, None),
+                           schema=DECODED_SCHEMA))
             result = self._eval(node, decoded, df_by_leaf, stats)
             if limits:
                 docs = self.handle.live_docs()
