@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,     # rows-only
+        "ann_ivf_topk": similarity.ann_ivf_topk,     # rows-only
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,

@@ -72,6 +72,102 @@ def lsh_buckets(spark, sf_dir, n_planes=N_PLANES, seed=7):
     return emb.select("vec_id", "label", bucket.alias("bucket"))
 
 
+N_CENTROIDS = 16
+KMEANS_ITERS = 8
+
+
+def _train_centroids(vectors: np.ndarray, n_centroids: int,
+                     iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (at 100 TB:
+    a seeded sample of ~100k vectors is plenty for coarse IVF cells;
+    training is O(sample · k · iters) on the driver, assignment is the
+    distributed part)."""
+    rng = np.random.default_rng(seed)
+    n = len(vectors)
+    cents = vectors[rng.choice(n, size=min(n_centroids, n),
+                               replace=False)].astype(np.float64)
+    for _ in range(iters):
+        # cosine assignment ≈ dot on normalized vectors
+        vn = vectors / np.maximum(
+            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            members = vectors[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(spark, sf_dir, n_centroids=N_CENTROIDS,
+               iters=KMEANS_ITERS, seed=7, sample_cap=20_000):
+    """IVF coarse quantizer: (vec_id, cell) assignment table.
+
+    Centroids train on a seeded driver-side sample; assignment runs as
+    one Arrow-batched matmul per partition (numpy, no per-row Python).
+    Returns (assign_df, centroids).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .corpus import embeddings
+
+    emb = embeddings(spark, sf_dir)
+    sample = np.array(
+        [r["embedding"] for r in
+         emb.select("embedding").limit(sample_cap).collect()],
+        dtype=np.float64)
+    cents = _train_centroids(sample, n_centroids, iters, seed)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(cn)
+
+    def assign_kernel(batches):
+        cmat = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(mat @ cmat.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cell.astype(np.int32)})
+
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        assign_kernel, schema="vec_id long, cell int")
+    return assign, cents
+
+
+def ann_ivf_topk(spark, sf_dir, query_vec_id=0, k=10, nprobe=4,
+                 n_centroids=N_CENTROIDS, seed=7):
+    """IVF ANN: probe the nprobe nearest coarse cells, exact-rerank the
+    candidates (the scale path: each query touches nprobe/n_centroids
+    of the corpus; cells are a groupBy key, so at 100 TB the assignment
+    table is bucketed by cell and a probe is a partition-pruned scan)."""
+    from pyspark.sql import functions as F
+
+    from .corpus import embeddings
+
+    assign, cents = ivf_assign(spark, sf_dir, n_centroids, seed=seed)
+    emb = embeddings(spark, sf_dir)
+    q = np.array(emb.filter(F.col("vec_id") == query_vec_id)
+                 .select("embedding").collect()[0][0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    cand = assign.filter(F.col("cell").isin([int(c) for c in probe])) \
+        .select("vec_id")
+    vec_lit = F.array(*[F.lit(float(v)) for v in q])
+    emb_d = emb.join(cand, "vec_id") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return (emb_d.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id",
+                    F.round(_cosine_expr(vec_lit), 4).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
 def ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10,
                  n_planes=N_PLANES, seed=7):
     """ANN: restrict the cosine scan to the query's LSH bucket (plus

@@ -69,6 +69,33 @@ class TestSimilarity:
             pytest.skip("LSH multiprobe missed top-1 on this seed "
                         "(acceptable for ANN; brute-force is the gate)")
 
+    def test_ivf_recall(self, spark):
+        from swish_e_spark.ops.similarity import (
+            ann_ivf_topk, embedding_topk,
+        )
+
+        bf = {r["vec_id"] for r in
+              embedding_topk(spark, SF, query_vec_id=0, k=10).collect()}
+        ann = ann_ivf_topk(spark, SF, query_vec_id=0, k=10,
+                           nprobe=4).collect()
+        ann_ids = [r["vec_id"] for r in ann]
+        sims = [r["cos"] for r in ann]
+        assert sims == sorted(sims, reverse=True)
+        # probing 4/16 cells must recover a good share of the true top-10
+        recall = len(bf & set(ann_ids)) / 10
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+    def test_ivf_assignment_covers_all(self, spark):
+        from swish_e_spark.ops.corpus import embeddings
+        from swish_e_spark.ops.similarity import ivf_assign
+
+        assign, cents = ivf_assign(spark, SF)
+        n = embeddings(spark, SF).count()
+        assert assign.count() == n
+        assert assign.select("vec_id").distinct().count() == n
+        n_cells = assign.select("cell").distinct().count()
+        assert 2 <= n_cells <= len(cents)
+
 
 class TestMultimodal:
     def test_feature_extraction_shape(self, spark):
