@@ -52,6 +52,12 @@ from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
 DOCS_SCHEMA_COLS = ["doc_id", "url", "title", "doc_len", "size",
                     "warc_ts", "description", "lang"]
 
+DOCS_SCHEMA = ("doc_id long, url string, title string, doc_len long, "
+               "size long, warc_ts timestamp, description string, "
+               "lang string")
+
+TERMS_SCHEMA = "term_bucket int, term string, field string, df long, cf long"
+
 CHUNK_SCHEMA = (
     "term_bucket int, term string, field string, doc_lo long, doc_hi long, "
     "df long, cf long, docs_bin binary, tfs_bin binary, dls_bin binary, "
@@ -473,7 +479,9 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     (sorted_pages.mapInPandas(
         lambda it: _extract_pack_iter(it, cfg), schema=STAGED_SCHEMA)
      .write.mode("overwrite").parquet(stage_tmp))
-    staged = spark.read.parquet(stage_tmp)
+    # explicit schema: a shard whose every page is robots-noindex (or an
+    # empty url range) writes zero data files, and inference would fail
+    staged = spark.read.schema(STAGED_SCHEMA).parquet(stage_tmp)
 
     # dense doc_id = doc_base + offset[pid] + local_idx, offsets computed
     # over the staged output (exact, partitioner-independent)
@@ -571,7 +579,7 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
     # full pass over the staged cache.
     terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
     seg_final = os.path.join(out_dir, "segments", f"shard={shard_id}")
-    (spark.read.parquet(seg_final)
+    (spark.read.schema(CHUNK_SCHEMA).parquet(seg_final)
      .groupBy("term_bucket", "term", "field")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .sortWithinPartitions("term")
@@ -618,7 +626,10 @@ class IndexHandle:
         self._stats = None
 
     def docs(self):
-        return self.spark.read.parquet(os.path.join(self.out_dir, "docs"))
+        # explicit schemas throughout: empty shards write no data files
+        # and schema inference would fail on a 0-doc index
+        return (self.spark.read.schema(DOCS_SCHEMA)
+                .parquet(os.path.join(self.out_dir, "docs")))
 
     def removed(self):
         """Tombstoned doc_ids (index/maintenance.py) or None."""
@@ -644,13 +655,16 @@ class IndexHandle:
                 self.meta.get("shard_bases", {}).items()}
 
     def segments(self):
-        return self.spark.read.parquet(
+        # term_bucket resolves from the partition directories; putting
+        # it in the schema keeps the column present even for an empty
+        # index (no term_bucket dirs to discover)
+        return self.spark.read.schema(CHUNK_SCHEMA).parquet(
             os.path.join(self.out_dir, "segments"))
 
     def terms(self):
         """(term_bucket, term, field, df, cf) summary — word-list
         lookups and prefix-scan planning."""
-        return self.spark.read.parquet(
+        return self.spark.read.schema(TERMS_SCHEMA).parquet(
             os.path.join(self.out_dir, "terms"))
 
     @property

@@ -244,7 +244,8 @@ def compact_index(spark, index_dir: str):
     live.write.mode("overwrite").parquet(docs_tmp)
 
     terms_tmp = os.path.join(index_dir, "_tmp_compact_terms")
-    (spark.read.parquet(seg_tmp)
+    from .builder import CHUNK_SCHEMA as _CS
+    (spark.read.schema(_CS).parquet(seg_tmp)
      .groupBy("term_bucket", "term", "field")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .sortWithinPartitions("term")

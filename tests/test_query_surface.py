@@ -99,3 +99,48 @@ class TestMultiIndexAndAlt:
         r1 = engines[0].search(q, k=5)
         r2 = engines[0].search("(pigs) AND (sugar) NOT wolf", k=5)
         assert r1 == r2
+
+
+class TestEdgeCorpora:
+    def _pages_of(self, spark, rows):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        return (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+
+    def test_empty_corpus(self, spark, tmp_path):
+        out = str(tmp_path / "empty")
+        pages = self._pages_of(spark, [("a.txt", "x")]) \
+            .filter("url = 'zz'")
+        meta = build_index(spark, pages, out, IndexConfig(n_buckets=4),
+                           n_shards=1)
+        assert meta["doc_count"] == 0
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.search("anything", k=5) == []
+        assert eng.handle.stats == {"n_docs": 0, "avgdl": 0.0}
+
+    def test_all_noindex_corpus(self, spark, tmp_path):
+        out = str(tmp_path / "noidx")
+        html = ('<html><head><meta name="robots" content="noindex">'
+                '</head><body>x</body></html>')
+        pages = self._pages_of(spark,
+                               [(f"n{i}.html", html) for i in range(5)])
+        meta = build_index(spark, pages, out, IndexConfig(n_buckets=4),
+                           n_shards=1)
+        assert meta["doc_count"] == 0
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.search("x", k=5) == []
+
+    def test_single_doc(self, spark, tmp_path):
+        out = str(tmp_path / "one")
+        pages = self._pages_of(spark, [("a.txt", "hello world")])
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert [d for d, _ in eng.search("hello", k=5)] == [0]
