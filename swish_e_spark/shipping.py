@@ -35,3 +35,24 @@ def ship_package(spark) -> None:
                         zf.write(full, rel)
     sc.addPyFile(zip_path)
     _shipped.add(key)
+
+
+def write_zip(out_path: str = "swish_e_spark.zip") -> str:
+    """Write the --py-files zip for spark-submit (scripts/index_job.py).
+    Run as ``python -m swish_e_spark.shipping [out.zip]``."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(write_zip(sys.argv[1] if len(sys.argv) > 1
+                    else "swish_e_spark.zip"))
