@@ -100,6 +100,14 @@ def main():
             engine.search(q, k=10)
             times[name] = round(time.time() - t0, 3)
 
+        # block-max WAND path (auto-gated to big indexes; force here so
+        # the pruned plan is exercised and timed at bench scale)
+        t0 = time.time()
+        engine.search_df("common0 OR wolf", 10, wand="force").collect()
+        times["q_wand_forced"] = round(time.time() - t0, 3)
+        times["wand_chunks_pruned"] = engine.last_wand_stats.get(
+            "chunks_pruned", 0)
+
         total = round(time.time() - t_all, 3)
         out = {
             "metric": "index_build_plus_query_wall",
