@@ -86,6 +86,8 @@ class IndexConfig:
                                  # (FuzzyIndexingMode,
                                  #  /root/reference/src/stemmer.c:117-145)
     index_comments: bool = False
+    index_links: bool = False    # a@href -> "links" metaname
+    index_alt: bool = False      # img alt -> "alt" metaname
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
     flush_docs: int = 10000      # map-side combine flush interval
@@ -190,7 +192,9 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                 pdf["url"], pdf["html"], pdf["warc_ts"], pdf["lang"]):
             blob = bytes(html) if html is not None else b""
             doc = extract(blob, doctype=doctype_of_url(url),
-                          index_comments=cfg.index_comments)
+                          index_comments=cfg.index_comments,
+                          index_links=cfg.index_links,
+                          index_alt=cfg.index_alt)
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)

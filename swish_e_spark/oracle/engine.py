@@ -42,9 +42,12 @@ def bm25_impact_scalar(tf: int, dl: int, avgdl: float,
 
 class OracleIndex:
     def __init__(self, cfg: TokenizerConfig | None = None,
-                 index_comments: bool = False):
+                 index_comments: bool = False,
+                 index_links: bool = False, index_alt: bool = False):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
+        self.index_links = index_links
+        self.index_alt = index_alt
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -64,7 +67,9 @@ class OracleIndex:
         self._staged.sort(key=lambda r: r[0])
         for url, content, doctype, props in self._staged:
             doc = extract(content, doctype=doctype,
-                          index_comments=self.index_comments)
+                          index_comments=self.index_comments,
+                          index_links=self.index_links,
+                          index_alt=self.index_alt)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)

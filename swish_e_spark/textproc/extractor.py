@@ -62,6 +62,10 @@ STRUCTURE_LETTERS = {  # for the -t HBthec style structure mask
 
 DEFAULT_FIELD = "swishdefault"
 TITLE_FIELD = "swishtitle"
+LINKS_FIELD = "links"  # a@href targets (extract_html_links,
+                       # /root/reference/src/parser.c:1820-1866)
+ALT_FIELD = "alt"      # img alt text (index_alt_tab,
+                       # /root/reference/src/parser.c:1786-1808)
 
 _INLINE_TAGS = frozenset(
     "a abbr acronym b big cite code em font i kbd label q s samp small span "
@@ -130,9 +134,13 @@ class _SwishHTMLParser(HTMLParser):
     (parse_XML, /root/reference/src/parser.c:227-242)."""
 
     def __init__(self, index_comments: bool = False,
-                 xml_mode: bool = False) -> None:
+                 xml_mode: bool = False, index_links: bool = False,
+                 index_alt: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
+        self.index_links = index_links
+        self.index_alt = index_alt
+        self._base_url: str | None = None
         self.xml_mode = xml_mode
         self._xml_stack: list[str] = []
         self.doc = ExtractedDoc()
@@ -223,6 +231,37 @@ class _SwishHTMLParser(HTMLParser):
                 )
                 self._pending_break = True
             return
+        if tag == "base":
+            href = dict(attrs).get("href")
+            if href:
+                self._base_url = href  # <base> fixup
+                # (/root/reference/src/parser.c:1820-1866)
+            return
+        if tag == "a" and self.index_links:
+            href = dict(attrs).get("href")
+            if href and not self._ignore_depth \
+                    and not self._noindex_toggle:
+                if self._base_url:
+                    from urllib.parse import urljoin
+
+                    href = urljoin(self._base_url, href)
+                self._flush()
+                self.doc.events.append(
+                    Event(LINKS_FIELD, to_latin1_text(href),
+                          IN_FILE | IN_META, True))
+                self._pending_break = True
+            return
+        if tag == "img" and self.index_alt:
+            alt = dict(attrs).get("alt")
+            if alt and not self._ignore_depth \
+                    and not self._noindex_toggle:
+                self._flush()
+                self.doc.events.append(
+                    Event(ALT_FIELD, to_latin1_text(alt),
+                          IN_FILE | IN_META, True))
+                self._pending_break = True
+                return
+            # no alt: fall through to the block-level default below
         if tag == "title":
             self._flush()
             self._in_title = True
@@ -300,10 +339,12 @@ def _decode_bytes(html: bytes) -> str:
 
 
 def extract_html(html: bytes | str, index_comments: bool = False,
-                 xml_mode: bool = False) -> ExtractedDoc:
+                 xml_mode: bool = False, index_links: bool = False,
+                 index_alt: bool = False) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
-    p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode)
+    p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode,
+                         index_links=index_links, index_alt=index_alt)
     p.feed(raw)
     p.close()
     p._flush()
@@ -335,10 +376,12 @@ def extract_txt(text: bytes | str) -> ExtractedDoc:
 
 
 def extract(content: bytes | str, doctype: str = "html",
-            index_comments: bool = False) -> ExtractedDoc:
+            index_comments: bool = False, index_links: bool = False,
+            index_alt: bool = False) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
         return extract_html(content, index_comments=index_comments,
                             xml_mode=True)
-    return extract_html(content, index_comments=index_comments)
+    return extract_html(content, index_comments=index_comments,
+                        index_links=index_links, index_alt=index_alt)

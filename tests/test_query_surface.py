@@ -144,3 +144,64 @@ class TestEdgeCorpora:
                     IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
         assert [d for d, _ in eng.search("hello", k=5)] == [0]
+
+
+class TestLinksAlt:
+    HTML = (b'<html><head><base href="https://ex.com/dir/">'
+            b'<title>t</title></head><body>'
+            b'<a href="page.html">anchor text</a> '
+            b'<a href="https://other.org/x">ext</a> '
+            b'<img src="i.png" alt="cute kitten"> body words'
+            b'</body></html>')
+
+    def test_extractor_links_alt(self):
+        from swish_e_spark.textproc.extractor import (
+            ALT_FIELD, LINKS_FIELD, extract,
+        )
+
+        doc = extract(self.HTML, index_links=True, index_alt=True)
+        links = [e.text for e in doc.events
+                 if e.field_name == LINKS_FIELD]
+        assert links == ["https://ex.com/dir/page.html",
+                         "https://other.org/x"]
+        alts = [e.text for e in doc.events if e.field_name == ALT_FIELD]
+        assert alts == ["cute kitten"]
+        # off by default: no link/alt events, body text unchanged
+        plain = extract(self.HTML)
+        assert not [e for e in plain.events
+                    if e.field_name in (LINKS_FIELD, ALT_FIELD)]
+
+    def test_engine_field_scoped_link_search(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.oracle.engine import OracleIndex
+        from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+        rows = [("a.html", self.HTML),
+                ("b.html", b"<html><body>no links here</body></html>")]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "blob"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.col("blob").alias("html"),
+                    F.lit("").alias("text"), F.lit("en").alias("lang")))
+        out = str(tmp_path / "links")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, stopwords=(),
+                                index_links=True, index_alt=True),
+                    n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        oidx = OracleIndex(TokenizerConfig(stopwords=frozenset()),
+                           index_links=True, index_alt=True)
+        for url, blob in rows:
+            oidx.add(url, blob, doctype="html")
+        oidx.build()
+        for q in ["links=other", "alt=kitten", "links=ex*"]:
+            got = eng.search(q, k=5)
+            want = oidx.query(q, k=5)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, es), (_, osc) in zip(got, want):
+                assert es == pytest.approx(osc, rel=1e-6)
+        assert [d for d, _ in eng.search("alt=kitten", k=5)] == [0]
