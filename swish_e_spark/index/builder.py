@@ -88,6 +88,8 @@ class IndexConfig:
     index_comments: bool = False
     index_links: bool = False    # a@href -> "links" metaname
     index_alt: bool = False      # img alt -> "alt" metaname
+    xml_attributes: bool = False       # <foo bar=v> -> foo.bar metaname
+    xml_class_attributes: bool = False  # <foo class=c> content -> foo.c
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
     flush_docs: int = 10000      # map-side combine flush interval
@@ -194,7 +196,9 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
             doc = extract(blob, doctype=doctype_of_url(url),
                           index_comments=cfg.index_comments,
                           index_links=cfg.index_links,
-                          index_alt=cfg.index_alt)
+                          index_alt=cfg.index_alt,
+                          xml_attributes=cfg.xml_attributes,
+                          xml_class_attributes=cfg.xml_class_attributes)
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)

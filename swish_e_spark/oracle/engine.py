@@ -43,11 +43,15 @@ def bm25_impact_scalar(tf: int, dl: int, avgdl: float,
 class OracleIndex:
     def __init__(self, cfg: TokenizerConfig | None = None,
                  index_comments: bool = False,
-                 index_links: bool = False, index_alt: bool = False):
+                 index_links: bool = False, index_alt: bool = False,
+                 xml_attributes: bool = False,
+                 xml_class_attributes: bool = False):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
+        self.xml_attributes = xml_attributes
+        self.xml_class_attributes = xml_class_attributes
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -69,7 +73,9 @@ class OracleIndex:
             doc = extract(content, doctype=doctype,
                           index_comments=self.index_comments,
                           index_links=self.index_links,
-                          index_alt=self.index_alt)
+                          index_alt=self.index_alt,
+                          xml_attributes=self.xml_attributes,
+                          xml_class_attributes=self.xml_class_attributes)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)

@@ -135,11 +135,15 @@ class _SwishHTMLParser(HTMLParser):
 
     def __init__(self, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
-                 index_alt: bool = False) -> None:
+                 index_alt: bool = False,
+                 xml_attributes: bool = False,
+                 xml_class_attributes: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
+        self.xml_attributes = xml_attributes
+        self.xml_class_attributes = xml_class_attributes
         self._base_url: str | None = None
         self.xml_mode = xml_mode
         self._xml_stack: list[str] = []
@@ -212,7 +216,24 @@ class _SwishHTMLParser(HTMLParser):
         if self.xml_mode:
             self._flush()
             self._pending_break = True
-            self._xml_stack.append(tag)
+            field_name = tag
+            attrs_d = dict(attrs)
+            if self.xml_class_attributes and attrs_d.get("class"):
+                # <foo class=bar> content indexes under foo.bar
+                # (start_XML_ClassAttributes,
+                #  /root/reference/src/parser.c:1325-1376)
+                field_name = f"{tag}.{attrs_d['class']}"
+            self._xml_stack.append(field_name)
+            if self.xml_attributes:
+                # <foo bar="baz"> -> "baz" under metaname foo.bar
+                # (index_XML_attributes,
+                #  /root/reference/src/parser.c:1413-1472)
+                for k, v in attrs:
+                    if v and not (self.xml_class_attributes
+                                  and k == "class"):
+                        self.doc.events.append(
+                            Event(f"{tag}.{k}", to_latin1_text(v),
+                                  IN_FILE | IN_META, True))
             return
         if tag in _IGNORE_CONTENT_TAGS:
             self._ignore_depth += 1
@@ -286,7 +307,9 @@ class _SwishHTMLParser(HTMLParser):
         if self.xml_mode:
             self._flush()
             self._pending_break = True
-            if self._xml_stack and self._xml_stack[-1] == tag:
+            if self._xml_stack and (
+                    self._xml_stack[-1] == tag
+                    or self._xml_stack[-1].startswith(tag + ".")):
                 self._xml_stack.pop()
             return
         if tag in _IGNORE_CONTENT_TAGS:
@@ -340,11 +363,14 @@ def _decode_bytes(html: bytes) -> str:
 
 def extract_html(html: bytes | str, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
-                 index_alt: bool = False) -> ExtractedDoc:
+                 index_alt: bool = False, xml_attributes: bool = False,
+                 xml_class_attributes: bool = False) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
     p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode,
-                         index_links=index_links, index_alt=index_alt)
+                         index_links=index_links, index_alt=index_alt,
+                         xml_attributes=xml_attributes,
+                         xml_class_attributes=xml_class_attributes)
     p.feed(raw)
     p.close()
     p._flush()
@@ -377,11 +403,14 @@ def extract_txt(text: bytes | str) -> ExtractedDoc:
 
 def extract(content: bytes | str, doctype: str = "html",
             index_comments: bool = False, index_links: bool = False,
-            index_alt: bool = False) -> ExtractedDoc:
+            index_alt: bool = False, xml_attributes: bool = False,
+            xml_class_attributes: bool = False) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
         return extract_html(content, index_comments=index_comments,
-                            xml_mode=True)
+                            xml_mode=True,
+                            xml_attributes=xml_attributes,
+                            xml_class_attributes=xml_class_attributes)
     return extract_html(content, index_comments=index_comments,
                         index_links=index_links, index_alt=index_alt)

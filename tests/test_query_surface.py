@@ -205,3 +205,36 @@ class TestLinksAlt:
             for (_, es), (_, osc) in zip(got, want):
                 assert es == pytest.approx(osc, rel=1e-6)
         assert [d for d, _ in eng.search("alt=kitten", k=5)] == [0]
+
+
+class TestXmlAttributes:
+    XML = (b'<?xml version="1.0"?><root>'
+           b'<foo bar="bazval" class="kind">inner text</foo>'
+           b'<plain>more words</plain></root>')
+
+    def test_extractor(self):
+        from swish_e_spark.textproc.extractor import extract
+
+        doc = extract(self.XML, doctype="xml", xml_attributes=True,
+                      xml_class_attributes=True)
+        fields = [(e.field_name, e.text) for e in doc.events]
+        assert ("foo.bar", "bazval") in fields
+        assert ("foo.kind", "inner text") in fields
+        assert ("plain", "more words") in fields
+        # default: plain tag metanames, attrs ignored
+        plain = extract(self.XML, doctype="xml")
+        assert [(e.field_name, e.text) for e in plain.events] == \
+            [("foo", "inner text"), ("plain", "more words")]
+
+    def test_oracle_query_attr_metaname(self):
+        from swish_e_spark.oracle.engine import OracleIndex
+        from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+        oidx = OracleIndex(TokenizerConfig(stopwords=frozenset()),
+                           xml_attributes=True,
+                           xml_class_attributes=True)
+        oidx.add("d.xml", self.XML, doctype="xml")
+        oidx.build()
+        assert [d for d, _ in oidx.query("foo.bar=bazval", k=5)] == [0]
+        assert [d for d, _ in oidx.query("foo.kind=inner", k=5)] == [0]
+        assert oidx.query("foo.bar=missing", k=5) == []
