@@ -355,6 +355,14 @@ class SparkQueryEngine:
     WAND_MIN_DOCS = 200_000  # auto mode: skip the metadata job outright
                              # on small indexes (it would always fall
                              # back); "force" bypasses the gate
+    WAND_MAX_CHUNKS = 200_000  # driver-side planning cap: beyond this
+                             # the per-chunk metadata collect would
+                             # flood the driver (a 10^12-doc head term
+                             # is ~30M chunks); fall back rather than
+                             # collect unboundedly. Planning at that
+                             # scale belongs in a distributed pass —
+                             # future work, the exhaustive path stays
+                             # correct.
 
     def _search_wand(self, node, k: int, limits, force: bool = False):
         """Distributed block-max WAND: prune posting chunks whose score
@@ -409,7 +417,10 @@ class SparkQueryEngine:
                             lambda x: x.cast("double")),
                 F.transform("block_min_dl",
                             lambda x: x.cast("double")),
-                impact)).alias("ub_raw")).collect())
+                impact)).alias("ub_raw"))
+            .limit(self.WAND_MAX_CHUNKS + 1).collect())
+        if len(meta) > self.WAND_MAX_CHUNKS:
+            return None  # planning too big for the driver: exact path
         if not force and len(meta) < self.WAND_MIN_CHUNKS:
             return None
 
