@@ -92,6 +92,9 @@ class IndexConfig:
     xml_class_attributes: bool = False  # <foo class=c> content -> foo.c
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
+    word_chars: str | None = None   # WordCharacters
+    ignore_first_chars: str = ""    # IgnoreFirstChar
+    ignore_last_chars: str = ""     # IgnoreLastChar
     flush_docs: int = 10000      # map-side combine flush interval
                                  # (INDEX_DEFAULT_CHUNK_SIZE,
                                  #  /root/reference/src/config.h:346)
@@ -109,6 +112,9 @@ class IndexConfig:
             buzzwords=frozenset(self.buzzwords),
             stopwords=(DEFAULT_STOPWORDS if self.stopwords is None
                        else frozenset(self.stopwords)),
+            word_chars=self.word_chars,
+            ignore_first_chars=self.ignore_first_chars,
+            ignore_last_chars=self.ignore_last_chars,
         )
 
 

@@ -60,6 +60,19 @@ class TokenizerConfig:
     fuzzy: str = ""  # FuzzyIndexingMode: ""(derive from stem)/"none"/
                      # "porter"/"soundex" (fuzzy_opts dispatch,
                      # /root/reference/src/stemmer.c:117-165)
+    word_chars: str | None = None  # WordCharacters: chars that form a
+                     # word (None = default a-z0-9; defaults
+                     # /root/reference/src/config.h:253). Regex-escaped
+                     # char set; sub-split happens on anything else
+                     # (next_swish_word, /root/reference/src/index.c:2444)
+    ignore_first_chars: str = ""  # IgnoreFirstChar iterative strip
+    ignore_last_chars: str = ""   # IgnoreLastChar
+                     # (/root/reference/src/swish_words.c:1238-1295)
+
+    def word_re(self):
+        if self.word_chars is None:
+            return _WORD_RE
+        return re.compile("[" + re.escape(self.word_chars) + "]+")
 
     def fuzzy_fn(self):
         """The per-token fuzzy transform, or None."""
@@ -104,9 +117,12 @@ def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
 
 
 def split_words(text: str, cfg: TokenizerConfig):
-    """Stages 1-5: whitespace split, lowercase, buzzword bypass,
-    translate, word-character sub-split. Yields raw subword tokens in
-    order; buzzwords come through verbatim (lowercased)."""
+    """Stages 1-6: whitespace split, lowercase, buzzword bypass,
+    translate, word-character sub-split, Ignore{First,Last}Char strip.
+    Yields raw subword tokens in order; buzzwords come through verbatim
+    (lowercased)."""
+    word_re = cfg.word_re()
+    strip_f, strip_l = cfg.ignore_first_chars, cfg.ignore_last_chars
     for word in _WS_RE.split(text):
         if not word:
             continue
@@ -116,7 +132,13 @@ def split_words(text: str, cfg: TokenizerConfig):
             continue
         low = low.translate(cfg.translate if cfg.translate is not None
                             else DEFAULT_TRANSLATE)
-        yield from _WORD_RE.findall(low)
+        for tok in word_re.findall(low):
+            if strip_f:
+                tok = tok.lstrip(strip_f)
+            if strip_l:
+                tok = tok.rstrip(strip_l)
+            if tok:
+                yield tok
 
 
 def tokenize_query_text(text: str, cfg: TokenizerConfig):
@@ -157,14 +179,16 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
     buzz = cfg.buzzwords
     get = postings.get
-    findall = _WORD_RE.findall
+    custom_split = (cfg.word_chars is not None or cfg.ignore_first_chars
+                    or cfg.ignore_last_chars)
+    findall = cfg.word_re().findall
     for ev in doc.events:
         if ev.hard_break and pos:
             pos += 1  # adjacency break across structure
         field = ev.field_name
         structure = ev.structure
         low = ev.text.lower()
-        if buzz and any(b in low for b in buzz):
+        if custom_split or (buzz and any(b in low for b in buzz)):
             toks = split_words(ev.text, cfg)
         else:
             toks = findall(low.translate(trans))

@@ -238,3 +238,51 @@ class TestXmlAttributes:
         assert [d for d, _ in oidx.query("foo.bar=bazval", k=5)] == [0]
         assert [d for d, _ in oidx.query("foo.kind=inner", k=5)] == [0]
         assert oidx.query("foo.bar=missing", k=5) == []
+
+
+class TestWordCharacters:
+    def test_custom_word_chars_rank_identity(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.oracle.engine import OracleIndex
+        from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+        rows = [("a.txt", "don't stop the o'clock --dash-- word"),
+                ("b.txt", "dont stop words apart"),
+                ("c.txt", "o'clock strikes 'twice' tonight")]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path / "wc")
+        wc = "abcdefghijklmnopqrstuvwxyz0123456789'-"
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, stopwords=(),
+                                word_chars=wc, ignore_first_chars="'-",
+                                ignore_last_chars="'-"),
+                    n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        oidx = OracleIndex(TokenizerConfig(
+            stopwords=frozenset(), word_chars=wc,
+            ignore_first_chars="'-", ignore_last_chars="'-"))
+        for url, text in rows:
+            oidx.add(url, text.encode(), doctype="txt")
+        oidx.build()
+        for q in ["don't", "o'clock", "dash", "twice"]:
+            got = eng.search(q, k=5)
+            want = oidx.query(q, k=5)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, es), (_, osc) in zip(got, want):
+                assert es == pytest.approx(osc, rel=1e-6)
+        # "don't" is ONE term now: doc b ("dont") must NOT match it
+        assert 1 not in {d for d, _ in eng.search("don't", k=5)}
+        # default config splits don't -> don, t
+        out2 = str(tmp_path / "wc2")
+        build_index(spark, pages, out2,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        e2 = SparkQueryEngine(spark, IndexHandle(spark, out2))
+        assert {d for d, _ in e2.search("don", k=5)} == {0}
