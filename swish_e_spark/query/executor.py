@@ -358,11 +358,10 @@ class SparkQueryEngine:
     WAND_MAX_CHUNKS = 200_000  # driver-side planning cap: beyond this
                              # the per-chunk metadata collect would
                              # flood the driver (a 10^12-doc head term
-                             # is ~30M chunks); fall back rather than
-                             # collect unboundedly. Planning at that
-                             # scale belongs in a distributed pass —
-                             # future work, the exhaustive path stays
-                             # correct.
+                             # is ~30M chunks); switch to the fully
+                             # distributed planner (_search_wand_big),
+                             # which never enumerates chunks on the
+                             # driver.
 
     def _search_wand(self, node, k: int, limits, force: bool = False):
         """Distributed block-max WAND: prune posting chunks whose score
@@ -420,7 +419,10 @@ class SparkQueryEngine:
                 impact)).alias("ub_raw"))
             .limit(self.WAND_MAX_CHUNKS + 1).collect())
         if len(meta) > self.WAND_MAX_CHUNKS:
-            return None  # planning too big for the driver: exact path
+            # too many chunks to enumerate on the driver: distributed
+            # planner (bounds as a pushed-down filter expression)
+            return self._search_wand_big(node, k, limits, scoring, aux,
+                                         scan, stats, avgdl)
         if not force and len(meta) < self.WAND_MIN_CHUNKS:
             return None
 
@@ -489,28 +491,8 @@ class SparkQueryEngine:
                 else None
 
         def decode_eval(sub_scan):
-            bases = self.handle.shard_bases
-            if bases:
-                expr = F.lit(0).cast("long")
-                for sid, b2 in bases.items():
-                    expr = F.when(F.col("shard") == sid,
-                                  F.lit(b2).cast("long")).otherwise(expr)
-                sub_scan = sub_scan.withColumn("base", expr)
-            decoded = (sub_scan.drop("pos_bin", "structs_bin")
-                       .mapInPandas(
-                           lambda it: _decode_kernel(it, False, None),
-                           schema=DECODED_SCHEMA))
-            result = self._eval(node, decoded, df_by_leaf, stats)
-            if limits:
-                docs = self.handle.live_docs()
-                lcond = None
-                for prop, (lo2, hi2) in limits.items():
-                    c = F.col(prop).between(lo2, hi2)
-                    lcond = c if lcond is None else lcond & c
-                result = result.join(
-                    docs.filter(lcond).select("doc_id"),
-                    "doc_id", "left_semi")
-            return result
+            return self._wand_decode_eval(node, sub_scan, df_by_leaf,
+                                          stats, limits)
 
         seed_scan = scan_for(seed)
         theta = 0.0
@@ -544,6 +526,131 @@ class SparkQueryEngine:
         if main_scan is None:
             return self._empty(False).select("doc_id", "score").limit(0)
         out = (decode_eval(main_scan)
+               .select("doc_id", "score")
+               .orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(k))
+        return out.localCheckpoint()
+
+    def _wand_decode_eval(self, node, sub_scan, df_by_leaf, stats,
+                          limits):
+        """Decode a chunk scan (TF-only) and evaluate the query node,
+        applying prop limits — shared by both WAND planners."""
+        from pyspark.sql import functions as F
+
+        bases = self.handle.shard_bases
+        if bases:
+            expr = F.lit(0).cast("long")
+            for sid, b2 in bases.items():
+                expr = F.when(F.col("shard") == sid,
+                              F.lit(b2).cast("long")).otherwise(expr)
+            sub_scan = sub_scan.withColumn("base", expr)
+        decoded = (sub_scan.drop("pos_bin", "structs_bin")
+                   .mapInPandas(
+                       lambda it: _decode_kernel(it, False, None),
+                       schema=DECODED_SCHEMA))
+        result = self._eval(node, decoded, df_by_leaf, stats)
+        if limits:
+            docs = self.handle.live_docs()
+            lcond = None
+            for prop, (lo2, hi2) in limits.items():
+                c = F.col(prop).between(lo2, hi2)
+                lcond = c if lcond is None else lcond & c
+            result = result.join(
+                docs.filter(lcond).select("doc_id"),
+                "doc_id", "left_semi")
+        return result
+
+    def _search_wand_big(self, node, k, limits, scoring, aux, scan,
+                         stats, avgdl):
+        """Distributed block-max WAND for the many-chunks regime (a
+        10^12-doc head term has millions of chunks): the driver only
+        ever sees PER-TERM aggregates and one seed-chunk key per term —
+        chunk pruning is a pushed-down filter EXPRESSION on the scan,
+        so no chunk list is enumerated anywhere.
+
+        1. one agg job: per (field, term) -> (df, max chunk ub);
+        2. one window job: the single best-ub chunk key per scoring
+           term -> seed decode (plus the full aux subtrees, which the
+           main pass must decode anyway) -> threshold θ;
+        3. main pass: keep chunk c of term t iff
+           idf_t·ub_raw(c) + Σ_{t'≠t} gub_{t'} >= θ, evaluated JVM-side
+           per row. Doc-range intersection pruning is skipped here (it
+           needs chunk lists); the bound filter alone is safe for the
+           same reason as the small planner.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        impact = lambda t, d: (t * (K1 + 1.0)) / (  # noqa: E731
+            t + K1 * (1.0 - B + B * d / avgdl))
+        ub_raw = F.array_max(F.zip_with(
+            F.transform("block_max_tf", lambda x: x.cast("double")),
+            F.transform("block_min_dl", lambda x: x.cast("double")),
+            impact))
+
+        per_leaf = (scan.groupBy("field", "term")
+                    .agg(F.sum("df").alias("df"),
+                         F.max(ub_raw).alias("gub_raw")).collect())
+        if not per_leaf:
+            return self._empty(False).select("doc_id", "score").limit(0)
+        df_by_leaf = {(r["field"], r["term"]): r["df"] for r in per_leaf}
+        idf_by_leaf = {key: bm25_idf(stats["n_docs"], d)
+                       for key, d in df_by_leaf.items()}
+        scoring_set = set(scoring) & set(df_by_leaf)
+        gub = {key: idf_by_leaf[key] * (r["gub_raw"] or 0.0)
+               for key, r in ((key, r) for r in per_leaf
+                              for key in [(r["field"], r["term"])])
+               if key in scoring_set}
+        total_gub = sum(gub.values())
+
+        w = Window.partitionBy("field", "term").orderBy(
+            F.desc(ub_raw), F.asc("doc_lo"))
+        seed_keys = (scan.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1)
+                     .select("field", "term", "doc_lo").collect())
+        seed_cond = None
+        for r in seed_keys:
+            if (r["field"], r["term"]) not in scoring_set:
+                continue
+            c = ((F.col("term_bucket")
+                  == term_bucket(r["term"], self.n_buckets))
+                 & (F.col("term") == r["term"])
+                 & (F.col("field") == r["field"])
+                 & (F.col("doc_lo") == r["doc_lo"]))
+            seed_cond = c if seed_cond is None else seed_cond | c
+        aux_set = set(df_by_leaf) - scoring_set
+        for field, term in aux_set:  # full aux decode (needed anyway)
+            c = ((F.col("term_bucket")
+                  == term_bucket(term, self.n_buckets))
+                 & (F.col("term") == term) & (F.col("field") == field))
+            seed_cond = c if seed_cond is None else seed_cond | c
+
+        theta = 0.0
+        if seed_cond is not None:
+            seed_rows = (self._wand_decode_eval(
+                node, self.handle.segments().filter(seed_cond),
+                df_by_leaf, stats, limits)
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k).collect())
+            if len(seed_rows) == k:
+                theta = seed_rows[-1]["score"]
+
+        # per-row bound expression: scoring leaves get
+        # idf*ub_raw + others; aux leaves always pass
+        bound = F.lit(float("inf"))
+        for key in scoring_set:
+            field, term = key
+            others = total_gub - gub[key]
+            bound = F.when((F.col("field") == field)
+                           & (F.col("term") == term),
+                           F.lit(idf_by_leaf[key]) * ub_raw
+                           + F.lit(others)).otherwise(bound)
+        main_scan = scan.filter(bound >= F.lit(theta))
+        self.last_wand_stats = {"mode": "distributed", "theta": theta,
+                                "seed_chunks": len(seed_keys)}
+        out = (self._wand_decode_eval(node, main_scan, df_by_leaf,
+                                      stats, limits)
                .select("doc_id", "score")
                .orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(k))

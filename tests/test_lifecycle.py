@@ -352,3 +352,63 @@ class TestCompaction:
         docs = eng2.handle.live_docs()
         assert docs.count() == docs.select("doc_id").distinct().count()
         assert docs.count() == docs.select("url").distinct().count()
+
+
+class TestWandDistributed:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("wandbig"))
+        pages = generate_pages_df(spark, 1200, partitions=8)
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=8, buzzwords=("c++",),
+                                chunk_docs=32, salt_threshold=32,
+                                flush_docs=50), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        eng.WAND_MAX_CHUNKS = 1  # force the distributed planner
+        return eng
+
+    @pytest.mark.parametrize("q", [
+        "common0", "pigs OR wolf", "pigs AND wolf",
+        "common0 NOT wolf", "(pigs AND wolf) OR sugar"])
+    def test_distributed_equals_exact(self, q, engine):
+        exact = engine.search_df(q, 10, wand="off").collect()
+        wand = engine.search_df(q, 10, wand="force").collect()
+        assert engine.last_wand_stats.get("mode") == "distributed"
+        assert [(r["doc_id"], r["score"]) for r in wand] == \
+            pytest.approx([(r["doc_id"], r["score"]) for r in exact])
+
+    def test_distributed_with_limits(self, engine):
+        lim = {"lang": ("en", "en")}
+        exact = engine.search_df("common0 OR wolf", 10, limits=lim,
+                                 wand="off").collect()
+        wand = engine.search_df("common0 OR wolf", 10, limits=lim,
+                                wand="force").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in wand] == \
+            [(r["doc_id"], round(r["score"], 9)) for r in exact]
+
+    def test_distributed_prunes_skewed(self, spark, tmp_path_factory):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rows = [(f"a{i:05d}.txt", "zebra filler%d" % i)
+                for i in range(1000)]
+        rows += [(f"z{i:05d}.txt", "zebra " * 30) for i in range(12)]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url", F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path_factory.mktemp("wandbigskew"))
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, chunk_docs=32,
+                                salt_threshold=64, flush_docs=100,
+                                stopwords=()), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        eng.WAND_MAX_CHUNKS = 1
+        exact = eng.search_df("zebra", 10, wand="off").collect()
+        wand = eng.search_df("zebra", 10, wand="force").collect()
+        assert eng.last_wand_stats["mode"] == "distributed"
+        assert eng.last_wand_stats["theta"] > 0
+        assert [(r["doc_id"], r["score"]) for r in wand] == \
+            pytest.approx([(r["doc_id"], r["score"]) for r in exact])
