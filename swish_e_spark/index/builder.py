@@ -95,6 +95,10 @@ class IndexConfig:
     word_chars: str | None = None   # WordCharacters
     ignore_first_chars: str = ""    # IgnoreFirstChar
     ignore_last_chars: str = ""     # IgnoreLastChar
+    use_words: tuple | None = None  # UseWords allowlist
+    number_chars: str = ""          # NumberChars
+    begin_chars: str = ""           # BeginCharacters
+    end_chars: str = ""             # EndCharacters
     flush_docs: int = 10000      # map-side combine flush interval
                                  # (INDEX_DEFAULT_CHUNK_SIZE,
                                  #  /root/reference/src/config.h:346)
@@ -115,6 +119,11 @@ class IndexConfig:
             word_chars=self.word_chars,
             ignore_first_chars=self.ignore_first_chars,
             ignore_last_chars=self.ignore_last_chars,
+            use_words=(None if self.use_words is None
+                       else frozenset(self.use_words)),
+            number_chars=self.number_chars,
+            begin_chars=self.begin_chars,
+            end_chars=self.end_chars,
         )
 
 

@@ -68,6 +68,26 @@ class TokenizerConfig:
     ignore_first_chars: str = ""  # IgnoreFirstChar iterative strip
     ignore_last_chars: str = ""   # IgnoreLastChar
                      # (/root/reference/src/swish_words.c:1238-1295)
+    use_words: frozenset | None = None  # UseWords allowlist: when set,
+                     # only listed words index; dropped words still
+                     # consume a position like stopwords
+                     # (/root/reference/src/index.c:2598-2607)
+    number_chars: str = ""  # NumberChars: words made ONLY of these
+                     # chars are skipped (/root/reference/src/index.c:2644)
+    begin_chars: str = ""   # BeginCharacters: first char must be in set
+    end_chars: str = ""     # EndCharacters: last char must be in set
+                     # (/root/reference/src/index.c:2662-2666)
+
+    def char_checks_ok(self, tok: str) -> bool:
+        """NumberChars / Begin/EndCharacters token filters."""
+        if self.number_chars and all(c in self.number_chars
+                                     for c in tok):
+            return False
+        if self.begin_chars and tok[:1] not in set(self.begin_chars):
+            return False
+        if self.end_chars and tok[-1:] not in set(self.end_chars):
+            return False
+        return True
 
     def word_re(self):
         if self.word_chars is None:
@@ -110,7 +130,11 @@ def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
     check, stemming. Returns None if the token is dropped."""
     if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
         return None
+    if not cfg.char_checks_ok(tok):
+        return None
     if tok in cfg.stopwords:
+        return None
+    if cfg.use_words is not None and tok not in cfg.use_words:
         return None
     fn = cfg.fuzzy_fn()
     return fn(tok) if fn else tok
@@ -150,7 +174,10 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
     for tok in split_words(text, cfg):
         if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
             continue
-        if tok in cfg.stopwords:
+        if not cfg.char_checks_ok(tok):
+            continue
+        if tok in cfg.stopwords or (cfg.use_words is not None
+                                    and tok not in cfg.use_words):
             out.append(None)
             continue
         out.append(fn(tok) if fn else tok)
@@ -181,6 +208,9 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     get = postings.get
     custom_split = (cfg.word_chars is not None or cfg.ignore_first_chars
                     or cfg.ignore_last_chars)
+    char_checks = bool(cfg.number_chars or cfg.begin_chars
+                       or cfg.end_chars)
+    use_words = cfg.use_words
     findall = cfg.word_re().findall
     for ev in doc.events:
         if ev.hard_break and pos:
@@ -195,8 +225,12 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
         for raw in toks:
             if not minl <= len(raw) <= maxl:
                 continue
+            if char_checks and not cfg.char_checks_ok(raw):
+                continue
             pos += 1
             if raw in stop:
+                continue
+            if use_words is not None and raw not in use_words:
                 continue
             term = fuzzy_fn(raw) if fuzzy_fn else raw
             key = (field, term)

@@ -173,3 +173,53 @@ class TestTokenizer:
         pt = postings[(TITLE_FIELD, "tword")].positions[0]
         pb = postings[(DEFAULT_FIELD, "bword")].positions[0]
         assert pt < pb and doc_len >= 2
+
+
+class TestTokenFilters:
+    def test_use_words_allowlist(self):
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(stopwords=frozenset(),
+                              use_words=frozenset({"spark", "hash"}))
+        # non-listed words behave like stopword gaps
+        assert tokenize_query_text("spark beats hash", cfg) == \
+            ["spark", None, "hash"]
+
+    def test_number_chars_drop(self):
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(stopwords=frozenset(),
+                              number_chars="0123456789")
+        assert tokenize_query_text("abc 123 a1b 456", cfg) == \
+            ["abc", "a1b"]
+
+    def test_begin_end_chars(self):
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(
+            stopwords=frozenset(),
+            begin_chars="abcdefghijklmnopqrstuvwxyz",
+            end_chars="abcdefghijklmnopqrstuvwxyz0123456789")
+        assert tokenize_query_text("good 9bad also2ok", cfg) == \
+            ["good", "also2ok"]
+
+    def test_doc_path_positions_consistent(self):
+        from swish_e_spark.textproc.extractor import extract
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_doc,
+        )
+
+        cfg = TokenizerConfig(stopwords=frozenset(),
+                              use_words=frozenset({"spark", "hash"}))
+        doc = extract(b"spark beats hash daily", doctype="txt")
+        postings, doc_len = tokenize_doc(doc, cfg)
+        # all 4 tokens consume positions; only listed words index
+        assert doc_len == 4
+        got = {t: p.positions for (f, t), p in postings.items()}
+        assert got == {"spark": [1], "hash": [3]}
