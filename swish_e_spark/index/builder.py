@@ -90,6 +90,7 @@ class IndexConfig:
     index_alt: bool = False      # img alt -> "alt" metaname
     xml_attributes: bool = False       # <foo bar=v> -> foo.bar metaname
     xml_class_attributes: bool = False  # <foo class=c> content -> foo.c
+    xml_nested_metanames: bool = False  # token indexes under EVERY open tag
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
     word_chars: str | None = None   # WordCharacters
@@ -213,7 +214,8 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                           index_links=cfg.index_links,
                           index_alt=cfg.index_alt,
                           xml_attributes=cfg.xml_attributes,
-                          xml_class_attributes=cfg.xml_class_attributes)
+                          xml_class_attributes=cfg.xml_class_attributes,
+                          xml_nested_metanames=cfg.xml_nested_metanames)
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)

@@ -45,13 +45,15 @@ class OracleIndex:
                  index_comments: bool = False,
                  index_links: bool = False, index_alt: bool = False,
                  xml_attributes: bool = False,
-                 xml_class_attributes: bool = False):
+                 xml_class_attributes: bool = False,
+                 xml_nested_metanames: bool = False):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
         self.xml_attributes = xml_attributes
         self.xml_class_attributes = xml_class_attributes
+        self.xml_nested_metanames = xml_nested_metanames
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -75,7 +77,8 @@ class OracleIndex:
                           index_links=self.index_links,
                           index_alt=self.index_alt,
                           xml_attributes=self.xml_attributes,
-                          xml_class_attributes=self.xml_class_attributes)
+                          xml_class_attributes=self.xml_class_attributes,
+                          xml_nested_metanames=self.xml_nested_metanames)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)

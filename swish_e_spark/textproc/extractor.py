@@ -93,12 +93,17 @@ def to_latin1_text(s: str) -> str:
 class Event:
     """One extraction event: a run of text in one field with one
     structure-bit context. ``hard_break`` marks a position bump BEFORE
-    this event (token adjacency broken)."""
+    this event (token adjacency broken). ``fields`` (when non-empty)
+    lists EVERY in-scope metaname for nested-metaname fan-out — tokens
+    index once per field at the SAME position (addword loop,
+    /root/reference/src/index.c:2400-2402, build_metaID_list
+    /root/reference/src/index.c:2501-2542)."""
 
     field_name: str
     text: str
     structure: int
     hard_break: bool
+    fields: tuple = ()
 
 
 @dataclass
@@ -137,13 +142,15 @@ class _SwishHTMLParser(HTMLParser):
                  xml_mode: bool = False, index_links: bool = False,
                  index_alt: bool = False,
                  xml_attributes: bool = False,
-                 xml_class_attributes: bool = False) -> None:
+                 xml_class_attributes: bool = False,
+                 xml_nested_metanames: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
         self.xml_attributes = xml_attributes
         self.xml_class_attributes = xml_class_attributes
+        self.xml_nested_metanames = xml_nested_metanames
         self._base_url: str | None = None
         self.xml_mode = xml_mode
         self._xml_stack: list[str] = []
@@ -182,9 +189,14 @@ class _SwishHTMLParser(HTMLParser):
         if self._buf:
             text = "".join(self._buf)
             if text.strip():
+                fields = ()
+                if (self.xml_mode and self.xml_nested_metanames
+                        and len(self._xml_stack) > 1
+                        and self._buf_field == self._xml_stack[-1]):
+                    fields = tuple(dict.fromkeys(self._xml_stack))
                 self.doc.events.append(
                     Event(self._buf_field, to_latin1_text(text),
-                          self._buf_bits, self._buf_break)
+                          self._buf_bits, self._buf_break, fields)
                 )
                 self._buf_break = False
             self._buf = []
@@ -364,13 +376,15 @@ def _decode_bytes(html: bytes) -> str:
 def extract_html(html: bytes | str, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
                  index_alt: bool = False, xml_attributes: bool = False,
-                 xml_class_attributes: bool = False) -> ExtractedDoc:
+                 xml_class_attributes: bool = False,
+                 xml_nested_metanames: bool = False) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
     p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode,
                          index_links=index_links, index_alt=index_alt,
                          xml_attributes=xml_attributes,
-                         xml_class_attributes=xml_class_attributes)
+                         xml_class_attributes=xml_class_attributes,
+                         xml_nested_metanames=xml_nested_metanames)
     p.feed(raw)
     p.close()
     p._flush()
@@ -404,13 +418,15 @@ def extract_txt(text: bytes | str) -> ExtractedDoc:
 def extract(content: bytes | str, doctype: str = "html",
             index_comments: bool = False, index_links: bool = False,
             index_alt: bool = False, xml_attributes: bool = False,
-            xml_class_attributes: bool = False) -> ExtractedDoc:
+            xml_class_attributes: bool = False,
+            xml_nested_metanames: bool = False) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
         return extract_html(content, index_comments=index_comments,
                             xml_mode=True,
                             xml_attributes=xml_attributes,
-                            xml_class_attributes=xml_class_attributes)
+                            xml_class_attributes=xml_class_attributes,
+                            xml_nested_metanames=xml_nested_metanames)
     return extract_html(content, index_comments=index_comments,
                         index_links=index_links, index_alt=index_alt)

@@ -216,6 +216,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
         if ev.hard_break and pos:
             pos += 1  # adjacency break across structure
         field = ev.field_name
+        fan_fields = ev.fields if ev.fields else None
         structure = ev.structure
         low = ev.text.lower()
         if custom_split or (buzz and any(b in low for b in buzz)):
@@ -233,10 +234,22 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             if use_words is not None and raw not in use_words:
                 continue
             term = fuzzy_fn(raw) if fuzzy_fn else raw
-            key = (field, term)
-            p = get(key)
-            if p is None:
-                p = postings[key] = Posting(field, term)
-            p.positions.append(pos)
-            p.structures.append(structure)
+            if fan_fields is None:
+                key = (field, term)
+                p = get(key)
+                if p is None:
+                    p = postings[key] = Posting(field, term)
+                p.positions.append(pos)
+                p.structures.append(structure)
+            else:
+                # nested-metaname fan-out: one posting per in-scope
+                # field, SAME position (addword loop,
+                # /root/reference/src/index.c:2400-2402)
+                for f2 in fan_fields:
+                    key = (f2, term)
+                    p = get(key)
+                    if p is None:
+                        p = postings[key] = Posting(f2, term)
+                    p.positions.append(pos)
+                    p.structures.append(structure)
     return postings, pos

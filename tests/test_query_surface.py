@@ -286,3 +286,30 @@ class TestWordCharacters:
                     IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
         e2 = SparkQueryEngine(spark, IndexHandle(spark, out2))
         assert {d for d, _ in e2.search("don", k=5)} == {0}
+
+
+class TestNestedMetanames:
+    XML = (b'<?xml version="1.0"?><doc><sec><para>nested words here'
+           b'</para></sec><solo>alone</solo></doc>')
+
+    def test_fan_out(self):
+        from swish_e_spark.oracle.engine import OracleIndex
+        from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+        oidx = OracleIndex(TokenizerConfig(stopwords=frozenset()),
+                           xml_nested_metanames=True)
+        oidx.add("d.xml", self.XML, doctype="xml")
+        oidx.build()
+        # "nested" indexes under every open tag at the SAME position
+        for field in ("doc", "sec", "para"):
+            assert [d for d, _ in
+                    oidx.query(f"{field}=nested", k=5)] == [0], field
+        pos = {f: oidx.postings[(f, "nested")][0][0]
+               for f in ("doc", "sec", "para")}
+        assert len(set(tuple(p) for p in pos.values())) == 1
+        # default: only the innermost tag names the field
+        plain = OracleIndex(TokenizerConfig(stopwords=frozenset()))
+        plain.add("d.xml", self.XML, doctype="xml")
+        plain.build()
+        assert ("para", "nested") in plain.postings
+        assert ("doc", "nested") not in plain.postings
