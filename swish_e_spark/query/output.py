@@ -158,6 +158,27 @@ def keywords(handle, startswith: str = "", field=None, limit: int = 1000):
     return [(r["term"], r["df"], r["cf"]) for r in rows]
 
 
+def search_info(engine, q: str, k: int = 10, **kw) -> dict:
+    """Search plus the reference's result headers (-H): search words,
+    parsed words, removed stopwords, hits, and run time
+    (display_result_headers, /root/reference/src/swish.c:1769-1800;
+    resultHeaderOut usage /root/reference/src/swish.c:1595-1609)."""
+    import time
+
+    from .parser import parse_query_info
+
+    _node, pinfo = parse_query_info(q, engine.cfg)
+    t0 = time.time()
+    results = engine.search(q, k=k, **kw)
+    elapsed = time.time() - t0
+    return {
+        **pinfo,
+        "number_of_hits": len(results),
+        "run_time_s": round(elapsed, 3),
+        "results": results,
+    }
+
+
 def info(handle) -> dict:
     """Index header introspection — the -T/-H surface
     (/root/reference/src/dump.c; header_map

@@ -283,6 +283,15 @@ def parse_query(q: str, cfg: TokenizerConfig | None = None,
                 default_field: str = DEFAULT_FIELD):
     """Compile a query string to an AST. Raises WordsTooCommon if every
     word was a stopword, QueryError on syntax errors."""
+    node, _info = parse_query_info(q, cfg, default_field)
+    return node
+
+
+def parse_query_info(q: str, cfg: TokenizerConfig | None = None,
+                     default_field: str = DEFAULT_FIELD):
+    """parse_query plus the parse metadata the reference reports in its
+    result headers (Search words / Parsed words / Removed stopwords,
+    display_result_headers /root/reference/src/swish.c:1769-1800)."""
     cfg = cfg or TokenizerConfig()
     toks = _lex(q)
     if not toks:
@@ -293,7 +302,14 @@ def parse_query(q: str, cfg: TokenizerConfig | None = None,
         if p.dropped_stopwords and not p.kept_terms:
             raise WordsTooCommon("all query words are stopwords")
         raise QueryError("empty query after parsing")
-    return node
+    info = {
+        "search_words": q,
+        "parsed_words": sorted({t for _, t in collect_terms(node)}
+                               | {f"{pre}*" for _, pre in
+                                  collect_prefixes(node)}),
+        "removed_stopwords": p.dropped_stopwords,
+    }
+    return node, info
 
 
 def collect_terms(node):

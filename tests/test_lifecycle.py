@@ -412,3 +412,19 @@ class TestWandDistributed:
         assert eng.last_wand_stats["theta"] > 0
         assert [(r["doc_id"], r["score"]) for r in wand] == \
             pytest.approx([(r["doc_id"], r["score"]) for r in exact])
+
+
+class TestSearchInfo:
+    def test_result_headers(self, spark, tmp_path):
+        from swish_e_spark.query.output import search_info
+
+        out = str(tmp_path / "hinfo")
+        pages = generate_pages_df(spark, 200, partitions=4)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        hdr = search_info(eng, 'pigs AND "the wolf"', k=5)
+        assert hdr["search_words"] == 'pigs AND "the wolf"'
+        assert set(hdr["parsed_words"]) == {"pigs", "wolf"}
+        assert hdr["removed_stopwords"] == 1  # "the"
+        assert hdr["number_of_hits"] == len(hdr["results"]) <= 5
+        assert hdr["run_time_s"] >= 0
