@@ -39,6 +39,22 @@ MAX_WORD_LEN = 40  # /root/reference/src/config.h:215
 _WORD_RE = re.compile(r"[a-z0-9]+")
 _WS_RE = re.compile(r"\s+")
 
+_SANITY_CACHE: dict = {}
+
+
+def _sanity_re(max_consec: int, max_repeat: int):
+    """Regex matching isokword-rejected shapes: too many consecutive
+    vowels, consonants, or digits, or one char repeated too often
+    (/root/reference/src/check.c:56-150; limits 60/100)."""
+    key = (max_consec, max_repeat)
+    rx = _SANITY_CACHE.get(key)
+    if rx is None:
+        n = max_consec
+        rx = _SANITY_CACHE[key] = re.compile(
+            "[aeiou]{%d,}|[bcdfghjklmnpqrstvwxyz]{%d,}|[0-9]{%d,}"
+            r"|(.)\1{%d,}" % (n + 1, n + 1, n + 1, max_repeat))
+    return rx
+
 # Default TranslateCharacters map: fold Latin-1 accented letters to
 # ASCII so the entity path folds (Espa&ntilde;a → espana). The reference
 # ships this as a config directive (TranslateCharacters,
@@ -78,14 +94,22 @@ class TokenizerConfig:
     end_chars: str = ""     # EndCharacters: last char must be in set
                      # (/root/reference/src/index.c:2662-2666)
 
+    max_consec: int = 60   # max consecutive vowels/consonants/digits
+    max_repeat: int = 100  # max times one char may repeat
+                     # (isokword sanity, /root/reference/src/check.c:56-150)
+
     def char_checks_ok(self, tok: str) -> bool:
-        """NumberChars / Begin/EndCharacters token filters."""
+        """NumberChars / Begin/EndCharacters / isokword sanity filters."""
         if self.number_chars and all(c in self.number_chars
                                      for c in tok):
             return False
         if self.begin_chars and tok[:1] not in set(self.begin_chars):
             return False
         if self.end_chars and tok[-1:] not in set(self.end_chars):
+            return False
+        if len(tok) > min(self.max_consec, self.max_repeat) \
+                and _sanity_re(self.max_consec,
+                               self.max_repeat).search(tok):
             return False
         return True
 
@@ -210,6 +234,8 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                     or cfg.ignore_last_chars)
     char_checks = bool(cfg.number_chars or cfg.begin_chars
                        or cfg.end_chars)
+    sanity_len = min(cfg.max_consec, cfg.max_repeat)  # tokens longer
+                                 # than this get the isokword sanity regex
     use_words = cfg.use_words
     findall = cfg.word_re().findall
     for ev in doc.events:
@@ -226,7 +252,8 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
         for raw in toks:
             if not minl <= len(raw) <= maxl:
                 continue
-            if char_checks and not cfg.char_checks_ok(raw):
+            if (char_checks or len(raw) > sanity_len) \
+                    and not cfg.char_checks_ok(raw):
                 continue
             pos += 1
             if raw in stop:

@@ -223,3 +223,18 @@ class TestTokenFilters:
         assert doc_len == 4
         got = {t: p.positions for (f, t), p in postings.items()}
         assert got == {"spark": [1], "hash": [3]}
+
+    def test_isokword_sanity(self):
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(stopwords=frozenset(), max_word_len=500,
+                              max_consec=10, max_repeat=5)
+        assert tokenize_query_text(
+            "normal aaaaaaaaaaaaaaa bcdfgbcdfgbcd xxxxxxx ok", cfg) == \
+            ["normal", "ok"]
+        # defaults (60/100) leave realistic words alone
+        d = TokenizerConfig(stopwords=frozenset())
+        assert tokenize_query_text("supercalifragilistic", d) == \
+            ["supercalifragilistic"]
