@@ -117,3 +117,28 @@ class TestGarbageInput:
         oidx.add("h0.html", blob, doctype="html")
         oidx.build()
         assert oidx.query("unclosed", k=5)
+
+
+class TestFuzzSwishRank:
+    def test_random_queries_swish_schemes(self, fuzz_engine, oracle300):
+        from swish_e_spark.query.swishrank import (
+            oracle_swish_query, spark_swish_search,
+        )
+
+        vocab = sorted({t for (f, t) in oracle300.postings
+                        if f == "swishdefault"})
+        rng = random.Random(99)
+        checked = 0
+        for _ in range(8):
+            q = _random_query(rng, vocab)
+            for scheme in (0, 1):
+                try:
+                    want = oracle_swish_query(oracle300, q, k=10,
+                                              scheme=scheme)
+                except (QueryError, WordsTooCommon):
+                    continue
+                got = spark_swish_search(fuzz_engine, q, k=10,
+                                         scheme=scheme)
+                assert got == want, (q, scheme)
+                checked += 1
+        assert checked >= 8
