@@ -184,6 +184,7 @@ class SparkQueryEngine:
                 stopwords=self.cfg.stopwords | frozenset(auto))
         self.n_buckets = handle.cfg.n_buckets
         self._prefix_cache: dict = {}
+        self._df_cache: dict = {}  # (field, term) -> df across queries
 
     PREFIX_EXPAND_CAP = 5000  # max terms a wildcard may expand to via
                               # the terms table before falling back to a
@@ -337,16 +338,30 @@ class SparkQueryEngine:
     def _term_stats(self, node, decoded, structure_mask):
         """Global df per (field, term): from segment metadata (fast path)
         or from decoded counts when a structure mask or tombstones change
-        df (matching the oracle's df over surviving postings)."""
+        df (matching the oracle's df over surviving postings). Exact-term
+        dfs are cached across queries (the stem-cache spirit,
+        /root/reference/src/index.c:2690-2721) — repeat terms skip the
+        metadata job entirely."""
         from pyspark.sql import functions as F
 
+        from .parser import collect_patterns, collect_prefixes, collect_terms
+
         if structure_mask is None and self.handle.removed() is None:
+            leaves = set(collect_terms(node))
+            exact_only = not collect_prefixes(node) \
+                and not collect_patterns(node)
+            if exact_only and leaves <= self._df_cache.keys():
+                return {k: self._df_cache[k] for k in leaves
+                        if self._df_cache[k] > 0}
             scan = self._segment_scan(node)
             rows = (scan.groupBy("field", "term")
                     .agg(F.sum("df").alias("df")).collect())
-        else:
-            rows = (decoded.groupBy("field", "term")
-                    .agg(F.count("*").alias("df")).collect())
+            found = {(r["field"], r["term"]): r["df"] for r in rows}
+            for key in leaves:  # cache absent terms as df 0 too
+                self._df_cache[key] = found.get(key, 0)
+            return found
+        rows = (decoded.groupBy("field", "term")
+                .agg(F.count("*").alias("df")).collect())
         return {(r["field"], r["term"]): r["df"] for r in rows}
 
     # ---- block-max WAND top-k (north-rule pruning) ----
