@@ -91,6 +91,7 @@ class IndexConfig:
     xml_attributes: bool = False       # <foo bar=v> -> foo.bar metaname
     xml_class_attributes: bool = False  # <foo class=c> content -> foo.c
     xml_nested_metanames: bool = False  # token indexes under EVERY open tag
+    dont_bump_tags: tuple = ()          # DontBumpPositionOnMetaTags
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
     word_chars: str | None = None   # WordCharacters
@@ -215,7 +216,8 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                           index_alt=cfg.index_alt,
                           xml_attributes=cfg.xml_attributes,
                           xml_class_attributes=cfg.xml_class_attributes,
-                          xml_nested_metanames=cfg.xml_nested_metanames)
+                          xml_nested_metanames=cfg.xml_nested_metanames,
+                          dont_bump_tags=frozenset(cfg.dont_bump_tags))
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)

@@ -46,7 +46,8 @@ class OracleIndex:
                  index_links: bool = False, index_alt: bool = False,
                  xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
-                 xml_nested_metanames: bool = False):
+                 xml_nested_metanames: bool = False,
+                 dont_bump_tags: frozenset = frozenset()):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
         self.index_links = index_links
@@ -54,6 +55,7 @@ class OracleIndex:
         self.xml_attributes = xml_attributes
         self.xml_class_attributes = xml_class_attributes
         self.xml_nested_metanames = xml_nested_metanames
+        self.dont_bump_tags = dont_bump_tags
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -78,7 +80,8 @@ class OracleIndex:
                           index_alt=self.index_alt,
                           xml_attributes=self.xml_attributes,
                           xml_class_attributes=self.xml_class_attributes,
-                          xml_nested_metanames=self.xml_nested_metanames)
+                          xml_nested_metanames=self.xml_nested_metanames,
+                          dont_bump_tags=self.dont_bump_tags)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)

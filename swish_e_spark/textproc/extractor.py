@@ -143,7 +143,8 @@ class _SwishHTMLParser(HTMLParser):
                  index_alt: bool = False,
                  xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
-                 xml_nested_metanames: bool = False) -> None:
+                 xml_nested_metanames: bool = False,
+                 dont_bump_tags: frozenset = frozenset()) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
         self.index_links = index_links
@@ -151,6 +152,8 @@ class _SwishHTMLParser(HTMLParser):
         self.xml_attributes = xml_attributes
         self.xml_class_attributes = xml_class_attributes
         self.xml_nested_metanames = xml_nested_metanames
+        self.dont_bump_tags = dont_bump_tags  # DontBumpPositionOnMetaTags
+                            # (/root/reference/src/parser.c:1298-1310)
         self._base_url: str | None = None
         self.xml_mode = xml_mode
         self._xml_stack: list[str] = []
@@ -308,9 +311,11 @@ class _SwishHTMLParser(HTMLParser):
             return
         if tag in _INLINE_TAGS:
             return
-        # block-level: token boundary + position bump
+        # block-level: token boundary + position bump (suppressed for
+        # DontBumpPositionOnMetaTags entries — still a token boundary)
         self._flush()
-        self._pending_break = True
+        if tag not in self.dont_bump_tags:
+            self._pending_break = True
         if tag in _HEADER_TAGS:
             self._header_depth += 1
 
@@ -339,7 +344,8 @@ class _SwishHTMLParser(HTMLParser):
         if tag in _INLINE_TAGS:
             return
         self._flush()
-        self._pending_break = True
+        if tag not in self.dont_bump_tags:
+            self._pending_break = True
         if tag in _HEADER_TAGS:
             self._header_depth = max(0, self._header_depth - 1)
 
@@ -377,14 +383,16 @@ def extract_html(html: bytes | str, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
                  index_alt: bool = False, xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
-                 xml_nested_metanames: bool = False) -> ExtractedDoc:
+                 xml_nested_metanames: bool = False,
+                 dont_bump_tags: frozenset = frozenset()) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
     p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode,
                          index_links=index_links, index_alt=index_alt,
                          xml_attributes=xml_attributes,
                          xml_class_attributes=xml_class_attributes,
-                         xml_nested_metanames=xml_nested_metanames)
+                         xml_nested_metanames=xml_nested_metanames,
+                         dont_bump_tags=dont_bump_tags)
     p.feed(raw)
     p.close()
     p._flush()
@@ -419,7 +427,8 @@ def extract(content: bytes | str, doctype: str = "html",
             index_comments: bool = False, index_links: bool = False,
             index_alt: bool = False, xml_attributes: bool = False,
             xml_class_attributes: bool = False,
-            xml_nested_metanames: bool = False) -> ExtractedDoc:
+            xml_nested_metanames: bool = False,
+            dont_bump_tags: frozenset = frozenset()) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
@@ -427,6 +436,8 @@ def extract(content: bytes | str, doctype: str = "html",
                             xml_mode=True,
                             xml_attributes=xml_attributes,
                             xml_class_attributes=xml_class_attributes,
-                            xml_nested_metanames=xml_nested_metanames)
+                            xml_nested_metanames=xml_nested_metanames,
+                            dont_bump_tags=dont_bump_tags)
     return extract_html(content, index_comments=index_comments,
-                        index_links=index_links, index_alt=index_alt)
+                        index_links=index_links, index_alt=index_alt,
+                        dont_bump_tags=dont_bump_tags)

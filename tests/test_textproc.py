@@ -238,3 +238,20 @@ class TestTokenFilters:
         d = TokenizerConfig(stopwords=frozenset())
         assert tokenize_query_text("supercalifragilistic", d) == \
             ["supercalifragilistic"]
+
+    def test_dont_bump_tags(self):
+        from swish_e_spark.textproc.extractor import extract
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_doc,
+        )
+
+        html = b"<html><body>one<div>two</div>three</body></html>"
+        cfg = TokenizerConfig(stopwords=frozenset())
+        _, _ = tokenize_doc(extract(html), cfg)
+        p_default, _ = tokenize_doc(extract(html), cfg)
+        p_nobump, _ = tokenize_doc(
+            extract(html, dont_bump_tags=frozenset({"div"})), cfg)
+        d = {t: p.positions for (f, t), p in p_default.items()}
+        n = {t: p.positions for (f, t), p in p_nobump.items()}
+        assert d["two"][0] - d["one"][0] == 2   # bumped: phrase gap
+        assert n["two"][0] - n["one"][0] == 1   # adjacent
