@@ -313,3 +313,40 @@ class TestNestedMetanames:
         plain.build()
         assert ("para", "nested") in plain.postings
         assert ("doc", "nested") not in plain.postings
+
+
+class TestEmbeddingApi:
+    def test_swish_api_lifecycle(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.api import SwishSparkEngine
+
+        pages = generate_pages_df(spark, 200, partitions=4)
+        urls = sorted(r.url for r in pages.select("url").collect())
+        d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+        build_index(spark, pages.filter(F.col("url") < urls[100]), d1,
+                    IndexConfig(**CFG), n_shards=1)
+        build_index(spark, pages.filter(F.col("url") >= urls[100]), d2,
+                    IndexConfig(**CFG), n_shards=1)
+
+        sw = SwishSparkEngine(spark, d1)
+        res = sw.query("pigs", k=5)
+        assert res.hits > 0
+        first = res.next_result()
+        assert first["reccount"] == 1 and first["url"]
+        rest = list(res)
+        assert len(rest) == res.hits - 1
+        res.seek(0)
+        again = res.next_result()
+        assert again["doc_id"] == first["doc_id"]
+
+        multi = SwishSparkEngine(spark, [d1, d2])
+        mres = multi.query("pigs", k=6)
+        ranks = [r["rank"] for r in mres]
+        assert ranks == sorted(ranks, reverse=True)
+        assert {r["index"] for r in mres} <= {0, 1}
+
+        stemmy = sw.fuzzy_word("Running")
+        assert stemmy == "running"  # stem off by default
+        hdr = sw.header()
+        assert hdr["doc_count"] > 0
