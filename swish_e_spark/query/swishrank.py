@@ -108,12 +108,18 @@ def scale_word_score(rank: int) -> int:
     return max(1, int(round(math.log(max(rank, 1)) * 10000)))
 
 
-def scheme0_rank(structs: bytes, dl: int) -> int:
+def scheme0_rank(structs: bytes, dl: int,
+                 ignore_total_word_count: bool = False) -> int:
     """Structure-weighted TF rank for one (doc, term)
-    (getrankDEF, /root/reference/src/rank.c:358-497)."""
+    (getrankDEF, /root/reference/src/rank.c:358-497). With
+    IgnoreTotalWordCountWhenRanking the log10(doc length) reduction is
+    skipped and the rank divides by 100 instead
+    (/root/reference/src/rank.c:470 vs 475-494)."""
     arr = np.frombuffer(structs[:FREQ_CAP], dtype=np.uint8)
     rank = 1 + int(STRUCT_MAP[arr].sum())
     rank = scale_word_score(rank)
+    if ignore_total_word_count:
+        return max(1, rank // 100)
     reduction = max(100, int(round(math.log10(max(dl, 1)) * 100)))
     return max(1, rank * 100 // reduction)
 
@@ -152,11 +158,12 @@ def display_scale(ranked: list[tuple[int, int]]) -> list[tuple[int, int]]:
 # --------------------------------------------------------------------
 
 def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
-                       scaled: bool = False):
+                       scaled: bool = False,
+                       ignore_total_word_count: bool = False):
     """Evaluate ``q`` over an OracleIndex with swish-compatible ranking.
     Returns [(doc_id, rank)] ordered (rank desc, doc_id asc)."""
     node = parse_query(q, oidx.cfg)
-    results = _o_eval(oidx, node, scheme)
+    results = _o_eval(oidx, node, (scheme, ignore_total_word_count))
     ranked = sorted(((d, r) for d, (r, _) in results.items()),
                     key=lambda t: (-t[1], t[0]))[:k]
     return display_scale(ranked) if scaled else ranked
@@ -173,7 +180,9 @@ def _o_total_words(oidx) -> int:
     return cached
 
 
-def _o_leaf(oidx, field: str, term: str, scheme: int):
+def _o_leaf(oidx, field: str, term: str, scheme):
+    scheme, ignore_twc = scheme if isinstance(scheme, tuple) \
+        else (scheme, False)
     slot = oidx.postings.get((field, term))
     if not slot:
         return {}
@@ -183,7 +192,7 @@ def _o_leaf(oidx, field: str, term: str, scheme: int):
         dl = oidx.docs[doc_id]["doc_len"]
         sb = bytes(structs)
         if scheme == 0:
-            r = scheme0_rank(sb, dl)
+            r = scheme0_rank(sb, dl, ignore_twc)
         else:
             r = scheme1_rank(sb, dl, df, oidx.n_docs,
                              _o_total_words(oidx))
@@ -300,7 +309,8 @@ RANKED_SCHEMA = "doc_id long, rank long, positions array<int>"
 
 
 def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
-                       scaled: bool = False):
+                       scaled: bool = False,
+                       ignore_total_word_count: bool = False):
     """Swish-compatible ranked top-k over the Spark engine's segments.
     Calls the SAME scalar rank functions as the oracle evaluator; only
     the execution is distributed. Returns [(doc_id, rank)]."""
@@ -314,7 +324,8 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
         stats = engine.handle.stats
         total_positions = engine.handle.meta.get("token_count", 0)
         result = _s_eval(engine, node, decoded, dfs, stats,
-                         total_positions, scheme)
+                         total_positions,
+                         (scheme, ignore_total_word_count))
         from pyspark.sql import functions as F
 
         rows = (result.select("doc_id", "rank")
@@ -328,6 +339,8 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
 
 def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
             scheme):
+    scheme, ignore_twc = scheme if isinstance(scheme, tuple) \
+        else (scheme, False)
     from pyspark.sql import functions as F
 
     df = dfs.get((field, term), 0)
@@ -345,7 +358,7 @@ def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
             for structs, dl in zip(pdf["structs"], pdf["dl"]):
                 sb = bytes(structs)
                 if scheme == 0:
-                    ranks.append(scheme0_rank(sb, int(dl)))
+                    ranks.append(scheme0_rank(sb, int(dl), ignore_twc))
                 else:
                     ranks.append(scheme1_rank(sb, int(dl), df, n_docs,
                                               total_positions))

@@ -428,3 +428,22 @@ class TestSearchInfo:
         assert hdr["removed_stopwords"] == 1  # "the"
         assert hdr["number_of_hits"] == len(hdr["results"]) <= 5
         assert hdr["run_time_s"] >= 0
+
+
+class TestIgnoreTotalWordCount:
+    def test_scheme0_toggle(self, spark, tmp_path_factory, oracle300):
+        out = str(tmp_path_factory.mktemp("itwc"))
+        pages = generate_pages_df(spark, N, partitions=6)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        for q in ["pigs", "pigs AND wolf"]:
+            got = spark_swish_search(eng, q, k=10, scheme=0,
+                                     ignore_total_word_count=True)
+            want = oracle_swish_query(oracle300, q, k=10, scheme=0,
+                                      ignore_total_word_count=True)
+            assert got == want
+        # the toggle changes ranks (no doc-length normalization)
+        a = oracle_swish_query(oracle300, "pigs", k=5, scheme=0)
+        b = oracle_swish_query(oracle300, "pigs", k=5, scheme=0,
+                               ignore_total_word_count=True)
+        assert [r for _, r in a] != [r for _, r in b]
