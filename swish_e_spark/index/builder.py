@@ -82,7 +82,7 @@ class IndexConfig:
     salt_partitions: int = 8     # reducer fan-out for heavy chunks
     salt_threshold: int = 4096   # partial df at/above which salt applies
     stem: bool = False
-    fuzzy: str = ""              # ""/"none"/"porter"/"soundex"
+    fuzzy: str = ""              # ""/"none"/"porter"/"soundex"/"metaphone"
                                  # (FuzzyIndexingMode,
                                  #  /root/reference/src/stemmer.c:117-145)
     index_comments: bool = False

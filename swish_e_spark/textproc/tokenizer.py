@@ -74,8 +74,8 @@ class TokenizerConfig:
     max_word_len: int = MAX_WORD_LEN
     translate: dict | None = None  # TranslateCharacters (None = default fold)
     fuzzy: str = ""  # FuzzyIndexingMode: ""(derive from stem)/"none"/
-                     # "porter"/"soundex" (fuzzy_opts dispatch,
-                     # /root/reference/src/stemmer.c:117-165)
+                     # "porter"/"soundex"/"metaphone" (fuzzy_opts
+                     # dispatch, /root/reference/src/stemmer.c:117-165)
     word_chars: str | None = None  # WordCharacters: chars that form a
                      # word (None = default a-z0-9; defaults
                      # /root/reference/src/config.h:253). Regex-escaped
@@ -127,6 +127,10 @@ class TokenizerConfig:
             from .soundex import soundex
 
             return soundex
+        if mode == "metaphone":
+            from .metaphone import metaphone
+
+            return lambda w: metaphone(w).lower()
         if mode == "none":
             return None
         raise ValueError(f"unknown fuzzy mode {mode!r}")

@@ -104,3 +104,41 @@ class TestIgnoreLimit:
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
         with pytest.raises(WordsTooCommon):
             eng.search(stopped[0], k=5)
+
+
+class TestMetaphone:
+    @pytest.mark.parametrize("a,b", [
+        ("Thompson", "Thomson"), ("phone", "fone"),
+        ("night", "knight")])
+    def test_collisions(self, a, b):
+        from swish_e_spark.textproc.metaphone import metaphone
+
+        assert metaphone(a) == metaphone(b)
+
+    def test_distinct_words_differ(self):
+        from swish_e_spark.textproc.metaphone import metaphone
+
+        assert metaphone("school") != metaphone("ghost")
+        assert metaphone("judge") == "JJ"
+
+    def test_metaphone_index_end_to_end(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rows = [("a0.txt", "thompson wrote code"),
+                ("a1.txt", "thomson reviewed it"),
+                ("a2.txt", "unrelated words")]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path / "mp")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, fuzzy="metaphone",
+                                stopwords=()), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        hits = {d for d, _ in eng.search("thompson", k=10)}
+        assert hits == {0, 1}
