@@ -101,12 +101,18 @@ def main():
             times[name] = round(time.time() - t0, 3)
 
         # block-max WAND path (auto-gated to big indexes; force here so
-        # the pruned plan is exercised and timed at bench scale)
+        # the pruned plan is exercised and timed at bench scale), with
+        # the SAME query run exhaustively for a like-for-like contrast
+        t0 = time.time()
+        engine.search_df("common0 OR wolf", 10, wand="off").collect()
+        times["q_wand_exhaustive"] = round(time.time() - t0, 3)
         t0 = time.time()
         engine.search_df("common0 OR wolf", 10, wand="force").collect()
         times["q_wand_forced"] = round(time.time() - t0, 3)
         times["wand_chunks_pruned"] = engine.last_wand_stats.get(
             "chunks_pruned", 0)
+        times["wand_blocks_pruned"] = engine.last_wand_stats.get(
+            "blocks_pruned", 0)
 
         total = round(time.time() - t_all, 3)
         out = {

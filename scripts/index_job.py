@@ -28,7 +28,9 @@ def main(argv=None):
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--stem", action="store_true")
     p.add_argument("--fuzzy", default="",
-                   choices=["", "none", "porter", "soundex"])
+                   help="FuzzyIndexingMode: none/porter/soundex/"
+                        "metaphone/doublemetaphone/snowball_XX "
+                        "(validated by TokenizerConfig.fuzzy_fn)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)

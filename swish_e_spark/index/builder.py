@@ -101,6 +101,11 @@ class IndexConfig:
     number_chars: str = ""          # NumberChars
     begin_chars: str = ""           # BeginCharacters
     end_chars: str = ""             # EndCharacters
+    rank_biases: tuple = ()   # ((metaname, bias), ...) with bias in
+                              # [-10, 10] — metaEntry rank_bias for the
+                              # swish-compat rank schemes (MetaNamesRank,
+                              # /root/reference/src/swish.h:367,378;
+                              # applied /root/reference/src/rank.c:394,574)
     flush_docs: int = 10000      # map-side combine flush interval
                                  # (INDEX_DEFAULT_CHUNK_SIZE,
                                  #  /root/reference/src/config.h:346)
@@ -708,6 +713,9 @@ class IndexHandle:
             self._stats = {
                 "n_docs": int(n),
                 "avgdl": float(row["total_len"] / n) if n else 0.0,
+                # Σ doc_len over LIVE docs — TotalWordPos for swish
+                # scheme-1 ranking (/root/reference/src/rank.c:648)
+                "total_len": int(row["total_len"] or 0),
             }
         return self._stats
 

@@ -83,6 +83,7 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
         docs_parts.append(
             src_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
             .withColumn("src_order", F.lit(src_i)))
+        src_bases = meta.get("shard_bases", {}) or {}
         for name in sorted(os.listdir(os.path.join(src, "segments"))):
             if not name.startswith("shard="):
                 continue
@@ -93,7 +94,12 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
             if os.path.isdir(term_dir):
                 _copy_tree(term_dir, os.path.join(out_dir, "terms",
                                                   f"shard={out_shard}"))
-            shard_bases[str(out_shard)] = base
+            # a source that is itself a merged (non-compacted) index has
+            # its own per-shard rebase; compose the offsets so nested
+            # merges decode the right doc ids
+            orig_shard_id = name.split("=", 1)[1]
+            shard_bases[str(out_shard)] = base + int(
+                src_bases.get(orig_shard_id, 0))
             out_shard += 1
         # carry forward tombstones of the source itself
         src_removed = os.path.join(src, "removed")

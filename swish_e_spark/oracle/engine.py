@@ -185,9 +185,13 @@ class OracleIndex:
         if isinstance(node, And):
             left = self._eval(node.left, mask)
             right = self._eval(node.right, mask)
+            # concat UNSORTED, as the reference's andresultlists does
+            # (CopyPositions l then r, /root/reference/src/search.c:
+            # 2300-2304) — preserves NEAR series separators for an
+            # enclosing NEAR
             return {
                 d: (left[d][0] + right[d][0],
-                    sorted(left[d][1] + right[d][1]))
+                    left[d][1] + right[d][1])
                 for d in left.keys() & right.keys()
             }
         if isinstance(node, Or):
@@ -209,14 +213,19 @@ class OracleIndex:
             child = self._eval(node.child, mask)
             return {d: (1000.0, []) for d in self.docs if d not in child}
         if isinstance(node, Near):
+            from ..query.positional import near_chain
+
             left = self._eval(node.left, mask)
             right = self._eval(node.right, mask)
             out = {}
             for d in left.keys() & right.keys():
-                lpos, rpos = left[d][1], right[d][1]
-                if _near_match(lpos, rpos, node.distance):
-                    out[d] = (left[d][0] + right[d][0],
-                              sorted(lpos + rpos))
+                # left posdata may carry 0-separated series from an
+                # earlier NEAR in the chain — the area rule
+                # (/root/reference/src/search.c:1915-1975)
+                merged = near_chain(left[d][1], right[d][1],
+                                    node.distance)
+                if merged is not None:
+                    out[d] = (left[d][0] + right[d][0], merged)
             return out
         raise TypeError(f"unknown node {node!r}")
 
@@ -273,16 +282,3 @@ class OracleIndex:
 
     def match_count(self, q: str) -> int:
         return len(self._eval(parse_query(q, self.cfg), None))
-
-
-def _near_match(lpos, rpos, d):
-    i = j = 0
-    while i < len(lpos) and j < len(rpos):
-        diff = lpos[i] - rpos[j]
-        if abs(diff) <= d:
-            return True
-        if diff < 0:
-            i += 1
-        else:
-            j += 1
-    return False

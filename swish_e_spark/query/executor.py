@@ -118,6 +118,72 @@ def _decode_kernel(batches, need_positions: bool, structure_mask,
             yield pd.concat(frames, ignore_index=True)
 
 
+def _wand_block_kernel(batches, prune: dict, theta: float,
+                       avgdl: float, bases: dict, acc=None):
+    """TF-only decode for the WAND main pass with BLOCK-granularity
+    skipping: per 128-doc block, ub = idf*impact(block_max_tf,
+    block_min_dl) + Σ other-leaves' global upper bounds; blocks with
+    ub < θ are dropped BEFORE their postings are materialized (the
+    block-max part of the north rule; contrast the reference, which
+    scores every posting — /root/reference/src/search.c:1766-1813).
+
+    Safety: a doc in a dropped block of leaf t has true score ≤
+    ub_block(t) + others < θ ≤ true k-th score, so it cannot enter the
+    top-k; docs partially scored due to the drop only score LOWER.
+    ``prune`` maps scoring (field, term) -> (idf, others); aux leaves
+    (AndNot right sides) are absent and always fully decoded. ``acc``
+    is a Spark accumulator counting pruned blocks.
+    """
+    import numpy as np
+
+    from ..codec.postings import BLOCK_SIZE, unpack_posting_list
+
+    for pdf in batches:
+        frames = []
+        for rec in pdf.to_dict("records"):
+            bmask = None
+            info = prune.get((rec["field"], rec["term"]))
+            if info is not None and theta > 0.0:
+                idf, others = info
+                btf = np.asarray(rec["block_max_tf"], dtype=np.float64)
+                bdl = np.asarray(rec["block_min_dl"], dtype=np.float64)
+                ub = idf * (btf * (K1 + 1.0)) / (
+                    btf + K1 * (1.0 - B + B * bdl / avgdl)) + others
+                bmask = ub >= theta
+                if not bmask.any():
+                    if acc is not None:
+                        acc.add(len(bmask))
+                    continue  # whole chunk below θ: skip the unpack
+                if bmask.all():
+                    bmask = None
+                elif acc is not None:
+                    acc.add(int((~bmask).sum()))
+            doc_ids, tfs, _pos, _st, dls = unpack_posting_list(
+                rec["docs_bin"], rec["tfs_bin"], None, None,
+                rec["dls_bin"])
+            rebase = int(bases.get(int(rec["shard"]), 0)) \
+                if bases else 0
+            if rebase:
+                doc_ids = doc_ids + rebase
+            if bmask is not None:
+                n = len(doc_ids)
+                sizes = np.full(len(bmask), BLOCK_SIZE, dtype=np.int64)
+                sizes[-1] = n - BLOCK_SIZE * (len(bmask) - 1)
+                keep = np.repeat(bmask, sizes)
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                if not len(doc_ids):
+                    continue
+            n = len(doc_ids)
+            frames.append(pd.DataFrame({
+                "field": np.repeat(rec["field"], n),
+                "term": np.repeat(rec["term"], n),
+                "doc_id": doc_ids, "tf": tfs, "dl": dls,
+                "positions": [None] * n, "structs": [None] * n,
+            }))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
 def _needs_positions(node) -> bool:
     if isinstance(node, (Phrase, Near)):
         return True
@@ -540,29 +606,51 @@ class SparkQueryEngine:
         main_scan = scan_for(keep)
         if main_scan is None:
             return self._empty(False).select("doc_id", "score").limit(0)
-        out = (decode_eval(main_scan)
+        # main pass: surviving chunks decode with BLOCK-granularity
+        # skipping against θ (the finer bound the chunk-level test
+        # cannot apply — a head term's every chunk tends to contain one
+        # good block, but most of its 128-doc blocks don't clear θ)
+        acc = self.spark.sparkContext.accumulator(0)
+        prune = {key: (idf_by_leaf[key], total_gub - gub[key])
+                 for key in gub}
+        out = (self._wand_decode_eval(node, main_scan, df_by_leaf,
+                                      stats, limits, prune, theta, acc)
                .select("doc_id", "score")
                .orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(k))
-        return out.localCheckpoint()
+        out = out.localCheckpoint()
+        self.last_wand_stats["blocks_pruned"] = acc.value
+        return out
 
     def _wand_decode_eval(self, node, sub_scan, df_by_leaf, stats,
-                          limits):
+                          limits, prune: dict | None = None,
+                          theta: float = 0.0, acc=None):
         """Decode a chunk scan (TF-only) and evaluate the query node,
-        applying prop limits — shared by both WAND planners."""
+        applying prop limits — shared by both WAND planners. With
+        ``prune``/``theta`` set, the decode kernel skips individual
+        128-doc blocks whose score upper bound is below θ
+        (_wand_block_kernel)."""
         from pyspark.sql import functions as F
 
         bases = self.handle.shard_bases
-        if bases:
-            expr = F.lit(0).cast("long")
-            for sid, b2 in bases.items():
-                expr = F.when(F.col("shard") == sid,
-                              F.lit(b2).cast("long")).otherwise(expr)
-            sub_scan = sub_scan.withColumn("base", expr)
-        decoded = (sub_scan.drop("pos_bin", "structs_bin")
-                   .mapInPandas(
-                       lambda it: _decode_kernel(it, False, None),
-                       schema=DECODED_SCHEMA))
+        if prune is not None:
+            sub_scan = sub_scan.drop("pos_bin", "structs_bin")
+            decoded = sub_scan.mapInPandas(
+                lambda it: _wand_block_kernel(
+                    it, prune, theta, max(stats["avgdl"], 1e-9),
+                    bases, acc),
+                schema=DECODED_SCHEMA)
+        else:
+            if bases:
+                expr = F.lit(0).cast("long")
+                for sid, b2 in bases.items():
+                    expr = F.when(F.col("shard") == sid,
+                                  F.lit(b2).cast("long")).otherwise(expr)
+                sub_scan = sub_scan.withColumn("base", expr)
+            decoded = (sub_scan.drop("pos_bin", "structs_bin")
+                       .mapInPandas(
+                           lambda it: _decode_kernel(it, False, None),
+                           schema=DECODED_SCHEMA))
         result = self._eval(node, decoded, df_by_leaf, stats)
         if limits:
             docs = self.handle.live_docs()
@@ -664,12 +752,17 @@ class SparkQueryEngine:
         main_scan = scan.filter(bound >= F.lit(theta))
         self.last_wand_stats = {"mode": "distributed", "theta": theta,
                                 "seed_chunks": len(seed_keys)}
+        acc = self.spark.sparkContext.accumulator(0)
+        prune = {key: (idf_by_leaf[key], total_gub - gub[key])
+                 for key in gub}
         out = (self._wand_decode_eval(node, main_scan, df_by_leaf,
-                                      stats, limits)
+                                      stats, limits, prune, theta, acc)
                .select("doc_id", "score")
                .orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(k))
-        return out.localCheckpoint()
+        out = out.localCheckpoint()
+        self.last_wand_stats["blocks_pruned"] = acc.value
+        return out
 
     # ---- evaluation ----
 
@@ -689,8 +782,12 @@ class SparkQueryEngine:
                                        force=(wand == "force"))
             if pruned is not None:
                 return pruned
+        # single-leaf fast path: the decoded scan feeds exactly one
+        # consumer, so persist + checkpoint (two extra jobs at query
+        # latency) buy nothing — return the lazy one-job plan
+        single = isinstance(node, Term)
         decoded = self._decoded(node, structure_mask)
-        if decoded is not None:
+        if decoded is not None and not single:
             decoded = decoded.persist()
         stats = self.handle.stats
         dfs = self._term_stats(node, decoded, structure_mask) \
@@ -708,10 +805,11 @@ class SparkQueryEngine:
             out = (result.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(k))
-            out = out.localCheckpoint()  # materialize before unpersist
+            if not single:
+                out = out.localCheckpoint()  # materialize pre-unpersist
             return out
         finally:
-            if decoded is not None:
+            if decoded is not None and not single:
                 decoded.unpersist()
 
     def search(self, q: str, k: int = 10, structure_mask=None,
@@ -732,8 +830,9 @@ class SparkQueryEngine:
         from pyspark.sql import functions as F
 
         node = parse_query(q, self.cfg)
+        single = isinstance(node, Term)
         decoded = self._decoded(node, structure_mask)
-        if decoded is not None:
+        if decoded is not None and not single:
             decoded = decoded.persist()
         stats = self.handle.stats
         dfs = self._term_stats(node, decoded, structure_mask) \
@@ -748,9 +847,10 @@ class SparkQueryEngine:
                     cond = c if cond is None else cond & c
                 result = result.join(docs.filter(cond).select("doc_id"),
                                      "doc_id", "left_semi")
-            return result.select("doc_id", "score").localCheckpoint()
+            result = result.select("doc_id", "score")
+            return result if single else result.localCheckpoint()
         finally:
-            if decoded is not None:
+            if decoded is not None and not single:
                 decoded.unpersist()
 
     def _leaf_term(self, decoded, field, term, dfs, stats, with_pos):
@@ -812,15 +912,18 @@ class SparkQueryEngine:
         if isinstance(node, And):
             left = self._eval(node.left, decoded, dfs, stats)
             right = self._eval(node.right, decoded, dfs, stats)
+            # unsorted concat, as andresultlists copies l then r
+            # (/root/reference/src/search.c:2300-2304) — preserves
+            # NEAR series separators for an enclosing NEAR
             return (left.alias("l").join(right.alias("r"), "doc_id")
                     .select("doc_id",
                             (F.col("l.score") + F.col("r.score"))
                             .alias("score"),
-                            F.array_sort(F.concat(
+                            F.concat(
                                 F.coalesce(F.col("l.positions"),
                                            F.array().cast("array<int>")),
                                 F.coalesce(F.col("r.positions"),
-                                           F.array().cast("array<int>"))))
+                                           F.array().cast("array<int>")))
                             .alias("positions")))
         if isinstance(node, Or):
             left = self._eval(node.left, decoded, dfs, stats)
@@ -867,34 +970,28 @@ class SparkQueryEngine:
         def check(batches):
             import numpy as np
 
+            from .positional import batch_phrase
+
             for pdf in batches:
-                keep = []
-                allpos = []
-                for row in pdf.itertuples(index=False):
-                    psets = [set(getattr(row, f"p{j}"))
-                             for j in range(nterms)]
-                    base = getattr(row, "p0")
-                    ok = any(
-                        all(p - offsets[0] + offsets[j] in psets[j]
-                            for j in range(nterms))
-                        for p in base)
-                    keep.append(ok)
-                    if ok:
-                        merged = np.sort(np.concatenate(
-                            [np.asarray(getattr(row, f"p{j}"),
-                                        dtype="int32")
-                             for j in range(nterms)]))
-                        allpos.append(merged)
-                    else:
-                        allpos.append(None)
-                sub = pdf[pd.Series(keep, index=pdf.index)]
+                if not len(pdf):
+                    continue
+                p_lists = [
+                    [np.asarray(a, dtype=np.int64)
+                     for a in pdf[f"p{j}"]]
+                    for j in range(nterms)]
+                ok = batch_phrase(p_lists, offsets)
+                sub = pdf[ok]
                 if len(sub):
                     score = sum(sub[f"s{j}"] for j in range(nterms))
+                    kept = np.flatnonzero(ok)
+                    allpos = [
+                        np.sort(np.concatenate(
+                            [p_lists[j][i] for j in range(nterms)]))
+                        .astype("int32") for i in kept]
                     yield pd.DataFrame({
                         "doc_id": sub["doc_id"],
                         "score": score,
-                        "positions": [p for p, k in zip(allpos, keep)
-                                      if k],
+                        "positions": allpos,
                     })
 
         return joined.mapInPandas(
@@ -914,29 +1011,18 @@ class SparkQueryEngine:
         d = node.distance
 
         def check(batches):
-            import numpy as np
+            from .positional import near_batch
 
             for pdf in batches:
-                keep = []
-                merged_all = []
-                for row in pdf.itertuples(index=False):
-                    lp = np.sort(np.asarray(row.pl, dtype="int64"))
-                    rp = np.sort(np.asarray(row.pr, dtype="int64"))
-                    i = np.searchsorted(rp, lp - d, side="left")
-                    ok = bool(np.any((i < len(rp))
-                                     & (np.take(rp, np.minimum(
-                                         i, len(rp) - 1)) <= lp + d)))
-                    keep.append(ok)
-                    merged_all.append(
-                        np.sort(np.concatenate([lp, rp])).astype("int32")
-                        if ok else None)
-                sub = pdf[pd.Series(keep, index=pdf.index)]
+                if not len(pdf):
+                    continue
+                keep, merged = near_batch(pdf["pl"], pdf["pr"], d)
+                sub = pdf[keep]
                 if len(sub):
                     yield pd.DataFrame({
                         "doc_id": sub["doc_id"],
                         "score": sub["sl"] + sub["sr"],
-                        "positions": [m for m, k in zip(merged_all, keep)
-                                      if k],
+                        "positions": merged,
                     })
 
         return joined.mapInPandas(

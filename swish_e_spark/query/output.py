@@ -106,6 +106,12 @@ def format_results(rows: list[dict], fmt: str = '%r %p "%t" %l',
     (printPropertyResultControl,
     /root/reference/src/result_output.c:659-777)."""
     fmt = fmt.replace("\\n", "\n").replace("\\t", "\t")
+    if delimiter is not None:
+        # -d replaces the separators BETWEEN output fields, never
+        # spaces inside property values (printResultOutput,
+        # /root/reference/src/result_output.c): substitute in the
+        # template before interpolation
+        fmt = fmt.replace(" ", delimiter)
     out = []
     for row in rows:
         def sub(m):
@@ -118,10 +124,7 @@ def format_results(rows: list[dict], fmt: str = '%r %p "%t" %l',
             return _fmt_val(row.get(_prop_col(prop), row.get(prop)),
                             pfmt)
 
-        line = _FMT_RE.sub(sub, fmt)
-        if delimiter is not None:
-            line = line.replace(" ", delimiter)
-        out.append(line)
+        out.append(_FMT_RE.sub(sub, fmt))
     return out
 
 

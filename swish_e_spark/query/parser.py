@@ -177,6 +177,10 @@ class _Parser:
                 rhs = self.parse_unit(field)
                 if node is None or rhs is None:
                     node = node or rhs
+                elif d == 0:
+                    # near0 degrades to plain AND
+                    # (/root/reference/src/search.c:1997-1999)
+                    node = And(node, rhs)
                 else:
                     node = Near(node, rhs, d)
             else:
@@ -232,6 +236,11 @@ class _Parser:
         if tok.startswith('"'):
             words = tokenize_query_text(tok.strip('"'), self.cfg)
             self.dropped_stopwords += sum(1 for w in words if w is None)
+            # inside phrases a dual-code word (DoubleMetaphone) keeps
+            # its primary code — positional adjacency over an OR
+            # expansion has no reference semantics to mirror
+            words = [w[0] if isinstance(w, tuple) else w
+                     for w in words]
             # trim leading/trailing gaps
             while words and words[0] is None:
                 words.pop(0)
@@ -272,10 +281,19 @@ class _Parser:
         if wildcard:
             if len(words) != 1:
                 raise QueryError(f"bad wildcard token: {tok!r}")
-            return Prefix(field, words[0])
+            w0 = words[0]
+            return Prefix(field, w0[0] if isinstance(w0, tuple)
+                          else w0)
         if len(words) == 1:
-            return Term(field, words[0])
+            w0 = words[0]
+            if isinstance(w0, tuple):
+                # DoubleMetaphone query expansion: word -> (a OR b)
+                # (/root/reference/src/swish_words.c:342-353)
+                return Or(Term(field, w0[0]), Term(field, w0[1]))
+            return Term(field, w0)
         # a token like "mother-in-law" sub-splits: implicit phrase
+        # (dual-code words keep the primary, as in quoted phrases)
+        words = [w[0] if isinstance(w, tuple) else w for w in words]
         return Phrase(field, tuple(words))
 
 

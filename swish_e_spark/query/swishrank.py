@@ -103,38 +103,65 @@ STRUCT_MAP = _build_struct_map()
 
 
 def scale_word_score(rank: int) -> int:
-    """round(ln(rank)*10000), min 1
-    (/root/reference/src/rank.c:773-785)."""
-    return max(1, int(round(math.log(max(rank, 1)) * 10000)))
+    """round(ln(rank)*10000) — the reference's swish_log[] table for
+    rank<=1000 and floor(log(rank)*10000 + 0.5) beyond; both are
+    round-to-nearest of the same quantity, so one expression covers the
+    whole range (scale_word_score /root/reference/src/rank.c:773-785,
+    table /root/reference/src/rank.c:36-139). scale(1) == 0, as in the
+    table."""
+    return int(math.floor(math.log(max(rank, 1)) * 10000 + 0.5))
+
+
+def _scheme0_reduction(words: int) -> int:
+    """The log10(total-words) reduction, stepped exactly as the
+    reference (/root/reference/src/rank.c:475-494): <=10 words ->
+    10000; 10<words<=1000 -> swish_log10[words] (round-to-nearest of
+    10000*log10); 1000<words<100000 -> 10000*round(log10(words));
+    >=100000 -> 50000."""
+    if words <= 10:
+        return 10000
+    if words > 1000:
+        if words >= 100000:
+            return 50000
+        return int(10000 * math.floor(math.log10(float(words)) + 0.5))
+    return int(math.floor(math.log10(words) * 10000 + 0.5))
 
 
 def scheme0_rank(structs: bytes, dl: int,
-                 ignore_total_word_count: bool = False) -> int:
+                 ignore_total_word_count: bool = True,
+                 bias: int = 0) -> int:
     """Structure-weighted TF rank for one (doc, term)
-    (getrankDEF, /root/reference/src/rank.c:358-497). With
-    IgnoreTotalWordCountWhenRanking the log10(doc length) reduction is
-    skipped and the rank divides by 100 instead
-    (/root/reference/src/rank.c:470 vs 475-494)."""
+    (getrankDEF, /root/reference/src/rank.c:358-497). ``bias`` is the
+    metaname's rank_bias in [-10, 10], added per position inside the
+    capped loop (/root/reference/src/rank.c:394,418-426).
+    IgnoreTotalWordCountWhenRanking defaults ON (the reference default,
+    /root/reference/src/list.c:188): rank//100, no length reduction
+    (/root/reference/src/rank.c:469-470); OFF applies the stepped
+    log10(doc length) reduction (/root/reference/src/rank.c:475-494)."""
     arr = np.frombuffer(structs[:FREQ_CAP], dtype=np.uint8)
-    rank = 1 + int(STRUCT_MAP[arr].sum())
+    rank = 1 + int(STRUCT_MAP[arr].sum()) + bias * len(arr)
+    if rank < 1:
+        rank = 1
     rank = scale_word_score(rank)
     if ignore_total_word_count:
-        return max(1, rank // 100)
-    reduction = max(100, int(round(math.log10(max(dl, 1)) * 100)))
-    return max(1, rank * 100 // reduction)
+        return rank // 100
+    return rank * 100 // _scheme0_reduction(max(dl, 1))
 
 
 def scheme1_rank(structs: bytes, dl: int, df: int, n_docs: int,
-                 total_positions: int) -> int:
+                 total_positions: int, bias: int = 0) -> int:
     """IDF/density rank for one (doc, term)
-    (getrankIDF, /root/reference/src/rank.c:524-771)."""
+    (getrankIDF, /root/reference/src/rank.c:524-771). ``bias`` is the
+    metaname rank_bias, added to the structure weight per position
+    (/root/reference/src/rank.c:574,713-726)."""
     idf = max(1, int(math.log(max(n_docs // max(df, 1), 1)) * 1000))
     avg_words = max(total_positions // max(n_docs, 1), 1)
     tf = len(structs)
     density = max(1, ((avg_words * 1000) // max(dl, 1)) * tf)
     word_weight = density * idf // 100
     arr = np.frombuffer(structs, dtype=np.uint8)
-    rank = 1 + int(word_weight * STRUCT_MAP[arr].sum())
+    rank = 1 + int(word_weight * (int(STRUCT_MAP[arr].sum())
+                                  + bias * tf))
     return scale_word_score(max(rank, 1))
 
 
@@ -159,11 +186,15 @@ def display_scale(ranked: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
                        scaled: bool = False,
-                       ignore_total_word_count: bool = False):
+                       ignore_total_word_count: bool = True,
+                       rank_biases: dict | None = None):
     """Evaluate ``q`` over an OracleIndex with swish-compatible ranking.
-    Returns [(doc_id, rank)] ordered (rank desc, doc_id asc)."""
+    ``rank_biases`` maps metaname -> bias in [-10, 10] (metaEntry
+    rank_bias, /root/reference/src/swish.h:367,378). Returns
+    [(doc_id, rank)] ordered (rank desc, doc_id asc)."""
     node = parse_query(q, oidx.cfg)
-    results = _o_eval(oidx, node, (scheme, ignore_total_word_count))
+    results = _o_eval(oidx, node, (scheme, ignore_total_word_count,
+                                   rank_biases or {}))
     ranked = sorted(((d, r) for d, (r, _) in results.items()),
                     key=lambda t: (-t[1], t[0]))[:k]
     return display_scale(ranked) if scaled else ranked
@@ -180,9 +211,18 @@ def _o_total_words(oidx) -> int:
     return cached
 
 
+def _scheme_opts(scheme):
+    """Normalize the scheme parameter to (scheme, ignore_twc, biases)."""
+    if isinstance(scheme, tuple):
+        if len(scheme) == 2:
+            return scheme[0], scheme[1], {}
+        return scheme
+    return scheme, True, {}
+
+
 def _o_leaf(oidx, field: str, term: str, scheme):
-    scheme, ignore_twc = scheme if isinstance(scheme, tuple) \
-        else (scheme, False)
+    scheme, ignore_twc, biases = _scheme_opts(scheme)
+    bias = int(biases.get(field, 0))
     slot = oidx.postings.get((field, term))
     if not slot:
         return {}
@@ -192,10 +232,10 @@ def _o_leaf(oidx, field: str, term: str, scheme):
         dl = oidx.docs[doc_id]["doc_len"]
         sb = bytes(structs)
         if scheme == 0:
-            r = scheme0_rank(sb, dl, ignore_twc)
+            r = scheme0_rank(sb, dl, ignore_twc, bias)
         else:
             r = scheme1_rank(sb, dl, df, oidx.n_docs,
-                             _o_total_words(oidx))
+                             _o_total_words(oidx), bias)
         out[doc_id] = (r, list(positions))
     return out
 
@@ -218,16 +258,26 @@ def _o_eval(oidx, node, scheme: int, _level: int = 1):
     if isinstance(node, Phrase):
         return _o_phrase(oidx, node, scheme)
     if isinstance(node, (And, Near)):
+        from .positional import near_chain
+
         left = _o_eval(oidx, node.left, scheme, _level)
         right = _o_eval(oidx, node.right, scheme, 1)
         level = _and_level(node.left)
         out = {}
         for d in left.keys() & right.keys():
-            if isinstance(node, Near) and not _near_ok(
-                    left[d][1], right[d][1], node.distance):
-                continue
+            if isinstance(node, Near):
+                # chained-NEAR area semantics (KeepPos,
+                # /root/reference/src/search.c:1915-1975)
+                pos = near_chain(left[d][1], right[d][1],
+                                 node.distance)
+                if pos is None:
+                    continue
+            else:
+                # unsorted concat (andresultlists,
+                # /root/reference/src/search.c:2300-2304)
+                pos = left[d][1] + right[d][1]
             r = (left[d][0] * level + right[d][0]) // (level + 1)
-            out[d] = (max(r, 1), sorted(left[d][1] + right[d][1]))
+            out[d] = (max(r, 1), pos)
         return out
     if isinstance(node, Or):
         left = _o_eval(oidx, node.left, scheme)
@@ -258,19 +308,6 @@ def _and_level(left_node) -> int:
         lvl += 1
         n = n.left
     return lvl
-
-
-def _near_ok(lpos, rpos, d):
-    i = j = 0
-    while i < len(lpos) and j < len(rpos):
-        diff = lpos[i] - rpos[j]
-        if abs(diff) <= d:
-            return True
-        if diff < 0:
-            i += 1
-        else:
-            j += 1
-    return False
 
 
 def _o_phrase(oidx, node: Phrase, scheme: int):
@@ -310,22 +347,33 @@ RANKED_SCHEMA = "doc_id long, rank long, positions array<int>"
 
 def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
                        scaled: bool = False,
-                       ignore_total_word_count: bool = False):
+                       ignore_total_word_count: bool = True,
+                       rank_biases: dict | None = None):
     """Swish-compatible ranked top-k over the Spark engine's segments.
     Calls the SAME scalar rank functions as the oracle evaluator; only
-    the execution is distributed. Returns [(doc_id, rank)]."""
+    the execution is distributed. ``rank_biases`` defaults to the
+    index config's persisted per-metaname biases. Returns
+    [(doc_id, rank)]."""
     node = parse_query(q, engine.cfg)
     decoded = engine._decoded(node, None, need_structs=True)
     if decoded is None:
         return []
+    if rank_biases is None:
+        rank_biases = dict(getattr(engine.handle.cfg, "rank_biases",
+                                   ()) or ())
     decoded = decoded.persist()
     try:
         dfs = engine._term_stats(node, decoded, None)
         stats = engine.handle.stats
-        total_positions = engine.handle.meta.get("token_count", 0)
+        # TotalWordPos over LIVE docs (sum of doc_len net of
+        # tombstones, same quantity as the oracle's _o_total_words) —
+        # the manifest token_count still counts superseded docs after
+        # an update/merge (sw->TotalWordPos,
+        # /root/reference/src/rank.c:648)
+        total_positions = stats["total_len"]
         result = _s_eval(engine, node, decoded, dfs, stats,
                          total_positions,
-                         (scheme, ignore_total_word_count))
+                         (scheme, ignore_total_word_count, rank_biases))
         from pyspark.sql import functions as F
 
         rows = (result.select("doc_id", "rank")
@@ -339,8 +387,8 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
 
 def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
             scheme):
-    scheme, ignore_twc = scheme if isinstance(scheme, tuple) \
-        else (scheme, False)
+    scheme, ignore_twc, biases = _scheme_opts(scheme)
+    bias = int(biases.get(field, 0))
     from pyspark.sql import functions as F
 
     df = dfs.get((field, term), 0)
@@ -358,10 +406,11 @@ def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
             for structs, dl in zip(pdf["structs"], pdf["dl"]):
                 sb = bytes(structs)
                 if scheme == 0:
-                    ranks.append(scheme0_rank(sb, int(dl), ignore_twc))
+                    ranks.append(scheme0_rank(sb, int(dl), ignore_twc,
+                                              bias))
                 else:
                     ranks.append(scheme1_rank(sb, int(dl), df, n_docs,
-                                              total_positions))
+                                              total_positions, bias))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "rank": ranks,
                                 "positions": pdf["positions"]})
 
@@ -407,30 +456,22 @@ def _s_eval(engine, node, decoded, dfs, stats, total_positions, scheme,
             d = node.distance
 
             def near_kernel(batches):
-                import numpy as np
                 import pandas as pd
 
+                from .positional import near_batch
+
                 for pdf in batches:
-                    keep, merged = [], []
-                    for row in pdf.itertuples(index=False):
-                        lp = sorted(row.pl if row.pl is not None else [])
-                        rp = sorted(row.pr if row.pr is not None else [])
-                        ok = _near_ok(lp, rp, d)
-                        keep.append(ok)
-                        merged.append(
-                            np.sort(np.concatenate(
-                                [np.asarray(lp, "int32"),
-                                 np.asarray(rp, "int32")]))
-                            if ok else None)
-                    sub = pdf[pd.Series(keep, index=pdf.index)]
+                    if not len(pdf):
+                        continue
+                    keep, merged = near_batch(pdf["pl"], pdf["pr"], d)
+                    sub = pdf[keep]
                     if len(sub):
                         rank = (sub["rl"] * level + sub["rr"]) \
                             // (level + 1)
                         yield pd.DataFrame({
                             "doc_id": sub["doc_id"],
                             "rank": rank.clip(lower=1),
-                            "positions": [m for m, kq in
-                                          zip(merged, keep) if kq]})
+                            "positions": merged})
 
             return joined.mapInPandas(near_kernel, schema=RANKED_SCHEMA)
         return joined.select(
@@ -438,9 +479,11 @@ def _s_eval(engine, node, decoded, dfs, stats, total_positions, scheme,
             F.greatest((F.col("rl") * level + F.col("rr"))
                        .cast("long") / F.lit(level + 1),
                        F.lit(1)).cast("long").alias("rank"),
-            F.array_sort(F.concat(
+            # unsorted concat preserves NEAR series separators
+            # (andresultlists, /root/reference/src/search.c:2300-2304)
+            F.concat(
                 F.coalesce(F.col("pl"), F.array().cast("array<int>")),
-                F.coalesce(F.col("pr"), F.array().cast("array<int>"))))
+                F.coalesce(F.col("pr"), F.array().cast("array<int>")))
             .alias("positions"))
     if isinstance(node, Or):
         left = rec(node.left)
@@ -490,26 +533,27 @@ def _s_phrase(engine, node: Phrase, decoded, dfs, stats,
         import numpy as np
         import pandas as pd
 
+        from .positional import batch_phrase
+
         for pdf in batches:
-            out_rows = []
-            for row in pdf.itertuples(index=False):
-                psets = [set(getattr(row, f"p{j}"))
-                         for j in range(nterms)]
-                ok = any(all(p - offsets[0] + offsets[j] in psets[j]
-                             for j in range(nterms))
-                         for p in getattr(row, "p0"))
-                if not ok:
-                    continue
-                rank = getattr(row, "r0")
-                allpos = list(getattr(row, "p0"))
+            if not len(pdf):
+                continue
+            p_lists = [
+                [np.asarray(a, dtype=np.int64) for a in pdf[f"p{j}"]]
+                for j in range(nterms)]
+            ok = batch_phrase(p_lists, offsets)
+            sub = pdf[ok]
+            if len(sub):
+                rank = sub["r0"]
                 for j in range(1, nterms):
-                    rank = (rank + getattr(row, f"r{j}")) // 2
-                    allpos.extend(getattr(row, f"p{j}"))
-                out_rows.append((row.doc_id, max(int(rank), 1),
-                                 np.sort(np.asarray(allpos, "int32"))))
-            if out_rows:
-                yield pd.DataFrame(out_rows,
-                                   columns=["doc_id", "rank",
-                                            "positions"])
+                    rank = (rank + sub[f"r{j}"]) // 2
+                kept = np.flatnonzero(ok)
+                allpos = [
+                    np.sort(np.concatenate(
+                        [p_lists[j][i] for j in range(nterms)]))
+                    .astype("int32") for i in kept]
+                yield pd.DataFrame({"doc_id": sub["doc_id"],
+                                    "rank": rank.clip(lower=1),
+                                    "positions": allpos})
 
     return joined.mapInPandas(check, schema=RANKED_SCHEMA)

@@ -119,7 +119,17 @@ class TokenizerConfig:
         return re.compile("[" + re.escape(self.word_chars) + "]+")
 
     def fuzzy_fn(self):
-        """The per-token fuzzy transform, or None."""
+        """The per-token single-output fuzzy transform, or None.
+
+        Mode names mirror fuzzy_opts (/root/reference/src/stemmer.c:
+        116-141): "metaphone" = Double Metaphone PRIMARY code only
+        (the reference's Metaphone mode runs DoubleMetaphone too,
+        stemmer.c:121,389-392), "doublemetaphone" additionally emits
+        the secondary code (see fuzzy_multi_fn), "snowball_XX" the
+        per-language Snowball stemmers (XX in de dk en1 en2 es fi fr
+        hu it nl no pt ro ru se). "metaphone_classic" keeps the
+        original 1990 single-code Metaphone as an extra.
+        """
         mode = self.fuzzy or ("porter" if self.stem else "none")
         if mode == "porter":
             return porter_stem
@@ -127,13 +137,47 @@ class TokenizerConfig:
             from .soundex import soundex
 
             return soundex
-        if mode == "metaphone":
+        if mode in ("metaphone", "doublemetaphone"):
+            from .dmetaphone import double_metaphone
+
+            def dm_primary(w):
+                p = double_metaphone(w)[0]
+                # empty code -> word passes through unchanged
+                # (/root/reference/src/stemmer.c:378-383)
+                return p.lower() if p else w
+
+            return dm_primary
+        if mode == "metaphone_classic":
             from .metaphone import metaphone
 
             return lambda w: metaphone(w).lower()
+        if mode.startswith("snowball_"):
+            from .snowball import snowball_fn
+
+            return snowball_fn(mode[len("snowball_"):])
         if mode == "none":
             return None
         raise ValueError(f"unknown fuzzy mode {mode!r}")
+
+    def fuzzy_multi_fn(self):
+        """Multi-output fuzzy transform (word -> tuple of terms, all
+        indexed at ONE position — /root/reference/src/index.c:
+        2728-2747), or None for single-output modes. Only
+        DoubleMetaphone emits two terms (primary + differing
+        secondary, /root/reference/src/stemmer.c:394-400)."""
+        if (self.fuzzy or "") != "doublemetaphone":
+            return None
+        from .dmetaphone import double_metaphone
+
+        def dm_both(w):
+            p, s = double_metaphone(w)
+            if not p:
+                return (w,)
+            if s and s != p:
+                return (p.lower(), s.lower())
+            return (p.lower(),)
+
+        return dm_both
 
 
 def fuzzy_word(word: str, cfg: TokenizerConfig) -> str:
@@ -141,6 +185,16 @@ def fuzzy_word(word: str, cfg: TokenizerConfig) -> str:
     (/root/reference/src/swish-e.h, perl/t/test.t stemming asserts)."""
     fn = cfg.fuzzy_fn()
     return fn(word.lower()) if fn else word.lower()
+
+
+def fuzzy_word_list(word: str, cfg: TokenizerConfig) -> list:
+    """Full word list like the reference's FUZZY_WORD->word_list —
+    two entries for a DoubleMetaphone word with a distinct secondary
+    code (/root/reference/src/stemmer.c:146-153)."""
+    multi = cfg.fuzzy_multi_fn()
+    if multi is not None:
+        return list(multi(word.lower()))
+    return [fuzzy_word(word, cfg)]
 
 
 @dataclass
@@ -199,6 +253,7 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
     (parse_swish_words, /root/reference/src/swish_words.c:296-362)."""
     out = []
     fn = cfg.fuzzy_fn()
+    multi = cfg.fuzzy_multi_fn()
     for tok in split_words(text, cfg):
         if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
             continue
@@ -208,7 +263,13 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
                                     and tok not in cfg.use_words):
             out.append(None)
             continue
-        out.append(fn(tok) if fn else tok)
+        if multi is not None:
+            # DoubleMetaphone: a tuple entry expands to (a OR b) in
+            # the compiler (/root/reference/src/swish_words.c:342-353)
+            terms = multi(tok)
+            out.append(terms[0] if len(terms) == 1 else terms)
+        else:
+            out.append(fn(tok) if fn else tok)
     return out
 
 
@@ -230,6 +291,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     pos = 0
     stop = cfg.stopwords
     fuzzy_fn = cfg.fuzzy_fn()
+    multi_fn = cfg.fuzzy_multi_fn()
     minl, maxl = cfg.min_word_len, cfg.max_word_len
     trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
     buzz = cfg.buzzwords
@@ -264,23 +326,34 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                 continue
             if use_words is not None and raw not in use_words:
                 continue
-            term = fuzzy_fn(raw) if fuzzy_fn else raw
-            if fan_fields is None:
-                key = (field, term)
-                p = get(key)
-                if p is None:
-                    p = postings[key] = Posting(field, term)
-                p.positions.append(pos)
-                p.structures.append(structure)
-            else:
-                # nested-metaname fan-out: one posting per in-scope
-                # field, SAME position (addword loop,
-                # /root/reference/src/index.c:2400-2402)
-                for f2 in fan_fields:
-                    key = (f2, term)
+            # DoubleMetaphone dual-emission: every code indexes at the
+            # SAME position (the reference decrements the position
+            # counter between codes, /root/reference/src/index.c:
+            # 2728-2747); single-output modes skip the tuple loop
+            terms = multi_fn(raw) if multi_fn is not None else None
+            term = terms[0] if terms is not None \
+                else (fuzzy_fn(raw) if fuzzy_fn else raw)
+            while True:
+                if fan_fields is None:
+                    key = (field, term)
                     p = get(key)
                     if p is None:
-                        p = postings[key] = Posting(f2, term)
+                        p = postings[key] = Posting(field, term)
                     p.positions.append(pos)
                     p.structures.append(structure)
+                else:
+                    # nested-metaname fan-out: one posting per
+                    # in-scope field, SAME position (addword loop,
+                    # /root/reference/src/index.c:2400-2402)
+                    for f2 in fan_fields:
+                        key = (f2, term)
+                        p = get(key)
+                        if p is None:
+                            p = postings[key] = Posting(f2, term)
+                        p.positions.append(pos)
+                        p.structures.append(structure)
+                if terms is None or len(terms) == 1 \
+                        or term == terms[1]:
+                    break
+                term = terms[1]
     return postings, pos

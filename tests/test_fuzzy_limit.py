@@ -122,11 +122,14 @@ class TestMetaphone:
         assert metaphone("judge") == "JJ"
 
     def test_metaphone_index_end_to_end(self, spark, tmp_path):
+        # reference Metaphone mode = DoubleMetaphone PRIMARY code
+        # (/root/reference/src/stemmer.c:121,389-392): night and
+        # knight share primary NT
         import pandas as pd
         from pyspark.sql import functions as F
 
-        rows = [("a0.txt", "thompson wrote code"),
-                ("a1.txt", "thomson reviewed it"),
+        rows = [("a0.txt", "night falls quickly"),
+                ("a1.txt", "knight rides slowly"),
                 ("a2.txt", "unrelated words")]
         pages = (spark.createDataFrame(
             pd.DataFrame(rows, columns=["url", "text"]))
@@ -140,5 +143,76 @@ class TestMetaphone:
                     IndexConfig(n_buckets=4, fuzzy="metaphone",
                                 stopwords=()), n_shards=1)
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
-        hits = {d for d, _ in eng.search("thompson", k=10)}
+        hits = {d for d, _ in eng.search("night", k=10)}
         assert hits == {0, 1}
+
+
+class TestDoubleMetaphone:
+    def test_fixture_parity(self):
+        """Byte parity with the reference encoder over the committed
+        oracle-generated fixture (tests/fixtures/dmetaphone.tsv)."""
+        import os
+
+        from swish_e_spark.textproc.dmetaphone import double_metaphone
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "dmetaphone.tsv")
+        n = 0
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                word, pri, sec = (line.rstrip("\n").split("\t")
+                                  + ["", ""])[:3]
+                assert double_metaphone(word) == (pri, sec), word
+                n += 1
+        assert n > 3000
+
+    def test_word_list_api(self):
+        from swish_e_spark.textproc.tokenizer import fuzzy_word_list
+
+        cfg = TokenizerConfig(fuzzy="doublemetaphone")
+        # smith: primary SM0, secondary XMT -> two terms
+        assert fuzzy_word_list("smith", cfg) == ["sm0", "xmt"]
+        # thomas: primary == secondary -> one term
+        assert fuzzy_word_list("thomas", cfg) == ["tms"]
+
+    def test_dual_emission_end_to_end(self, spark, tmp_path):
+        """smith's secondary code equals schmidt's primary, so with
+        DoubleMetaphone a query for smith matches a schmidt doc via
+        the (primary OR secondary) expansion
+        (/root/reference/src/swish_words.c:342-353) and dual
+        emission (/root/reference/src/index.c:2728-2747)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.oracle.engine import OracleIndex
+
+        rows = [("a0.txt", "smith forges iron"),
+                ("a1.txt", "schmidt brews beer"),
+                ("a2.txt", "unrelated words")]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path / "dmp")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, fuzzy="doublemetaphone",
+                                stopwords=()), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        hits = {d for d, _ in eng.search("smith", k=10)}
+        assert hits == {0, 1}
+        # single-mode metaphone would NOT match schmidt
+        oracle = OracleIndex(TokenizerConfig(fuzzy="doublemetaphone",
+                                             stopwords=frozenset()))
+        for url, text in rows:
+            oracle.add(url, text.encode(), doctype="txt")
+        oracle.build()
+        got = eng.search("smith", k=10)
+        want = oracle.query("smith", k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, es), (_, osc) in zip(got, want):
+            assert es == pytest.approx(osc, rel=1e-6)

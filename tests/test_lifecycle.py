@@ -442,8 +442,13 @@ class TestIgnoreTotalWordCount:
             want = oracle_swish_query(oracle300, q, k=10, scheme=0,
                                       ignore_total_word_count=True)
             assert got == want
-        # the toggle changes ranks (no doc-length normalization)
-        a = oracle_swish_query(oracle300, "pigs", k=5, scheme=0)
+        # the toggle changes ranks (doc-length normalization off by
+        # default, matching the reference's
+        # ignoreTotalWordCountWhenRanking=1 — /root/reference/src/
+        # list.c:188); the default equals the ON setting
+        a = oracle_swish_query(oracle300, "pigs", k=5, scheme=0,
+                               ignore_total_word_count=False)
         b = oracle_swish_query(oracle300, "pigs", k=5, scheme=0,
                                ignore_total_word_count=True)
         assert [r for _, r in a] != [r for _, r in b]
+        assert oracle_swish_query(oracle300, "pigs", k=5, scheme=0) == b

@@ -123,7 +123,8 @@ class TestEdgeCorpora:
         assert meta["doc_count"] == 0
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
         assert eng.search("anything", k=5) == []
-        assert eng.handle.stats == {"n_docs": 0, "avgdl": 0.0}
+        assert eng.handle.stats == {"n_docs": 0, "avgdl": 0.0,
+                                    "total_len": 0}
 
     def test_all_noindex_corpus(self, spark, tmp_path):
         out = str(tmp_path / "noidx")
