@@ -101,6 +101,15 @@ class IndexConfig:
     number_chars: str = ""          # NumberChars
     begin_chars: str = ""           # BeginCharacters
     end_chars: str = ""             # EndCharacters
+    translate_from: str = ""  # TranslateCharacters source chars; with
+    translate_to: str = ""    # the parallel targets ("" = the default
+                              # Latin-1 fold — directive
+                              # /root/reference/src/index.c:2632,
+                              # table /root/reference/src/swish.h:580)
+    min_word_len: int | None = None  # MinWordLimit / MaxWordLimit
+    max_word_len: int | None = None  # (/root/reference/src/config.h:203)
+    max_consec: int | None = None    # isokword sanity limits
+    max_repeat: int | None = None    # (/root/reference/src/check.c:56-150)
     rank_biases: tuple = ()   # ((metaname, bias), ...) with bias in
                               # [-10, 10] — metaEntry rank_bias for the
                               # swish-compat rank schemes (MetaNamesRank,
@@ -117,6 +126,15 @@ class IndexConfig:
     def tokenizer_config(self) -> TokenizerConfig:
         from ..textproc.stopwords import DEFAULT_STOPWORDS
 
+        extra = {}
+        if self.translate_from:
+            extra["translate"] = str.maketrans(self.translate_from,
+                                               self.translate_to)
+        for knob in ("min_word_len", "max_word_len", "max_consec",
+                     "max_repeat"):
+            val = getattr(self, knob)
+            if val is not None:
+                extra[knob] = int(val)
         return TokenizerConfig(
             stem=self.stem,
             fuzzy=self.fuzzy,
@@ -131,6 +149,7 @@ class IndexConfig:
             number_chars=self.number_chars,
             begin_chars=self.begin_chars,
             end_chars=self.end_chars,
+            **extra,
         )
 
 

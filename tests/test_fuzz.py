@@ -142,3 +142,36 @@ class TestFuzzSwishRank:
                 assert got == want, (q, scheme)
                 checked += 1
         assert checked >= 8
+
+    def test_random_queries_with_rank_bias(self, fuzz_engine,
+                                           oracle300):
+        """Per-metaname rank_bias in [-10, 10] — engine==oracle under
+        nonzero biases for both schemes (metaEntry rank_bias,
+        /root/reference/src/swish.h:367,378; applied
+        /root/reference/src/rank.c:413-426,713-726)."""
+        from swish_e_spark.query.swishrank import (
+            oracle_swish_query, spark_swish_search,
+        )
+
+        vocab = sorted({t for (f, t) in oracle300.postings
+                        if f == "swishdefault"})
+        rng = random.Random(4242)
+        checked = 0
+        for _ in range(6):
+            q = _random_query(rng, vocab)
+            biases = {"swishdefault": rng.randint(-10, 10),
+                      "swishtitle": rng.randint(-10, 10),
+                      "meta1": rng.randint(-10, 10)}
+            for scheme in (0, 1):
+                try:
+                    want = oracle_swish_query(oracle300, q, k=10,
+                                              scheme=scheme,
+                                              rank_biases=biases)
+                except (QueryError, WordsTooCommon):
+                    continue
+                got = spark_swish_search(fuzz_engine, q, k=10,
+                                         scheme=scheme,
+                                         rank_biases=biases)
+                assert got == want, (q, scheme, biases)
+                checked += 1
+        assert checked >= 6
