@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "lsh_near_duplicates": dedup.lsh_near_duplicates,
         "simhash64": dedup.simhash64,               # rows-only
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
@@ -186,12 +187,15 @@ select md5(text) as h, count(*) as n, min(doc_id) as first_doc
 from documents group by 1 order by h limit 200""",
         "ngram_jaccard_pairs": f"""
 with {toks},
-sh as (select distinct a.doc_id,
+sh0 as (select distinct a.doc_id,
               a.t || ' ' || b.t || ' ' || c.t as sh
        from toks a
        join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
        join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
        where a.t <> '' and b.t <> '' and c.t <> ''),
+sh as (select sh0.* from sh0
+       join (select sh from sh0 group by sh having count(*) <= 100)
+         using (sh)),
 ds as (select doc_id, count(*) as n from sh group by doc_id),
 pairs as (select x.doc_id as a, y.doc_id as b, count(*) as shared
           from sh x join sh y
@@ -206,25 +210,88 @@ j as (select a, b,
 select a, b, jac from j where jac >= 0.8 order by a, b""",
         "minhash_signatures": f"""
 with {toks},
-dt as (select distinct doc_id, t from toks where t <> '')
+sh0 as (select distinct a.doc_id,
+              a.t || ' ' || b.t || ' ' || c.t as sh
+       from toks a
+       join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
+       join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
+       where a.t <> '' and b.t <> '' and c.t <> ''),
+sh as (select sh0.* from sh0
+       join (select sh from sh0 group by sh having count(*) <= 100)
+         using (sh))
 select doc_id, cast(i as int) as i,
-       min(md5(cast(i as varchar) || ':' || t)) as sig
-from dt cross join range(8) r(i)
+       min(md5(cast(i as varchar) || ':' || sh)) as sig
+from sh cross join range(128) r(i)
 group by doc_id, i order by doc_id, i""",
         "lsh_candidate_pairs": f"""
 with {toks},
-dt as (select distinct doc_id, t from toks where t <> ''),
+sh0 as (select distinct a.doc_id,
+              a.t || ' ' || b.t || ' ' || c.t as sh
+       from toks a
+       join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
+       join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
+       where a.t <> '' and b.t <> '' and c.t <> ''),
+sh as (select sh0.* from sh0
+       join (select sh from sh0 group by sh having count(*) <= 100)
+         using (sh)),
 sig as (select doc_id, i,
-               min(md5(cast(i as varchar) || ':' || t)) as sig
-        from dt cross join range(8) r(i) group by doc_id, i),
-banded as (select doc_id, cast(i // 2 as int) as band,
-                  min(case when i % 2 = 0 then sig end) as s0,
-                  min(case when i % 2 = 1 then sig end) as s1
+               min(md5(cast(i as varchar) || ':' || sh)) as sig
+        from sh cross join range(128) r(i) group by doc_id, i),
+banded as (select doc_id, cast(i // 8 as int) as band,
+                  min(case when i % 8 = 0 then sig end) as s0,
+                  min(case when i % 8 = 1 then sig end) as s1,
+                  min(case when i % 8 = 2 then sig end) as s2,
+                  min(case when i % 8 = 3 then sig end) as s3,
+                  min(case when i % 8 = 4 then sig end) as s4,
+                  min(case when i % 8 = 5 then sig end) as s5,
+                  min(case when i % 8 = 6 then sig end) as s6,
+                  min(case when i % 8 = 7 then sig end) as s7
            from sig group by 1, 2)
 select x.doc_id as a, y.doc_id as b from banded x
-join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1
+join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1 and x.s2 = y.s2 and x.s3 = y.s3 and x.s4 = y.s4 and x.s5 = y.s5 and x.s6 = y.s6 and x.s7 = y.s7
             and x.doc_id < y.doc_id
 group by 1, 2 order by 1, 2""",
+        "lsh_near_duplicates": f"""
+with {toks},
+sh0 as (select distinct a.doc_id,
+              a.t || ' ' || b.t || ' ' || c.t as sh
+       from toks a
+       join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
+       join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
+       where a.t <> '' and b.t <> '' and c.t <> ''),
+sh as (select sh0.* from sh0
+       join (select sh from sh0 group by sh having count(*) <= 100)
+         using (sh)),
+sig as (select doc_id, i,
+               min(md5(cast(i as varchar) || ':' || sh)) as sig
+        from sh cross join range(128) r(i) group by doc_id, i),
+banded as (select doc_id, cast(i // 8 as int) as band,
+                  min(case when i % 8 = 0 then sig end) as s0,
+                  min(case when i % 8 = 1 then sig end) as s1,
+                  min(case when i % 8 = 2 then sig end) as s2,
+                  min(case when i % 8 = 3 then sig end) as s3,
+                  min(case when i % 8 = 4 then sig end) as s4,
+                  min(case when i % 8 = 5 then sig end) as s5,
+                  min(case when i % 8 = 6 then sig end) as s6,
+                  min(case when i % 8 = 7 then sig end) as s7
+           from sig group by 1, 2),
+cand as (select x.doc_id as a, y.doc_id as b from banded x
+         join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1 and x.s2 = y.s2 and x.s3 = y.s3 and x.s4 = y.s4 and x.s5 = y.s5 and x.s6 = y.s6 and x.s7 = y.s7
+                     and x.doc_id < y.doc_id
+         group by 1, 2),
+ds as (select doc_id, count(*) as n from sh group by doc_id),
+shared as (select c.a, c.b, count(*) as shared from cand c
+           join sh xa on xa.doc_id = c.a
+           join sh xb on xb.doc_id = c.b and xb.sh = xa.sh
+           group by 1, 2)
+select s.a, s.b,
+       cast(round(s.shared * 1.0 / (da.n + db.n - s.shared), 4)
+            as double) as jac
+from shared s
+join ds da on da.doc_id = s.a
+join ds db on db.doc_id = s.b
+where s.shared * 1.0 / (da.n + db.n - s.shared) >= 0.8
+order by s.a, s.b""",
         # similarity
         "embedding_topk": """
 with q as (select embedding::DOUBLE[] as v from embeddings

@@ -22,8 +22,18 @@ from __future__ import annotations
 
 from .corpus import documents, tokens
 
-N_HASHES = 8
-N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 2
+# production-shaped LSH parameters: 128 hashes in 16 bands of 8 rows
+# give P(candidate) = 1-(1-j^8)^16 — ~0.95 at jaccard 0.8, ~0.001 at
+# 0.3 — so banding is a real filter, not ~all pairs (round-1 verdict:
+# 8/4/2 emitted 82% of all pairs on the driver corpus)
+N_HASHES = 128
+N_BANDS = 16  # rows per band = N_HASHES / N_BANDS = 8
+
+# stop-shingle cap: shingles present in more than this many docs are
+# boilerplate (headers, licence lines) and are dropped BEFORE the
+# candidate self-join — without a df cap the join degenerates to
+# all-pairs on the head shingle at corpus scale
+MAX_SHINGLE_DF = 100
 
 
 def dedup_exact(spark, sf_dir):
@@ -53,12 +63,23 @@ def _shingles(spark, sf_dir, n=3):
     return sh.distinct()
 
 
-def ngram_jaccard_pairs(spark, sf_dir, threshold=0.8):
-    """All-pairs word-3-gram Jaccard ≥ threshold (exact; the verify step
-    of every near-dup pipeline)."""
+def ngram_jaccard_pairs(spark, sf_dir, threshold=0.8,
+                        max_df=MAX_SHINGLE_DF):
+    """Word-3-gram Jaccard ≥ threshold (exact; the verify step of
+    every near-dup pipeline). Shingles occurring in more than
+    ``max_df`` docs are dropped before the self-join (stop-shingle
+    cap): jaccard is computed over the capped shingle sets, and the
+    candidate join cannot blow up on boilerplate shingles."""
     from pyspark.sql import functions as F
 
-    sh = _shingles(spark, sf_dir).persist()
+    sh = _shingles(spark, sf_dir)
+    if max_df is not None:
+        # the FREQUENT set is the Zipf head — small, so broadcast the
+        # anti-join side (the rare set is nearly everything)
+        freq = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_df).select("sh"))
+        sh = sh.join(F.broadcast(freq), "sh", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     shared = (x.join(y, (F.col("x.sh") == F.col("y.sh"))
@@ -77,19 +98,36 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold=0.8):
     return out
 
 
-def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
-    """Per-doc MinHash signature rows (doc_id, i, sig): sig = min over
-    the doc's distinct tokens of md5(i || ':' || token). md5 keys make
-    the signature engine-portable (DuckDB-verifiable)."""
+def _capped_shingles(spark, sf_dir, max_df=MAX_SHINGLE_DF):
+    """Distinct word-3-gram shingles per doc with the stop-shingle df
+    cap applied — the element set shared by the whole near-dup
+    pipeline (jaccard verify, minhash, banding), so the MinHash
+    signatures approximate exactly the jaccard the verify computes."""
     from pyspark.sql import functions as F
 
-    tk = tokens(spark, sf_dir).select("doc_id", "t").distinct()
+    sh = _shingles(spark, sf_dir)
+    if max_df is not None:
+        freq = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_df).select("sh"))
+        sh = sh.join(F.broadcast(freq), "sh", "left_anti")
+    return sh
+
+
+def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
+    """Per-doc MinHash signature rows (doc_id, i, sig): sig = min over
+    the doc's capped 3-gram shingles of md5(i || ':' || shingle) —
+    shingle→minhash, so the signature approximates the same 3-gram
+    jaccard ngram_jaccard_pairs verifies. md5 keys make the signature
+    engine-portable (DuckDB-verifiable)."""
+    from pyspark.sql import functions as F
+
+    sh = _capped_shingles(spark, sf_dir)
     hashes = spark.range(n_hashes).select(
         F.col("id").cast("int").alias("i"))
-    return (tk.crossJoin(hashes)
+    return (sh.crossJoin(hashes)
             .select("doc_id", "i",
                     F.md5(F.concat(F.col("i").cast("string"),
-                                   F.lit(":"), F.col("t"))).alias("h"))
+                                   F.lit(":"), F.col("sh"))).alias("h"))
             .groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
             .orderBy("doc_id", "i"))
 
@@ -102,18 +140,17 @@ def lsh_candidate_pairs(spark, sf_dir, n_hashes=N_HASHES,
     from pyspark.sql import functions as F
 
     rows = n_hashes // n_bands
-    assert rows == 2, "band signature built for 2 rows per band"
     sig = minhash_signatures(spark, sf_dir, n_hashes)
     # ordered band signature via per-row conditional mins (collect_list
     # order would be nondeterministic)
+    aggs = [F.min(F.when(F.col("i") % rows == k, F.col("sig")))
+            .alias(f"s{k}") for k in range(rows)]
     banded = (sig.withColumn("band",
                               F.floor(F.col("i") / rows).cast("int"))
               .groupBy("doc_id", "band")
-              .agg(F.min(F.when(F.col("i") % rows == 0, F.col("sig")))
-                   .alias("s0"),
-                   F.min(F.when(F.col("i") % rows == 1, F.col("sig")))
-                   .alias("s1"))
-              .withColumn("bsig", F.concat_ws("|", "s0", "s1")))
+              .agg(*aggs)
+              .withColumn("bsig", F.concat_ws(
+                  "|", *[f"s{k}" for k in range(rows)])))
     x = banded.alias("x")
     y = banded.alias("y")
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
@@ -122,6 +159,34 @@ def lsh_candidate_pairs(spark, sf_dir, n_hashes=N_HASHES,
             .select(F.col("x.doc_id").alias("a"),
                     F.col("y.doc_id").alias("b"))
             .distinct().orderBy("a", "b"))
+
+
+def lsh_near_duplicates(spark, sf_dir, threshold=0.8,
+                        n_hashes=N_HASHES, n_bands=N_BANDS):
+    """The full near-dup pipeline: LSH banding candidates, then the
+    exact-Jaccard verify over the capped 3-gram shingle sets the
+    MinHash signatures approximate. Only candidate pairs pay the verify join —
+    the 100 TB shape (banding = groupBy + bucket join, verify =
+    candidate-restricted intersection, never all-pairs)."""
+    from pyspark.sql import functions as F
+
+    cand = lsh_candidate_pairs(spark, sf_dir, n_hashes, n_bands)
+    dt = _capped_shingles(spark, sf_dir).persist()
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    xa = dt.select(F.col("doc_id").alias("a"), "sh")
+    xb = dt.select(F.col("doc_id").alias("b"), "sh")
+    shared = (cand.join(xa, "a").join(xb, ["b", "sh"])
+              .groupBy("a", "b").agg(F.count("*").alias("shared")))
+    na = sizes.select(F.col("doc_id").alias("a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"),
+                      F.col("n").alias("nb"))
+    return (shared.join(na, "a").join(nb, "b")
+            .withColumn("jac", F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+            .filter(F.col("jac") >= threshold)
+            .select("a", "b", "jac").orderBy("a", "b"))
 
 
 def simhash64(spark, sf_dir):

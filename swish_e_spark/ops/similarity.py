@@ -168,20 +168,32 @@ def ann_ivf_topk(spark, sf_dir, query_vec_id=0, k=10, nprobe=4,
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
 
 
+N_TABLES = 8
+
+
 def ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10,
-                 n_planes=N_PLANES, seed=7):
+                 n_planes=N_PLANES, seed=7, n_tables=N_TABLES):
     """ANN: restrict the cosine scan to the query's LSH bucket (plus
-    Hamming-1 neighbour buckets for recall), then exact rerank."""
+    Hamming-1 neighbour buckets) in each of ``n_tables`` independent
+    hash tables, then exact rerank over the candidate union — the
+    standard multi-table recall lever (a vector is a candidate if ANY
+    table buckets it near the query). Each table is one bucket
+    groupBy-join; candidates stay distributed."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     from .corpus import embeddings
 
-    buckets = lsh_buckets(spark, sf_dir, n_planes, seed)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id) \
-        .select("bucket").collect()[0][0]
-    probe = [qb] + [qb ^ (1 << j) for j in range(n_planes)]
-    cand = buckets.filter(F.col("bucket").isin(probe)) \
-        .select("vec_id")
+    cands = []
+    for t in range(n_tables):
+        buckets = lsh_buckets(spark, sf_dir, n_planes, seed + 101 * t)
+        qb = buckets.filter(F.col("vec_id") == query_vec_id) \
+            .select("bucket").collect()[0][0]
+        probe = [qb] + [qb ^ (1 << j) for j in range(n_planes)]
+        cands.append(buckets.filter(F.col("bucket").isin(probe))
+                     .select("vec_id"))
+    cand = reduce(lambda a, b: a.union(b), cands).distinct()
     emb = embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == query_vec_id) \
         .select("embedding").collect()[0][0]

@@ -54,20 +54,27 @@ class TestDedup:
 
 
 class TestSimilarity:
-    def test_ann_contains_brute_force_top1(self, spark):
+    def test_ann_recall_over_seeded_queries(self, spark):
+        """LSH-ANN recall CONTRACT (not a skippable heuristic): over
+        several seeded queries, Hamming-1 multiprobe must recover the
+        brute-force top-1 for at least 3/5 and keep each list
+        cosine-sorted."""
         from swish_e_spark.ops.similarity import ann_lsh_topk, embedding_topk
 
-        bf = embedding_topk(spark, SF, query_vec_id=0, k=1).collect()
-        ann = ann_lsh_topk(spark, SF, query_vec_id=0, k=10).collect()
-        ann_ids = [r["vec_id"] for r in ann]
-        # Hamming-1 multiprobe should usually find the true top-1;
-        # at minimum the ANN list must be non-empty and cosine-sorted
-        assert ann_ids
-        sims = [r["cos"] for r in ann]
-        assert sims == sorted(sims, reverse=True)
-        if bf[0]["vec_id"] not in ann_ids:
-            pytest.skip("LSH multiprobe missed top-1 on this seed "
-                        "(acceptable for ANN; brute-force is the gate)")
+        hits = 0
+        queries = (0, 7, 13, 21, 34)
+        for qid in queries:
+            bf = embedding_topk(spark, SF, query_vec_id=qid,
+                                k=1).collect()
+            ann = ann_lsh_topk(spark, SF, query_vec_id=qid,
+                               k=10).collect()
+            ann_ids = [r["vec_id"] for r in ann]
+            assert ann_ids, qid
+            sims = [r["cos"] for r in ann]
+            assert sims == sorted(sims, reverse=True), qid
+            if bf[0]["vec_id"] in ann_ids:
+                hits += 1
+        assert hits >= 3, f"LSH-ANN top-1 recall {hits}/{len(queries)}"
 
     def test_ivf_recall(self, spark):
         from swish_e_spark.ops.similarity import (
