@@ -197,14 +197,24 @@ def fuzzy_word_list(word: str, cfg: TokenizerConfig) -> list:
     return [fuzzy_word(word, cfg)]
 
 
-@dataclass
 class Posting:
-    """One (field, term) occurrence list within a single document."""
+    """One (field, term) occurrence list within a single document
+    (__slots__ + hand-rolled __init__: this is the build hot path and
+    dataclass default_factory construction showed up in profiles)."""
 
-    field_name: str
-    term: str
-    positions: list = dc_field(default_factory=list)
-    structures: list = dc_field(default_factory=list)
+    __slots__ = ("field_name", "term", "positions", "structures")
+
+    def __init__(self, field_name, term, positions=None,
+                 structures=None):
+        self.field_name = field_name
+        self.term = term
+        self.positions = [] if positions is None else positions
+        self.structures = [] if structures is None else structures
+
+    def __eq__(self, other):
+        return (self.field_name, self.term, self.positions,
+                self.structures) == (other.field_name, other.term,
+                                     other.positions, other.structures)
 
 
 def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
@@ -287,7 +297,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     splits at whitespace exactly like the whitespace pre-split). A
     substring hit on any buzzword falls back to the exact slow path.
     """
-    postings: dict = {}
+    by_field: dict = {}
     pos = 0
     stop = cfg.stopwords
     fuzzy_fn = cfg.fuzzy_fn()
@@ -295,7 +305,6 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     minl, maxl = cfg.min_word_len, cfg.max_word_len
     trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
     buzz = cfg.buzzwords
-    get = postings.get
     custom_split = (cfg.word_chars is not None or cfg.ignore_first_chars
                     or cfg.ignore_last_chars)
     char_checks = bool(cfg.number_chars or cfg.begin_chars
@@ -304,6 +313,11 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                                  # than this get the isokword sanity regex
     use_words = cfg.use_words
     findall = cfg.word_re().findall
+    # hot-path eligibility: no dual-emission, no allowlist, no
+    # per-token char checks — the inner loop then has no per-token
+    # branching beyond length/stopword (build throughput path)
+    plain = (multi_fn is None and use_words is None
+             and not char_checks)
     for ev in doc.events:
         if ev.hard_break and pos:
             pos += 1  # adjacency break across structure
@@ -315,6 +329,30 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             toks = split_words(ev.text, cfg)
         else:
             toks = findall(low.translate(trans))
+        if plain and fan_fields is None:
+            fdict = by_field.get(field)
+            if fdict is None:
+                fdict = by_field[field] = {}
+            fget = fdict.get
+            for raw in toks:
+                lr = len(raw)
+                if lr < minl or lr > maxl:
+                    continue
+                if lr > sanity_len and not cfg.char_checks_ok(raw):
+                    continue
+                pos += 1
+                if raw in stop:
+                    continue
+                term = fuzzy_fn(raw) if fuzzy_fn else raw
+                p = fget(term)
+                if p is None:
+                    fdict[term] = Posting(field, term, [pos],
+                                          [structure])
+                else:
+                    p.positions.append(pos)
+                    p.structures.append(structure)
+            continue
+        fdict = None
         for raw in toks:
             if not minl <= len(raw) <= maxl:
                 continue
@@ -334,26 +372,25 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             term = terms[0] if terms is not None \
                 else (fuzzy_fn(raw) if fuzzy_fn else raw)
             while True:
-                if fan_fields is None:
-                    key = (field, term)
-                    p = get(key)
-                    if p is None:
-                        p = postings[key] = Posting(field, term)
-                    p.positions.append(pos)
-                    p.structures.append(structure)
-                else:
+                for f2 in ((field,) if fan_fields is None
+                           else fan_fields):
                     # nested-metaname fan-out: one posting per
                     # in-scope field, SAME position (addword loop,
                     # /root/reference/src/index.c:2400-2402)
-                    for f2 in fan_fields:
-                        key = (f2, term)
-                        p = get(key)
-                        if p is None:
-                            p = postings[key] = Posting(f2, term)
+                    fd = by_field.get(f2)
+                    if fd is None:
+                        fd = by_field[f2] = {}
+                    p = fd.get(term)
+                    if p is None:
+                        fd[term] = Posting(f2, term, [pos],
+                                           [structure])
+                    else:
                         p.positions.append(pos)
                         p.structures.append(structure)
                 if terms is None or len(terms) == 1 \
                         or term == terms[1]:
                     break
                 term = terms[1]
+    postings = {(f, t): p for f, fd in by_field.items()
+                for t, p in fd.items()}
     return postings, pos
