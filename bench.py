@@ -113,6 +113,19 @@ def main():
             "chunks_pruned", 0)
         times["wand_blocks_pruned"] = engine.last_wand_stats.get(
             "blocks_pruned", 0)
+        # the query class block-max WAND exists for: a rare high-idf
+        # term sets θ, so the head term's blocks prune wherever the
+        # rare term is absent (range-aware others)
+        t0 = time.time()
+        engine.search_df("common0 OR tailterm3", 10,
+                         wand="off").collect()
+        times["q_skew_exhaustive"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        engine.search_df("common0 OR tailterm3", 10,
+                         wand="force").collect()
+        times["q_wand_skew"] = round(time.time() - t0, 3)
+        times["wand_skew_blocks_pruned"] = engine.last_wand_stats.get(
+            "blocks_pruned", 0)
 
         total = round(time.time() - t_all, 3)
         out = {

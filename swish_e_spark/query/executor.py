@@ -138,26 +138,41 @@ def _wand_block_kernel(batches, prune: dict, theta: float,
 
     from ..codec.postings import BLOCK_SIZE, unpack_posting_list
 
+    masks = prune.get("masks")
     for pdf in batches:
         frames = []
         for rec in pdf.to_dict("records"):
             bmask = None
-            info = prune.get((rec["field"], rec["term"]))
-            if info is not None and theta > 0.0:
-                idf, others = info
-                btf = np.asarray(rec["block_max_tf"], dtype=np.float64)
-                bdl = np.asarray(rec["block_min_dl"], dtype=np.float64)
-                ub = idf * (btf * (K1 + 1.0)) / (
-                    btf + K1 * (1.0 - B + B * bdl / avgdl)) + others
-                bmask = ub >= theta
-                if not bmask.any():
-                    if acc is not None:
-                        acc.add(len(bmask))
-                    continue  # whole chunk below θ: skip the unpack
-                if bmask.all():
-                    bmask = None
-                elif acc is not None:
-                    acc.add(int((~bmask).sum()))
+            if masks is not None:
+                # range-aware plan: the driver precomputed each block's
+                # keep bit with the OTHER leaves' maxima over the same
+                # doc range (_plan_block_masks)
+                bmask = masks.get((rec["field"], rec["term"],
+                                   int(rec["shard"]), rec["doc_lo"]))
+                if bmask is not None:
+                    if not bmask.any():
+                        continue  # whole chunk below θ: skip unpack
+                    if bmask.all():
+                        bmask = None
+            elif theta > 0.0:
+                info = prune.get((rec["field"], rec["term"]))
+                if info is not None:
+                    idf, others = info
+                    btf = np.asarray(rec["block_max_tf"],
+                                     dtype=np.float64)
+                    bdl = np.asarray(rec["block_min_dl"],
+                                     dtype=np.float64)
+                    ub = idf * (btf * (K1 + 1.0)) / (
+                        btf + K1 * (1.0 - B + B * bdl / avgdl)) + others
+                    bmask = ub >= theta
+                    if not bmask.any():
+                        if acc is not None:
+                            acc.add(len(bmask))
+                        continue  # whole chunk below θ: skip the unpack
+                    if bmask.all():
+                        bmask = None
+                    elif acc is not None:
+                        acc.add(int((~bmask).sum()))
             doc_ids, tfs, _pos, _st, dls = unpack_posting_list(
                 rec["docs_bin"], rec["tfs_bin"], None, None,
                 rec["dls_bin"])
@@ -490,15 +505,24 @@ class SparkQueryEngine:
         avgdl = max(stats["avgdl"], 1e-9)
         impact = lambda t, d: (t * (K1 + 1.0)) / (  # noqa: E731
             t + K1 * (1.0 - B + B * d / avgdl))
-        meta = (scan.select(
-            "field", "term", "doc_lo", "doc_hi", "df",
-            F.array_max(F.zip_with(
-                F.transform("block_max_tf",
-                            lambda x: x.cast("double")),
-                F.transform("block_min_dl",
-                            lambda x: x.cast("double")),
-                impact)).alias("ub_raw"))
-            .limit(self.WAND_MAX_CHUNKS + 1).collect())
+        ub_raw = F.array_max(F.zip_with(
+            F.transform("block_max_tf", lambda x: x.cast("double")),
+            F.transform("block_min_dl", lambda x: x.cast("double")),
+            impact)).alias("ub_raw")
+        # one collect serves BOTH chunk planning and (in the common
+        # small case) the range-aware block planner: the 128-doc block
+        # bound arrays ride along, avoiding a second metadata job
+        meta = (scan.select("field", "term", "shard", "doc_lo",
+                            "doc_hi", "df", ub_raw, "block_doc_lo",
+                            "block_doc_hi", "block_max_tf",
+                            "block_min_dl")
+                .limit(self.WAND_BLOCK_PLAN_CHUNKS + 1).collect())
+        have_blocks = len(meta) <= self.WAND_BLOCK_PLAN_CHUNKS
+        if not have_blocks:
+            meta = (scan.select("field", "term", "shard", "doc_lo",
+                                "doc_hi", "df", ub_raw)
+                    .limit(self.WAND_MAX_CHUNKS + 1).collect())
+        bases = self.handle.shard_bases
         if len(meta) > self.WAND_MAX_CHUNKS:
             # too many chunks to enumerate on the driver: distributed
             # planner (bounds as a pushed-down filter expression)
@@ -514,19 +538,24 @@ class SparkQueryEngine:
             df_by_leaf[key] = df_by_leaf.get(key, 0) + r["df"]
         idf_by_leaf = {key: bm25_idf(stats["n_docs"], d)
                        for key, d in df_by_leaf.items()}
-        chunks: dict = {}  # leaf -> [(doc_lo, doc_hi, ub)]
+        # leaf -> [(shard, local doc_lo, GLOBAL lo, GLOBAL hi, ub)];
+        # range logic must use globally-rebased doc coordinates or
+        # shard-local ranges of a merged index would alias each other
+        chunks: dict = {}
         for r in meta:
             key = (r["field"], r["term"])
             ub = idf_by_leaf[key] * (r["ub_raw"] or 0.0)
+            base = int(bases.get(int(r["shard"]), 0)) if bases else 0
             chunks.setdefault(key, []).append(
-                (r["doc_lo"], r["doc_hi"], ub))
+                (int(r["shard"]), r["doc_lo"], r["doc_lo"] + base,
+                 r["doc_hi"] + base, ub))
         scoring_set = set(scoring)
-        gub = {key: max(ub for _, _, ub in cl)
+        gub = {key: max(c[4] for c in cl)
                for key, cl in chunks.items() if key in scoring_set}
         total_gub = sum(gub.values())
 
         required = _required_leaves(node) & set(chunks)
-        ranges = {key: [(lo, hi) for lo, hi, _ in chunks[key]]
+        ranges = {key: [(c[2], c[3]) for c in chunks[key]]
                   for key in required}
 
         def overlaps_required(key, lo, hi):
@@ -543,17 +572,18 @@ class SparkQueryEngine:
         # required leaf's best range (so the seed can produce matches)
         seed: set = set()
         for key in scoring_set & set(chunks):
-            lo, hi, _ = max(chunks[key], key=lambda c: c[2])
-            seed.add((key, lo))
+            best = max(chunks[key], key=lambda c: c[4])
+            seed.add((key, best[1]))
         if required:
             rare = min(required, key=lambda kk: df_by_leaf[kk])
-            rlo, rhi, _ = max(chunks[rare], key=lambda c: c[2])
+            rbest = max(chunks[rare], key=lambda c: c[4])
+            rlo, rhi = rbest[2], rbest[3]
             for key in required:
-                for lo, hi, _ in chunks[key]:
-                    if lo <= rhi and rlo <= hi:
+                for _, lo, glo, ghi, _ in chunks[key]:
+                    if glo <= rhi and rlo <= ghi:
                         seed.add((key, lo))
         for key in set(chunks) - scoring_set:  # aux: decode fully
-            for lo, _, _ in chunks[key]:
+            for _, lo, _, _, _ in chunks[key]:
                 seed.add((key, lo))
 
         def scan_for(keys: set):
@@ -575,52 +605,203 @@ class SparkQueryEngine:
             return self._wand_decode_eval(node, sub_scan, df_by_leaf,
                                           stats, limits)
 
-        seed_scan = scan_for(seed)
+        # θ seeding. Pure-OR trees (no required/aux leaves) take the
+        # cheap path: collect the seed chunks' TF binaries (a few
+        # hundred KB) and score them ON THE DRIVER with the exact
+        # _leaf_term float64 expression — one tiny fetch instead of a
+        # full decode+sort Spark job. Docs whose other-leaf postings
+        # fall outside the seed score LOW, so θ only underestimates
+        # (safe). Other tree shapes keep the Spark seed job.
         theta = 0.0
-        if seed_scan is not None:
-            seed_rows = (decode_eval(seed_scan)
-                         .select("doc_id", "score")
-                         .orderBy(F.desc("score"), F.asc("doc_id"))
-                         .limit(k).collect())
-            if len(seed_rows) == k:
-                theta = seed_rows[-1]["score"]
+        if not required and not aux and len(seed) <= 64:
+            theta = self._seed_theta_driver(scan_for(seed),
+                                            idf_by_leaf, avgdl, k,
+                                            bases)
+        else:
+            seed_scan = scan_for(seed)
+            if seed_scan is not None:
+                seed_rows = (decode_eval(seed_scan)
+                             .select("doc_id", "score")
+                             .orderBy(F.desc("score"), F.asc("doc_id"))
+                             .limit(k).collect())
+                if len(seed_rows) == k:
+                    theta = seed_rows[-1]["score"]
+
+        # range-aware block planning (true Block-Max WAND): when the
+        # chunk count is modest, use the 128-doc block bounds of the
+        # scoring leaves (already in ``meta``) and bound each block
+        # with the OTHER leaves' maxima over the SAME doc range
+        # instead of their global upper bound — a rare high-idf term
+        # then only protects the doc ranges it actually occupies,
+        # instead of keeping every block of the head term alive (the
+        # round-1 failure mode: 0 pruned).
+        masks = None
+        planned_pruned = 0
+        if theta > 0.0 and have_blocks:
+            masks, planned_pruned, block_total = \
+                self._plan_block_masks(meta, scoring_set,
+                                       idf_by_leaf, theta, avgdl, bases)
 
         keep: set = set()
         pruned = 0
         for key, cl in chunks.items():
             if key not in scoring_set:
-                for lo, _, _ in cl:
+                for _, lo, _, _, _ in cl:
                     keep.add((key, lo))
                 continue
             others = total_gub - gub[key]
-            for lo, hi, ub in cl:
-                if ub + others < theta or (
-                        key in required
-                        and not overlaps_required(key, lo, hi)):
+            for shard, lo, glo, ghi, ub in cl:
+                if key in required and not overlaps_required(key, glo,
+                                                             ghi):
+                    pruned += 1
+                    continue
+                if masks is not None:
+                    m = masks.get((key[0], key[1], shard, lo))
+                    if m is not None and not m.any():
+                        pruned += 1  # every block below θ: skip chunk
+                        continue
+                elif ub + others < theta:
                     pruned += 1
                     continue
                 keep.add((key, lo))
         self.last_wand_stats = {
             "chunks_total": len(meta), "chunks_pruned": pruned,
-            "theta": theta, "seed_chunks": len(seed)}
+            "theta": theta, "seed_chunks": len(seed),
+            "block_plan": masks is not None}
         main_scan = scan_for(keep)
         if main_scan is None:
+            self.last_wand_stats["blocks_pruned"] = planned_pruned
             return self._empty(False).select("doc_id", "score").limit(0)
         # main pass: surviving chunks decode with BLOCK-granularity
-        # skipping against θ (the finer bound the chunk-level test
-        # cannot apply — a head term's every chunk tends to contain one
-        # good block, but most of its 128-doc blocks don't clear θ)
+        # skipping — via the precomputed range-aware masks when the
+        # block planner ran, else against θ with global others
         acc = self.spark.sparkContext.accumulator(0)
-        prune = {key: (idf_by_leaf[key], total_gub - gub[key])
-                 for key in gub}
+        if masks is not None:
+            prune = {"masks": masks}
+        else:
+            prune = {key: (idf_by_leaf[key], total_gub - gub[key])
+                     for key in gub}
         out = (self._wand_decode_eval(node, main_scan, df_by_leaf,
                                       stats, limits, prune, theta, acc)
                .select("doc_id", "score")
                .orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(k))
         out = out.localCheckpoint()
-        self.last_wand_stats["blocks_pruned"] = acc.value
+        self.last_wand_stats["blocks_pruned"] = planned_pruned \
+            if masks is not None else acc.value
         return out
+
+    WAND_BLOCK_PLAN_CHUNKS = 8192  # block-bound planning cap: block
+                             # arrays are ~256 entries/chunk, so this
+                             # bounds the planner collect at ~2M floats
+
+    def _seed_theta_driver(self, seed_scan, idf_by_leaf, avgdl, k,
+                           bases) -> float:
+        """θ for a pure-OR tree from a driver-side decode of the seed
+        chunks: fetch their TF binaries (no positions/structures) and
+        evaluate the exact _leaf_term BM25 expression in numpy,
+        summing per doc across leaves. Returns the k-th best achieved
+        score, or 0.0 when fewer than k docs are seen (θ=0 disables
+        pruning — safe)."""
+        import numpy as np
+
+        from ..codec.postings import unpack_posting_list
+
+        if seed_scan is None:
+            return 0.0
+        rows = (seed_scan.select("field", "term", "shard", "docs_bin",
+                                 "tfs_bin", "dls_bin").collect())
+        doc_parts, score_parts = [], []
+        for r in rows:
+            idf = idf_by_leaf.get((r["field"], r["term"]))
+            if idf is None:
+                continue
+            doc_ids, tfs, _p, _s, dls = unpack_posting_list(
+                r["docs_bin"], r["tfs_bin"], None, None, r["dls_bin"])
+            base = int(bases.get(int(r["shard"]), 0)) if bases else 0
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            doc_parts.append(doc_ids + base)
+            score_parts.append(idf * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / avgdl)))
+        if not doc_parts:
+            return 0.0
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        per_doc = np.zeros(len(uniq))
+        np.add.at(per_doc, inv, scores)
+        if len(per_doc) < k:
+            return 0.0
+        return float(np.partition(per_doc, -k)[-k])
+
+    def _plan_block_masks(self, meta, scoring_set, idf_by_leaf,
+                          theta, avgdl, bases):
+        """Driver-side range-aware block planning over the already-
+        collected chunk metadata: for every 128-posting block b of
+        leaf t keep b iff  ub_t(b) + Σ_{u≠t} max ub_u over u's blocks
+        intersecting b's doc range  >= θ.
+
+        Safety: a doc d in block b has true score ≤ that bound (every
+        other leaf's contribution on d is ≤ its range max over b's
+        range), so a dropped block cannot contain a top-k doc; docs
+        partially scored because another leaf's block was dropped only
+        score LOWER. Returns ({(field, term, shard, doc_lo): bool
+        ndarray}, blocks_pruned, blocks_total)."""
+        import numpy as np
+
+        rows = [r for r in meta
+                if (r["field"], r["term"]) in scoring_set]
+        # per-leaf flat block tables in GLOBAL doc coordinates
+        per_leaf: dict = {}
+        by_chunk: dict = {}
+        for r in rows:
+            key = (r["field"], r["term"])
+            shard = int(r["shard"])
+            base = int(bases.get(shard, 0)) if bases else 0
+            btf = np.asarray(r["block_max_tf"], dtype=np.float64)
+            bdl = np.asarray(r["block_min_dl"], dtype=np.float64)
+            ub = idf_by_leaf[key] * (btf * (K1 + 1.0)) / (
+                btf + K1 * (1.0 - B + B * bdl / avgdl))
+            glo = np.asarray(r["block_doc_lo"], dtype=np.int64) + base
+            ghi = np.asarray(r["block_doc_hi"], dtype=np.int64) + base
+            per_leaf.setdefault(key, []).append((glo, ghi, ub))
+            by_chunk[(key[0], key[1], shard, r["doc_lo"])] = \
+                (key, glo, ghi, ub)
+        flat = {}
+        for key, parts in per_leaf.items():
+            glo = np.concatenate([p[0] for p in parts])
+            ghi = np.concatenate([p[1] for p in parts])
+            ub = np.concatenate([p[2] for p in parts])
+            order = np.argsort(glo, kind="stable")
+            flat[key] = (glo[order], ghi[order], ub[order])
+
+        def range_max(key, lo, hi):
+            """Max block ub of ``key`` over blocks intersecting
+            [lo, hi] (block doc ranges are disjoint and sorted)."""
+            glo, ghi, ub = flat[key]
+            i0 = int(np.searchsorted(ghi, lo, side="left"))
+            i1 = int(np.searchsorted(glo, hi, side="right"))
+            if i0 >= i1:
+                return 0.0
+            return float(ub[i0:i1].max())
+
+        masks = {}
+        pruned = total = 0
+        for ckey, (key, glo, ghi, ub) in by_chunk.items():
+            others = np.zeros(len(ub))
+            for j in range(len(ub)):
+                s = 0.0
+                for ukey in scoring_set:
+                    if ukey == key:
+                        continue
+                    s += range_max(ukey, int(glo[j]), int(ghi[j]))
+                others[j] = s
+            m = (ub + others) >= theta
+            masks[ckey] = m
+            total += len(m)
+            pruned += int((~m).sum())
+        return masks, pruned, total
 
     def _wand_decode_eval(self, node, sub_scan, df_by_leaf, stats,
                           limits, prune: dict | None = None,
