@@ -171,8 +171,16 @@ docs {best_lo['docs']}=={best_hi['docs']}, tokens
 {best_lo['postings']}=={best_hi['postings']}.
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-appended round sections (e.g. the round-2 WAND
+    # evidence) across regenerations
+    extra = ""
+    if os.path.exists(out):
+        cur = open(out).read()
+        i = cur.find("\n## Round ")
+        if i != -1:
+            extra = cur[i:]
     with open(out, "w") as f:
-        f.write(md)
+        f.write(md + extra)
     print(f"wrote {out}")
 
 

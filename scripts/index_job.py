@@ -33,7 +33,20 @@ def main(argv=None):
                         "(validated by TokenizerConfig.fuzzy_fn)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--translate-from", default="",
+                   help="TranslateCharacters source chars")
+    p.add_argument("--translate-to", default="",
+                   help="TranslateCharacters target chars (parallel)")
+    p.add_argument("--min-word-len", type=int, default=None)
+    p.add_argument("--max-word-len", type=int, default=None)
+    p.add_argument("--rank-bias", action="append", default=[],
+                   metavar="META=BIAS",
+                   help="MetaNamesRank bias in [-10,10], repeatable")
     args = p.parse_args(argv)
+    rank_biases = []
+    for rb in args.rank_bias:
+        meta_name, _, bias = rb.partition("=")
+        rank_biases.append((meta_name, int(bias)))
 
     from pyspark.sql import SparkSession
 
@@ -50,7 +63,12 @@ def main(argv=None):
     meta = build_index(
         spark, pages, args.output,
         IndexConfig(n_buckets=args.buckets, stem=args.stem,
-                    fuzzy=args.fuzzy),
+                    fuzzy=args.fuzzy,
+                    translate_from=args.translate_from,
+                    translate_to=args.translate_to,
+                    min_word_len=args.min_word_len,
+                    max_word_len=args.max_word_len,
+                    rank_biases=tuple(rank_biases)),
         n_shards=args.shards, resume=args.resume)
     print(json.dumps({k: meta[k] for k in
                       ("complete", "doc_count", "token_count",

@@ -997,10 +997,17 @@ class SparkQueryEngine:
                limits: dict | None = None):
         """Top-k as [(doc_id, score)] — the oracle-comparable surface."""
         if k >= 1 << 20:
-            # huge k = "all matches": avoid TakeOrdered's O(k) buffer
-            rows = self.match_df(q, structure_mask, limits).collect()
-            return sorted(((r["doc_id"], r["score"]) for r in rows),
-                          key=lambda t: (-t[1], t[0]))[:k]
+            # huge k = "all matches": avoid TakeOrdered's per-task O(k)
+            # buffer AND driver-side sorting — the range-partitioned
+            # Spark sort stays distributed; only the final iteration
+            # materializes (callers wanting to stay distributed use
+            # match_df directly)
+            from pyspark.sql import functions as F
+
+            df = (self.match_df(q, structure_mask, limits)
+                  .orderBy(F.desc("score"), F.asc("doc_id")))
+            return [(r["doc_id"], r["score"])
+                    for r in df.toLocalIterator()][:k]
         rows = self.search_df(q, k, structure_mask, limits).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 

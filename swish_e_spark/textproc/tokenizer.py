@@ -27,7 +27,7 @@ extraction events add +1 so phrases never match across structure.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 from .extractor import ExtractedDoc
 from .porter import porter_stem

@@ -93,6 +93,35 @@ class TestMergeUpdateRemove:
         # because surviving postings and net stats are identical
         _assert_rank_identity_by_url(merged_engine, q, oracle300)
 
+    def test_nested_merge_rank_identity(self, spark, tmp_path_factory,
+                                        corpus300, oracle300):
+        """merge(merge(A,B), C): the outer merge must COMPOSE the
+        inner merge's shard_bases (ADVICE r1: copying only the new
+        cumulative base silently decoded wrong doc_ids for the nested
+        shards)."""
+        from pyspark.sql import functions as F
+
+        base = tmp_path_factory.mktemp("nestmerge")
+        pages = generate_pages_df(spark, N, partitions=6)
+        urls = sorted(r["url"] for r in corpus300)
+        c1, c2 = urls[100], urls[200]
+        a_dir, b_dir, c_dir, ab, out = (
+            str(base / n) for n in ("a", "b", "c", "ab", "out"))
+        build_index(spark, pages.filter(F.col("url") < c1), a_dir,
+                    IndexConfig(**CFG), n_shards=2)
+        build_index(spark, pages.filter((F.col("url") >= c1)
+                                        & (F.col("url") < c2)), b_dir,
+                    IndexConfig(**CFG), n_shards=1)
+        build_index(spark, pages.filter(F.col("url") >= c2), c_dir,
+                    IndexConfig(**CFG), n_shards=1)
+        merge_indexes(spark, [a_dir, b_dir], ab)   # AB has shard_bases
+        meta = merge_indexes(spark, [ab, c_dir], out)
+        assert meta["complete"]
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.handle.stats["n_docs"] == oracle300.n_docs
+        for q in QUERIES[:4]:
+            _assert_rank_identity_by_url(eng, q, oracle300)
+
     def test_update_replaces(self, spark, tmp_path, corpus300,
                              oracle300):
         from pyspark.sql import functions as F
