@@ -379,6 +379,140 @@ def _decode_bytes(html: bytes) -> str:
         return html.decode("latin-1")
 
 
+# ---------------------------------------------------------------------
+# Fast lexer: one regex pass over the well-formed-HTML subset, feeding
+# the SAME _SwishHTMLParser handler methods as the stdlib html.parser
+# lexer — only tokenization is replaced, never semantics. ANY surprise
+# (stray '<', unterminated construct, quote-imbalanced attributes,
+# CDATA section, exotic declaration) bails the whole document back to
+# html.parser, so behavior stays identical by construction; the
+# differential suite (tests/test_fast_lexer.py) pins equality over the
+# datagen corpus, the fixture docs and adversarial fragments.
+# Round-1 verdict item 8: extraction was ~40% of build CPU.
+# ---------------------------------------------------------------------
+
+_FAST_TOKEN_RE = re.compile(
+    r"(?P<text>[^<]+)"
+    r"|<!--(?P<comment>.*?)-->"
+    r"|<!(?P<decl>[^>]*)>"
+    r"|<\?(?P<pi>[^>]*)>"
+    r"|</(?P<end>[a-zA-Z][a-zA-Z0-9.\-_:]*)\s*>"
+    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9.\-_:]*)"
+    r"(?P<attrs>[^<>]*?)(?P<selfclose>/?)>",
+    re.S)
+
+_DECL_OK_RE = re.compile(r"(?i)^doctype[^>\[]*$")
+
+# the only HTML-mode tags whose attributes the handlers actually read;
+# everything else skips attribute parsing entirely
+_ATTR_TAGS = frozenset({"meta", "base", "a", "img"})
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I)
+    for t in ("script", "style")
+}
+
+
+def _fast_attrs(s: str):
+    """Attribute parsing byte-compatible with HTMLParser.parse_starttag
+    (same tolerant regex, same lowercasing/unquoting/unescaping)."""
+    from html import unescape as _unescape
+    from html.parser import attrfind_tolerant
+
+    attrs = []
+    k = 0
+    n = len(s)
+    while k < n:
+        # consume separators first (html.parser's tagfind/attrfind do
+        # this with their trailing (?:\s|/(?!>))* classes); attrfind's
+        # lookbehind then sees the separator char
+        while k < n and (s[k].isspace() or s[k] == "/"):
+            k += 1
+        if k == 0 or k >= n:
+            break
+        m = attrfind_tolerant.match(s, k)
+        if not m:
+            break
+        attrname, rest, attrvalue = m.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif (attrvalue[:1] == "'" == attrvalue[-1:]
+              or attrvalue[:1] == '"' == attrvalue[-1:]):
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = m.end()
+    return attrs
+
+
+def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
+    """Tokenize ``raw`` into ``p``'s handler methods. Returns False on
+    any construct outside the fast subset — the caller then reparses
+    the WHOLE document with html.parser on a fresh parser instance."""
+    from html import unescape as _unescape
+
+    pos = 0
+    n = len(raw)
+    handle_data = p.handle_data
+    handle_start = p.handle_starttag
+    handle_end = p.handle_endtag
+    # group indices: 1=text 2=comment 3=decl 4=pi 5=end 6=start
+    # 7=attrs 8=selfclose; for the start alternative lastindex is 8
+    # (the selfclose group participates even when empty)
+    it = _FAST_TOKEN_RE.finditer(raw)
+    while True:
+        m = next(it, None)
+        if m is None:
+            break
+        if m.start() != pos:
+            return False  # stray '<' / unterminated construct
+        pos = m.end()
+        g = m.lastindex
+        if g == 1:
+            text = m[1]
+            handle_data(_unescape(text) if "&" in text else text)
+        elif g == 8 or g == 7 or g == 6:
+            attrs_s = m[7]
+            if attrs_s and not (attrs_s[0].isspace()
+                                or attrs_s[0] == "/"):
+                # html.parser's tag-name charset is broader (anything
+                # but whitespace / '/' / '>'): '<a@x=y>' is the tag
+                # name 'a@x=y' there — bail rather than diverge
+                return False
+            if ("'" in attrs_s or '"' in attrs_s) and (
+                    attrs_s.count('"') % 2 or attrs_s.count("'") % 2):
+                # a quoted value containing '>' would have been split
+                # wrongly above — quote imbalance detects it
+                return False
+            tag = m[6].lower()
+            attrs = _fast_attrs(attrs_s) \
+                if (tag in _ATTR_TAGS and attrs_s.strip()) else []
+            handle_start(tag, attrs)
+            if m[8]:
+                handle_end(tag)
+            elif tag in _CDATA_CLOSE:
+                # html.parser CDATA content mode: raw until the close
+                # tag, no charref conversion
+                cm = _CDATA_CLOSE[tag].search(raw, pos)
+                if cm is None:
+                    return False
+                if cm.start() > pos:
+                    handle_data(raw[pos:cm.start()])
+                handle_end(tag)
+                pos = cm.end()
+                it = _FAST_TOKEN_RE.finditer(raw, pos)
+        elif g == 5:
+            handle_end(m[5].lower())
+        elif g == 2:
+            p.handle_comment(m[2])
+        elif g == 3:
+            if not _DECL_OK_RE.match(m[3]):
+                return False  # CDATA section / internal subset / bogus
+        # g == 4: PI — handle_pi is a no-op for this parser
+    return pos == n
+
+
 def extract_html(html: bytes | str, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
                  index_alt: bool = False, xml_attributes: bool = False,
@@ -387,14 +521,24 @@ def extract_html(html: bytes | str, index_comments: bool = False,
                  dont_bump_tags: frozenset = frozenset()) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
-    p = _SwishHTMLParser(index_comments=index_comments, xml_mode=xml_mode,
-                         index_links=index_links, index_alt=index_alt,
-                         xml_attributes=xml_attributes,
-                         xml_class_attributes=xml_class_attributes,
-                         xml_nested_metanames=xml_nested_metanames,
-                         dont_bump_tags=dont_bump_tags)
-    p.feed(raw)
-    p.close()
+
+    def _mk():
+        return _SwishHTMLParser(
+            index_comments=index_comments, xml_mode=xml_mode,
+            index_links=index_links, index_alt=index_alt,
+            xml_attributes=xml_attributes,
+            xml_class_attributes=xml_class_attributes,
+            xml_nested_metanames=xml_nested_metanames,
+            dont_bump_tags=dont_bump_tags)
+
+    p = _mk()
+    ok = False if xml_mode else _fast_feed(p, raw)
+    if not ok:
+        # outside the fast subset: reparse from scratch with the
+        # stdlib lexer (the fast attempt may have emitted events)
+        p = _mk()
+        p.feed(raw)
+        p.close()
     p._flush()
     doc = p.doc
     doc.xml = xml_mode
