@@ -2,11 +2,16 @@
 
 Images/audio/video travel as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` kernels. The actual media codecs are NOT
-available in this container, so the decode step is STUBBED: by default it
-raises ``NotImplementedError``; with ``fake=True`` it produces a
-deterministic fake decode so the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+Arrow-batched ``mapInPandas`` kernels.
+
+Codecs: formats decodable with stdlib struct + numpy are decoded FOR
+REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
+24/32-bit BMP, and binary PPM (P6). Compressed formats (JPEG/PNG/MP4/
+MP3...) need external codecs that are NOT in this container, so they
+remain STUBBED: by default the decode raises ``NotImplementedError``;
+with ``fake=True`` an unrecognized payload gets a deterministic fake
+decode so the Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is exercised either way.
 
 At 100 TB the shape that matters: media bytes stay in executor-local
 Arrow batches end-to-end (no driver collect), feature rows are a
@@ -17,6 +22,7 @@ AQE can split skewed partitions freely.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -55,12 +61,139 @@ def synthesize_media_df(spark, n: int = 64, partitions: int = 4):
             .mapInPandas(gen, schema=MEDIA_SCHEMA))
 
 
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM decode with stdlib struct + numpy (no external
+    codec): returns (samples float32 in [-1,1], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels < 1:
+        return None  # only uncompressed PCM here; others stay stubbed
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        return None
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels]
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, int(rate)
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24/32-bit BMP decode: returns float32 grayscale
+    array (H, W) in [0,1]."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32) \
+            or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)[:, :, :3]
+    gray = px.astype(np.float32).mean(axis=2) / 255.0
+    return gray[::-1] if flip else gray
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6, maxval<=255): float32 grayscale (H, W)."""
+    if payload[:2] != b"P6":
+        return None
+    fields = []
+    pos = 2
+    while len(fields) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    if len(fields) < 3:
+        return None
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    pos += 1  # single whitespace after maxval
+    if len(payload) < pos + w * h * 3:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                       offset=pos).reshape(h, w, 3)
+    return px.astype(np.float32).mean(axis=2) / float(maxval)
+
+
+def resize_thumb(gray: np.ndarray, thumb: int = THUMB) -> np.ndarray:
+    """Nearest-index downsample/upsample to (thumb, thumb)."""
+    h, w = gray.shape
+    yi = (np.arange(thumb) * h // thumb).clip(0, h - 1)
+    xi = (np.arange(thumb) * w // thumb).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)].astype(np.float32)
+
+
+def audio_thumb(samples: np.ndarray, thumb: int = THUMB) -> np.ndarray:
+    """Frame the signal into thumb windows of thumb samples (truncate /
+    zero-pad) — a real energy raster over real decoded samples."""
+    need = thumb * thumb
+    x = np.abs(samples[:need].astype(np.float32))
+    if len(x) < need:
+        x = np.pad(x, (0, need - len(x)))
+    return x.reshape(thumb, thumb)
+
+
 def _decode_stub(payload: bytes, kind: str, fake: bool):
-    """The codec boundary. Real deployments plug PIL/ffmpeg here."""
+    """The codec boundary: real stdlib decoders first (WAV/BMP/PPM),
+    then the stub for formats needing external codecs (PIL/ffmpeg plug
+    in here in real deployments)."""
+    wav = decode_wav(payload)
+    if wav is not None:
+        return audio_thumb(wav[0])
+    img = decode_bmp(payload)
+    if img is None:
+        img = decode_ppm(payload)
+    if img is not None:
+        return resize_thumb(img)
     if not fake:
         raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "pass fake=True for the deterministic test decode")
+            "compressed-media codecs not available in this "
+            "environment; pass fake=True for the deterministic "
+            "fallback decode")
     # deterministic fake: pseudo-pixels from a seeded hash of the bytes
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)

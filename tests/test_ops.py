@@ -145,3 +145,75 @@ class TestMultimodal:
         frames = frame_sample(media, every_n=4).collect()
         assert frames
         assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+    @staticmethod
+    def _real_media_rows():
+        import struct
+
+        import numpy as np
+
+        # 16-bit PCM mono WAV: 440 Hz sine at 8 kHz
+        rate = 8000
+        t = np.arange(1600) / rate
+        sig = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+        wav = (b"RIFF" + struct.pack("<I", 36 + sig.nbytes) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                       rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", sig.nbytes)
+               + sig.tobytes())
+        # 24-bit bottom-up BMP gradient, 8x6
+        w, h = 8, 6
+        stride = (w * 3 + 3) & ~3
+        rows = bytearray()
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                v = (y * 30 + x * 10) % 256
+                row += bytes([v, v, v])
+            row += b"\0" * (stride - len(row))
+            rows += row
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(rows), 0, 0, 0, 0) + bytes(rows))
+        ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+        return [(0, "audio", wav), (1, "image", bmp), (2, "image", ppm)]
+
+    def test_real_codecs_through_spark_plumbing(self, spark):
+        """WAV/BMP/PPM payloads decode FOR REAL (stdlib struct+numpy)
+        inside the Arrow-batched kernel — features equal a local
+        reference computation, and fake=False no longer raises for
+        these formats."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.ops.multimodal import (
+            MEDIA_SCHEMA, _decode_stub, extract_features,
+        )
+
+        rows = self._real_media_rows()
+        media = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+        ).select("media_id", "kind", "payload",
+                 F.lit(0).alias("width"), F.lit(0).alias("height"),
+                 F.lit(0).alias("sample_rate"))
+        feats = {r["media_id"]: np.asarray(r["feature"])
+                 for r in extract_features(media, fake=False).collect()}
+        assert len(feats) == 3
+        for mid, kind, payload in rows:
+            decoded = _decode_stub(payload, kind, fake=False)
+            grid = decoded.reshape(4, 8, 4, 8).mean(axis=(1, 3)) \
+                .ravel()[:16]
+            assert np.allclose(feats[mid], grid, atol=1e-6), mid
+        # the WAV energy raster reflects the real signal amplitude
+        wav_thumb = _decode_stub(rows[0][2], "audio", fake=False)
+        assert 0.3 < float(wav_thumb.mean()) < 0.7
+
+    def test_compressed_formats_still_stub(self):
+        from swish_e_spark.ops.multimodal import _decode_stub
+
+        jpeg_ish = b"\xff\xd8\xff\xe0" + b"\0" * 64
+        with pytest.raises(NotImplementedError):
+            _decode_stub(jpeg_ish, "image", fake=False)
+        assert _decode_stub(jpeg_ish, "image", fake=True).shape == \
+            (32, 32)
