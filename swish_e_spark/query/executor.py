@@ -964,9 +964,14 @@ class SparkQueryEngine:
             if pruned is not None:
                 return pruned
         # single-leaf fast path: the decoded scan feeds exactly one
-        # consumer, so persist + checkpoint (two extra jobs at query
-        # latency) buy nothing — return the lazy one-job plan
-        single = isinstance(node, Term)
+        # consumer (prefix/pattern scoring is a single broadcast-join
+        # pass), so persist + checkpoint (two extra jobs at query
+        # latency) buy nothing — return the lazy one-job plan. With a
+        # structure mask or tombstones, _term_stats consumes decoded
+        # too, so the persist stays.
+        single = isinstance(node, (Term, Prefix, Pattern)) \
+            and structure_mask is None \
+            and self.handle.removed() is None
         decoded = self._decoded(node, structure_mask)
         if decoded is not None and not single:
             decoded = decoded.persist()
@@ -1018,7 +1023,9 @@ class SparkQueryEngine:
         from pyspark.sql import functions as F
 
         node = parse_query(q, self.cfg)
-        single = isinstance(node, Term)
+        single = isinstance(node, (Term, Prefix, Pattern)) \
+            and structure_mask is None \
+            and self.handle.removed() is None
         decoded = self._decoded(node, structure_mask)
         if decoded is not None and not single:
             decoded = decoded.persist()
@@ -1086,12 +1093,23 @@ class SparkQueryEngine:
                             if f == node.field and rx.fullmatch(t)]
             if not matching:
                 return self._empty()
-            parts = [self._leaf_term(decoded, f, t, dfs, stats, True)
-                     for f, t in sorted(matching)]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            return (u.groupBy("doc_id")
+            # ONE pass over the decoded scan: per-term idf arrives via
+            # a broadcast join, score = idf*impact per row, then the
+            # same OR-combination agg — instead of a union of one
+            # filtered branch per matched term, which referenced (and
+            # re-executed) the decode subtree once per term
+            idf_rows = [(f, t, bm25_idf(stats["n_docs"], dfs[(f, t)]))
+                        for f, t in sorted(matching)]
+            tdf = F.broadcast(self.spark.createDataFrame(
+                idf_rows, "field string, term string, idf double"))
+            avgdl = max(stats["avgdl"], 1e-9)
+            impact = (F.col("tf") * (K1 + 1.0)) / (
+                F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl))
+            return (decoded.join(tdf, ["field", "term"])
+                    .select("doc_id",
+                            (F.col("idf") * impact).alias("score"),
+                            "positions")
+                    .groupBy("doc_id")
                     .agg(F.sum("score").alias("score"),
                          F.array_sort(F.flatten(F.collect_list("positions")))
                          .alias("positions")))
