@@ -1,0 +1,106 @@
+"""Structured Streaming incremental ingest: file-drop batches stream
+into an existing index; final state matches an oracle built on the
+union, with replace semantics for re-crawled urls."""
+
+import os
+
+import pandas as pd
+
+from swish_e_spark.index.builder import (
+    IndexConfig, IndexHandle, build_index,
+)
+from swish_e_spark.oracle.engine import OracleIndex
+from swish_e_spark.query.executor import SparkQueryEngine
+from swish_e_spark.streaming.ingest import pages_file_stream, stream_index
+from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+
+def _pages_df(spark, rows, ts):
+    from pyspark.sql import functions as F
+
+    return (spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]))
+        .select("url",
+                F.lit(ts).cast("timestamp").alias("warc_ts"),
+                F.encode("text", "utf-8").alias("html"),
+                "text", F.lit("en").alias("lang")))
+
+
+BASE = [("s0.txt", "alpha bravo charlie delta"),
+        ("s1.txt", "echo foxtrot golf hotel"),
+        ("s2.txt", "india juliet kilo lima")]
+DROP1 = [("s3.txt", "mike november oscar papa"),
+         ("s4.txt", "quebec romeo sierra tango")]
+DROP2 = [("s1.txt", "echo UPDATED victor whiskey"),   # re-crawl of s1
+         ("s5.txt", "xray yankee zulu alpha")]
+
+
+class TestStreamingIngest:
+    def test_file_drop_stream_matches_oracle(self, spark, tmp_path):
+        idx = str(tmp_path / "sidx")
+        src = str(tmp_path / "drops")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        build_index(spark, _pages_df(spark, BASE, "2024-01-01"), idx,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+
+        # two file drops land before the stream starts; availableNow
+        # drains both as micro-batches
+        _pages_df(spark, DROP1, "2024-01-02").write.mode("append") \
+            .parquet(src)
+        _pages_df(spark, DROP2, "2024-01-03").write.mode("append") \
+            .parquet(src)
+        q = stream_index(
+            pages_file_stream(spark, src, max_files_per_trigger=1),
+            idx, ckpt)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+        handle = IndexHandle(spark, idx)
+        eng = SparkQueryEngine(spark, handle)
+        # oracle over the FINAL corpus state (s1 replaced)
+        final = {u: t for u, t in BASE + DROP1 + DROP2}
+        oracle = OracleIndex(TokenizerConfig(stopwords=frozenset()))
+        for url in sorted(final):
+            oracle.add(url, final[url].encode(), doctype="txt")
+        oracle.build()
+        assert handle.stats["n_docs"] == oracle.n_docs == 6
+        for query in ("alpha", "echo", "updated", "tango or zulu",
+                      "victor and whiskey"):
+            got = eng.search(query, k=10)
+            want = oracle.query(query, k=10)
+            gu = sorted(self._urls(handle, got))
+            wu = sorted(oracle.docs[d]["url"] for d, _ in want)
+            assert gu == wu, query
+            assert sorted(round(s, 9) for _, s in got) == \
+                sorted(round(s, 9) for _, s in want), query
+        # the replaced crawl of s1 is gone
+        assert eng.search("foxtrot", k=10) == []
+
+    def test_replayed_batch_converges(self, spark, tmp_path):
+        """foreachBatch redelivery (at-least-once) must not corrupt
+        visible state: applying the same drop twice gives the same
+        query results (replace semantics absorb the replay)."""
+        from swish_e_spark.index.maintenance import update_documents
+
+        idx = str(tmp_path / "ridx")
+        build_index(spark, _pages_df(spark, BASE, "2024-01-01"), idx,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        drop = _pages_df(spark, DROP2, "2024-01-03")
+        update_documents(spark, drop, idx)
+        first = SparkQueryEngine(
+            spark, IndexHandle(spark, idx)).search("alpha", k=10)
+        update_documents(spark, drop, idx)  # replay
+        handle = IndexHandle(spark, idx)
+        eng = SparkQueryEngine(spark, handle)
+        assert handle.stats["n_docs"] == 4  # not 6: replay absorbed
+        replay = eng.search("alpha", k=10)
+        assert [round(s, 9) for _, s in replay] == \
+            [round(s, 9) for _, s in first]
+        assert eng.search("foxtrot", k=10) == []
+
+    @staticmethod
+    def _urls(handle, results):
+        docs = {r["doc_id"]: r["url"] for r in
+                handle.live_docs().select("doc_id", "url").collect()}
+        return [docs[d] for d, _ in results]
