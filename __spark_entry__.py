@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_or_topk": engineq.engine_or_topk,
         "engine_phrase_match": engineq.engine_phrase_match,
         "engine_near_match": engineq.engine_near_match,
+        "engine_near_chain": engineq.engine_near_chain,
+        "engine_phrase3_match": engineq.engine_phrase3_match,
+        "engine_not_complement": engineq.engine_not_complement,
         "engine_wildcard_match": engineq.engine_wildcard_match,
         "engine_wand_topk": engineq.engine_wand_topk,
         "engine_keyword_dump": engineq.engine_keyword_dump,
@@ -172,6 +175,33 @@ with {toks}
 select distinct a.doc_id from toks a
 join toks b on a.doc_id = b.doc_id and abs(a.p - b.p) <= 4
 where a.t = 'merge' and b.t = 'batch' order by a.doc_id""",
+        "engine_near_chain": f"""
+with {toks},
+a as (select doc_id, p from toks where t = 'merge'),
+b as (select doc_id, p from toks where t = 'batch'),
+c as (select doc_id, p from toks where t = 'data'),
+vb as (select distinct b.doc_id, b.p from b
+       join a on a.doc_id = b.doc_id and abs(a.p - b.p) <= 4),
+ka as (select distinct a.doc_id, a.p from a
+       join vb on vb.doc_id = a.doc_id and abs(a.p - vb.p) <= 4)
+select distinct c.doc_id from c
+where exists (select 1 from ka
+              where ka.doc_id = c.doc_id and abs(ka.p - c.p) <= 4)
+  and exists (select 1 from vb
+              where vb.doc_id = c.doc_id and abs(vb.p - c.p) <= 4)
+order by c.doc_id""",
+        "engine_phrase3_match": f"""
+with {toks}
+select distinct a.doc_id from toks a
+join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
+join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
+where a.t = 'stream' and b.t = 'table' and c.t = 'hash'
+order by a.doc_id""",
+        "engine_not_complement": f"""
+with {toks}
+select d.doc_id, cast(1000.0 as double) as score from documents d
+where d.doc_id not in (select doc_id from toks where t = 'hash')
+order by d.doc_id""",
         "engine_wildcard_match": f"""
 with {toks}
 select distinct doc_id from toks where t like 'sc%' order by doc_id""",

@@ -86,6 +86,39 @@ def engine_near_match(spark, sf_dir, q="merge near4 batch"):
     return df.select("doc_id").orderBy("doc_id")
 
 
+def engine_near_chain(spark, sf_dir, q="merge near4 batch near4 data"):
+    """Chained NEAR with the reference's area semantics (KeepPos,
+    /root/reference/src/search.c:1915-1975): the third term must be
+    within the window of a KEPT position of BOTH prior series — the
+    DuckDB oracle transcribes the valid/kept/exists algebra exactly."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.match_df(q)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_phrase3_match(spark, sf_dir, q='"stream table hash"'):
+    """Three-term phrase: exercises the multi-term batch_phrase kernel
+    (offset-shifted searchsorted over all three position arrays)."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.match_df(q)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_not_complement(spark, sf_dir, q="not hash"):
+    """Unary NOT: complement of the match set with rank 1000
+    (notresultlist, /root/reference/src/search.c:2514-2553)."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    df = eng.match_df(q)
+    return (df.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy("doc_id"))
+
+
 def engine_wildcard_match(spark, sf_dir, q="sc*"):
     from pyspark.sql import functions as F
 

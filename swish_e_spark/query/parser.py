@@ -146,7 +146,16 @@ class _Parser:
 
     # expr := unit (op unit)*  — left-to-right, no precedence
     def parse_expr(self, field):
-        node = self.parse_unit(field)
+        first = self.peek()
+        if first is not None and first.lower() == "not":
+            # leading NOT → unary complement of the first unit
+            # (notresultlist, /root/reference/src/search.c:2514-2553);
+            # previously the operator word fell into parse_unit and
+            # vanished as a stopword
+            self.next()
+            node = self._combine_andnot(None, self.parse_unit(field))
+        else:
+            node = self.parse_unit(field)
         while True:
             t = self.peek()
             if t is None or t == ")":
