@@ -211,6 +211,41 @@ with {toks}
 select t as term, count(distinct doc_id) as df, count(*) as cf
 from toks where t like 'sc%' and t <> ''
 group by t order by term""",
+        "engine_swishrank0_topk": f"""
+with {toks},
+tf as (select doc_id, t, count(*) as tf from toks
+       where t in ('hash','join') group by doc_id, t),
+r as (select doc_id, t,
+             cast(floor(ln(1.0 + tf) * 10000 + 0.5) as bigint) // 100
+               as r from tf)
+select a.doc_id,
+       greatest((a.r + b.r) // 2, 1) as rank
+from r a join r b on a.doc_id = b.doc_id
+where a.t = 'hash' and b.t = 'join'
+order by rank desc, a.doc_id asc limit 10""",
+        "engine_swishrank1_topk": f"""
+with {toks},
+dl as (select doc_id, count(*) as dl from toks where t <> ''
+       group by doc_id),
+st as (select (select count(*) from documents) as nd,
+              (select count(*) from toks where t <> '') as total_len),
+tf as (select doc_id, t, count(*) as tf from toks
+       where t in ('hash','join') group by doc_id, t),
+dfs as (select t, count(*) as df from tf group by t),
+r as (select tf.doc_id, tf.t,
+             cast(floor(ln(greatest(
+                 1 + (greatest(1, (greatest(st.total_len // st.nd, 1)
+                                   * 1000 // dl.dl) * tf.tf)
+                      * greatest(1, cast(floor(ln(greatest(
+                            st.nd // dfs.df, 1)) * 1000) as bigint))
+                      // 100) * tf.tf, 1)) * 10000 + 0.5) as bigint)
+               as r
+      from tf join dfs using (t) join dl using (doc_id) cross join st)
+select a.doc_id,
+       greatest((a.r + b.r) // 2, 1) as rank
+from r a join r b on a.doc_id = b.doc_id
+where a.t = 'hash' and b.t = 'join'
+order by rank desc, a.doc_id asc limit 10""",
         # dedup
         "dedup_exact": """
 select md5(text) as h, count(*) as n, min(doc_id) as first_doc
@@ -322,6 +357,23 @@ join ds da on da.doc_id = s.a
 join ds db on db.doc_id = s.b
 where s.shared * 1.0 / (da.n + db.n - s.shared) >= 0.8
 order by s.a, s.b""",
+        "simhash64": f"""
+with {toks},
+tk as (select doc_id, t, count(*) as tf from toks where t <> ''
+       group by doc_id, t),
+h as (select doc_id, tf, md5_number_lower(t) as hu from tk),
+bits as (select doc_id, j,
+                sum(case when (hu >> j) & 1 = 1 then tf
+                         else -tf end) as s
+         from h cross join range(64) r(j) group by doc_id, j),
+acc as (select doc_id,
+               sum(case when s > 0 then
+                        case when j = 63 then -9223372036854775808
+                             else (cast(1 as bigint) << j) end
+                   else cast(0 as bigint) end) as simhash
+        from bits group by doc_id)
+select doc_id, cast(simhash as bigint) as simhash from acc
+order by doc_id""",
         # similarity
         "embedding_topk": """
 with q as (select embedding::DOUBLE[] as v from embeddings

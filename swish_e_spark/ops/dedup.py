@@ -189,15 +189,35 @@ def lsh_near_duplicates(spark, sf_dir, threshold=0.8,
             .select("a", "b", "jac").orderBy("a", "b"))
 
 
+def _md5_lower64(col):
+    """Signed 64-bit value equal to DuckDB's md5_number_lower (the
+    LAST 8 md5 bytes, little-endian) — a portable hash family, so the
+    SQL oracle can verify SimHash exactly. Production swaps in
+    xxhash64 for speed without changing shape."""
+    from pyspark.sql import functions as F
+
+    hex_ = F.md5(col)
+
+    def byte(b):
+        return F.conv(F.substring(hex_, 17 + 2 * b, 2), 16, 10) \
+            .cast("long")
+
+    lo32 = sum((byte(b) * F.lit(1 << (8 * b)) for b in range(1, 4)),
+               byte(0))
+    hi32 = sum((byte(b + 4) * F.lit(1 << (8 * b)) for b in range(1, 4)),
+               byte(4))
+    # hi32 << 32 wraps into the sign bit exactly like two's complement
+    return F.shiftleft(hi32, 32).bitwiseOR(lo32)
+
+
 def simhash64(spark, sf_dir):
     """64-bit SimHash per doc from tf-weighted token hash bits
-    (xxhash64-based; engine-internal, verified in pytest against a
-    pure-Python reference — no SQL oracle)."""
+    (md5-low-64 hash family — engine-portable, DuckDB-verified)."""
     from pyspark.sql import functions as F
 
     tk = (tokens(spark, sf_dir).groupBy("doc_id", "t")
           .agg(F.count("*").alias("tf"))
-          .withColumn("h", F.xxhash64("t")))
+          .withColumn("h", _md5_lower64(F.col("t"))))
     bits = []
     for j in range(64):
         bit = F.when(F.col("h").bitwiseAND(F.lit(1 << j)

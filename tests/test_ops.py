@@ -16,18 +16,21 @@ class TestDedup:
 
         got = {r["doc_id"]: r["simhash"]
                for r in simhash64(spark, SF).collect()}
-        # pure-python reference with Spark's xxhash64 (fetch hashes once)
+        # pure-python reference: md5 lower-64 hash family computed
+        # with hashlib (independent of both Spark and DuckDB)
+        import hashlib
+
         from pyspark.sql import functions as F
 
         from swish_e_spark.ops.corpus import tokens
 
         tk = (tokens(spark, SF).groupBy("doc_id", "t")
-              .agg(F.count("*").alias("tf"))
-              .withColumn("h", F.xxhash64("t"))).collect()
+              .agg(F.count("*").alias("tf"))).collect()
         acc = {}
         for r in tk:
             v = acc.setdefault(r["doc_id"], np.zeros(64, dtype=np.int64))
-            h = np.uint64(r["h"] % (1 << 64))
+            digest = hashlib.md5(r["t"].encode()).digest()
+            h = np.uint64(int.from_bytes(digest[8:], "little"))
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             v += np.where(bits == 1, r["tf"], -r["tf"])
         for doc_id, v in acc.items():
