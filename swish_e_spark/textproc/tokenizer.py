@@ -59,6 +59,9 @@ def _sanity_re(max_consec: int, max_repeat: int):
 # ASCII so the entity path folds (Espa&ntilde;a → espana). The reference
 # ships this as a config directive (TranslateCharacters,
 # /root/reference/src/index.c:2632, table /root/reference/src/swish.h:580).
+_STEM_CACHE: dict = {}   # per-process: mode -> {word: stem}
+_STEM_CACHE_CAP = 200_000
+
 DEFAULT_TRANSLATE = str.maketrans(
     "àáâãäåçèéêëìíîïñòóôõöùúûüýÿðø",
     "aaaaaaceeeeiiiinooooouuuuyydo",
@@ -118,6 +121,24 @@ class TokenizerConfig:
             return _WORD_RE
         return re.compile("[" + re.escape(self.word_chars) + "]+")
 
+    def _cached(self, mode: str, fn):
+        """Worker-lifetime stem cache (the STEMCACHE hash,
+        /root/reference/src/index.c:2690-2721, /root/reference/src/
+        config.h:366): Zipf token streams hit the same words
+        constantly, so each executor process memoizes stem results
+        per fuzzy mode, capped to bound memory."""
+        cache = _STEM_CACHE.setdefault(mode, {})
+
+        def cached(word, _c=cache, _f=fn):
+            v = _c.get(word)
+            if v is None:
+                v = _f(word)
+                if len(_c) < _STEM_CACHE_CAP:
+                    _c[word] = v
+            return v
+
+        return cached
+
     def fuzzy_fn(self):
         """The per-token single-output fuzzy transform, or None.
 
@@ -132,11 +153,11 @@ class TokenizerConfig:
         """
         mode = self.fuzzy or ("porter" if self.stem else "none")
         if mode == "porter":
-            return porter_stem
+            return self._cached(mode, porter_stem)
         if mode == "soundex":
             from .soundex import soundex
 
-            return soundex
+            return self._cached(mode, soundex)
         if mode in ("metaphone", "doublemetaphone"):
             from .dmetaphone import double_metaphone
 
@@ -146,15 +167,17 @@ class TokenizerConfig:
                 # (/root/reference/src/stemmer.c:378-383)
                 return p.lower() if p else w
 
-            return dm_primary
+            return self._cached(mode, dm_primary)
         if mode == "metaphone_classic":
             from .metaphone import metaphone
 
-            return lambda w: metaphone(w).lower()
+            return self._cached(mode,
+                                lambda w: metaphone(w).lower())
         if mode.startswith("snowball_"):
             from .snowball import snowball_fn
 
-            return snowball_fn(mode[len("snowball_"):])
+            return self._cached(
+                mode, snowball_fn(mode[len("snowball_"):]))
         if mode == "none":
             return None
         raise ValueError(f"unknown fuzzy mode {mode!r}")
@@ -177,7 +200,7 @@ class TokenizerConfig:
                 return (p.lower(), s.lower())
             return (p.lower(),)
 
-        return dm_both
+        return self._cached("doublemetaphone_multi", dm_both)
 
 
 def fuzzy_word(word: str, cfg: TokenizerConfig) -> str:
