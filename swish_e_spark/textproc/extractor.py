@@ -489,8 +489,11 @@ def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
             attrs = _fast_attrs(attrs_s) \
                 if (tag in _ATTR_TAGS and attrs_s.strip()) else []
             handle_start(tag, attrs)
+            # self-closing: handle_startendtag above calls starttag
+            # ONLY (no synthetic end), so '<b/>' opens emphasis just
+            # like the html.parser path
             if m[8]:
-                handle_end(tag)
+                pass
             elif tag in _CDATA_CLOSE:
                 # html.parser CDATA content mode: raw until the close
                 # tag, no charref conversion
