@@ -401,6 +401,10 @@ class SparkQueryEngine:
             scan = scan.withColumn("base", expr)
         need_pos = _needs_positions(node)
         mask = structure_mask
+        # the decode kernel never reads the block-bound metadata —
+        # dropping it prunes four array columns from the scan
+        scan = scan.drop("block_doc_lo", "block_doc_hi",
+                         "block_max_tf", "block_min_dl")
         if not need_pos and mask is None and not need_structs:
             # TF-only scoring: positions/structures are the BULK of the
             # index bytes — drop the columns so the parquet scan never
@@ -816,6 +820,12 @@ class SparkQueryEngine:
         bases = self.handle.shard_bases
         if prune is not None:
             sub_scan = sub_scan.drop("pos_bin", "structs_bin")
+            if "masks" in prune:
+                # mask path decided per block on the driver — the
+                # kernel does not re-derive bounds from block arrays
+                sub_scan = sub_scan.drop(
+                    "block_doc_lo", "block_doc_hi", "block_min_dl",
+                    "block_max_tf")
             decoded = sub_scan.mapInPandas(
                 lambda it: _wand_block_kernel(
                     it, prune, theta, max(stats["avgdl"], 1e-9),
@@ -828,7 +838,9 @@ class SparkQueryEngine:
                     expr = F.when(F.col("shard") == sid,
                                   F.lit(b2).cast("long")).otherwise(expr)
                 sub_scan = sub_scan.withColumn("base", expr)
-            decoded = (sub_scan.drop("pos_bin", "structs_bin")
+            decoded = (sub_scan.drop("pos_bin", "structs_bin",
+                                     "block_doc_lo", "block_doc_hi",
+                                     "block_max_tf", "block_min_dl")
                        .mapInPandas(
                            lambda it: _decode_kernel(it, False, None),
                            schema=DECODED_SCHEMA))
