@@ -106,6 +106,15 @@ class SwishSparkEngine:
         """SwishFuzzyWord: run a word through the index's fuzzy mode."""
         return fuzzy_word(word, self.engines[0].cfg)
 
+    def fuzzy_word_list(self, word: str) -> list:
+        """The full SwishFuzzyWord word list — two entries for a
+        DoubleMetaphone word with a distinct secondary code
+        (FUZZY_WORD->word_list, /root/reference/src/stemmer.c:146-153;
+        one entry for every other mode)."""
+        from .textproc.tokenizer import fuzzy_word_list
+
+        return fuzzy_word_list(word, self.engines[0].cfg)
+
     def header(self, i: int = 0) -> dict:
         """Index header introspection (SwishHeaderValue surface)."""
         return info(self.engines[i].handle)
