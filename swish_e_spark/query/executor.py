@@ -617,7 +617,12 @@ class SparkQueryEngine:
         # fall outside the seed score LOW, so θ only underestimates
         # (safe). Other tree shapes keep the Spark seed job.
         theta = 0.0
-        if not required and not aux and len(seed) <= 64:
+        # limits make the driver path unsafe: θ from docs a property
+        # limit later removes could exceed the true k-th score of the
+        # LIMITED result set and over-prune — the Spark seed job
+        # applies limits inside _wand_decode_eval, so take it instead
+        if not required and not aux and not limits \
+                and len(seed) <= 64:
             theta = self._seed_theta_driver(scan_for(seed),
                                             idf_by_leaf, avgdl, k,
                                             bases)

@@ -310,7 +310,11 @@ class TestWand:
                          .alias("warc_ts"),
                          F.encode("text", "utf-8").alias("html"),
                          F.col("text"),
-                         F.lit("en").alias("lang")))
+                         # heavy docs en, light docs de: a lang limit
+                         # can then exclude exactly the top scorers
+                         F.when(F.col("url").startswith("z"),
+                                F.lit("en")).otherwise(F.lit("de"))
+                         .alias("lang")))
         out = str(tmp_path_factory.mktemp("wandskew"))
         build_index(spark, pages, out,
                     IndexConfig(n_buckets=4, chunk_docs=32,
@@ -326,6 +330,19 @@ class TestWand:
         assert st["chunks_total"] > 10
         assert st["chunks_pruned"] > 0
         assert st["theta"] > 0
+        # θ-safety under property limits: the heavy (tf=30) docs are
+        # de-limited, so a θ seeded from them would over-prune the
+        # light docs that ARE the limited top-k — the planner must
+        # seed θ through the limit-aware Spark job in this case
+        lim = {"lang": ("de", "de")}
+        exact_lim = eng.search_df("zebra", 10, limits=lim,
+                                  wand="off").collect()
+        wand_lim = eng.search_df("zebra", 10, limits=lim,
+                                 wand="force").collect()
+        assert [(r["doc_id"], round(r["score"], 9))
+                for r in wand_lim] == \
+            [(r["doc_id"], round(r["score"], 9)) for r in exact_lim]
+        assert len(exact_lim) == 10  # the limited set is non-trivial
 
     def test_wand_ineligible_falls_back(self, engine, spark):
         # phrase queries take the exact path — results still correct
