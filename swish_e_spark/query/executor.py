@@ -785,27 +785,38 @@ class SparkQueryEngine:
             order = np.argsort(glo, kind="stable")
             flat[key] = (glo[order], ghi[order], ub[order])
 
-        def range_max(key, lo, hi):
-            """Max block ub of ``key`` over blocks intersecting
-            [lo, hi] (block doc ranges are disjoint and sorted)."""
-            glo, ghi, ub = flat[key]
-            i0 = int(np.searchsorted(ghi, lo, side="left"))
-            i1 = int(np.searchsorted(glo, hi, side="right"))
-            if i0 >= i1:
-                return 0.0
-            return float(ub[i0:i1].max())
+        def range_max_vec(ukey, glo_b, ghi_b):
+            """Per-query-block max ub of leaf ``ukey`` over its blocks
+            intersecting [glo_b[j], ghi_b[j]] — vectorized searchsorted
+            over the whole chunk's block array (block doc ranges are
+            disjoint and sorted; overlap counts are tiny because both
+            sides are ~BLOCK_SIZE-doc spans, so counts >2 fall to a
+            rare scalar loop)."""
+            glo_u, ghi_u, ub_u = flat[ukey]
+            n_u = len(ub_u)
+            out = np.zeros(len(glo_b))
+            if n_u == 0:
+                return out
+            i0 = np.searchsorted(ghi_u, glo_b, side="left")
+            i1 = np.searchsorted(glo_u, ghi_b, side="right")
+            cnt = i1 - i0
+            one = cnt >= 1
+            out[one] = ub_u[np.minimum(i0[one], n_u - 1)]
+            two = cnt >= 2
+            if two.any():
+                out[two] = np.maximum(
+                    out[two], ub_u[np.minimum(i0[two] + 1, n_u - 1)])
+            for j in np.flatnonzero(cnt > 2):
+                out[j] = ub_u[i0[j]:i1[j]].max()
+            return out
 
         masks = {}
         pruned = total = 0
         for ckey, (key, glo, ghi, ub) in by_chunk.items():
             others = np.zeros(len(ub))
-            for j in range(len(ub)):
-                s = 0.0
-                for ukey in scoring_set:
-                    if ukey == key:
-                        continue
-                    s += range_max(ukey, int(glo[j]), int(ghi[j]))
-                others[j] = s
+            for ukey in scoring_set:
+                if ukey != key:
+                    others += range_max_vec(ukey, glo, ghi)
             m = (ub + others) >= theta
             masks[ckey] = m
             total += len(m)
