@@ -7,12 +7,19 @@ task brief requires as first-class components.
 
 Design notes for 100 TB scale:
 - exact dedup: hash-groupBy — one shuffle on a 16-byte key.
-- n-gram Jaccard: shingle explode → self-join on shingle → pair counts.
+- shingles: ONE partition-local sliding-window pass over the documents
+  (an Arrow-batched kernel) — zero shuffles to build the element sets.
+  The DuckDB oracle keeps the equivalent SQL self-join form; the engine
+  path never joins the token stream to itself.
+- n-gram Jaccard: shingle kernel → self-join on shingle → pair counts.
   The shingle join is the candidate generator; at scale you run it only
   within LSH buckets (below) instead of all-pairs.
 - MinHash: md5-based hash family (stable across engines → DuckDB oracle
   can verify signatures EXACTLY, no recall heuristics in the gate);
-  production swaps in xxhash64 for speed without changing shape.
+  production swaps in xxhash64 for speed without changing shape. All
+  128 mins are computed in ONE pass over each doc's shingle list
+  (applyInPandas) — one shuffle keyed by doc_id, never the 128×
+  crossJoin row amplification.
 - LSH: signatures banded; pairs sharing a band bucket are candidates,
   then exact-Jaccard verified. Banding is a groupBy, not an all-pairs
   join — the scale path.
@@ -20,7 +27,10 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-from .corpus import documents, tokens
+import hashlib
+import re
+
+from .corpus import TOKEN_SPLIT, documents, tokens
 
 # production-shaped LSH parameters: 128 hashes in 16 bands of 8 rows
 # give P(candidate) = 1-(1-j^8)^16 — ~0.95 at jaccard 0.8, ~0.001 at
@@ -47,20 +57,45 @@ def dedup_exact(spark, sf_dir):
             .orderBy("h").limit(200))
 
 
-def _shingles(spark, sf_dir, n=3):
-    """Distinct word-n-gram shingles per doc (positions from the shared
-    SQL-expressible tokenizer)."""
-    from pyspark.sql import functions as F
+_SPLIT_RE = re.compile(TOKEN_SPLIT)
 
-    tk = tokens(spark, sf_dir)
-    a, b, c = tk.alias("a"), tk.alias("b"), tk.alias("c")
-    sh = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-                 & (F.col("b.p") == F.col("a.p") + 1))
-          .join(c, (F.col("a.doc_id") == F.col("c.doc_id"))
-                & (F.col("c.p") == F.col("a.p") + 2))
-          .select(F.col("a.doc_id").alias("doc_id"),
-                  F.concat_ws(" ", "a.t", "b.t", "c.t").alias("sh")))
-    return sh.distinct()
+
+def _shingle_set(text: str, n: int = 3) -> set:
+    """Distinct word-n-grams of one doc, matching the SQL oracle's
+    position-join semantics exactly: tokens are the regex-split array
+    (empties keep their slot in the numbering — they only occur at the
+    string boundaries), and a shingle forms only from n consecutive
+    non-empty slots."""
+    arr = _SPLIT_RE.split(text.lower())
+    out = set()
+    for i in range(len(arr) - n + 1):
+        w = arr[i:i + n]
+        if all(w):
+            out.add(" ".join(w))
+    return out
+
+
+def _shingles(spark, sf_dir, n=3):
+    """Distinct word-n-gram shingles per doc, built in ONE partition-
+    local sliding-window pass over the documents (tokens of a doc are
+    already together — no reason to shuffle the token stream through a
+    triple self-join; the SQL join form survives only as the DuckDB
+    oracle)."""
+    import pandas as pd
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _shingle_set(text or "", n)
+                ids.extend([doc_id] * len(ss))
+                shs.extend(ss)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "sh": shs})
+
+    return docs.mapInPandas(kernel, schema="doc_id long, sh string")
 
 
 def ngram_jaccard_pairs(spark, sf_dir, threshold=0.8,
@@ -113,22 +148,48 @@ def _capped_shingles(spark, sf_dir, max_df=MAX_SHINGLE_DF):
     return sh
 
 
+def _minhash_hex(shingles, n_hashes: int) -> list:
+    """The 128 signature values of one doc in one pass: for each hash
+    index i, min over shingles of md5(f"{i}:{shingle}") — the exact
+    family the DuckDB oracle evaluates in SQL. Mins compare raw digest
+    bytes (hex encoding is byte-order-monotonic, so min over digests ==
+    min over hexdigests)."""
+    encs = [s.encode("utf-8") for s in shingles]
+    out = []
+    md5 = hashlib.md5
+    for i in range(n_hashes):
+        pre = f"{i}:".encode()
+        out.append(min(md5(pre + e).digest() for e in encs).hex())
+    return out
+
+
 def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
     """Per-doc MinHash signature rows (doc_id, i, sig): sig = min over
     the doc's capped 3-gram shingles of md5(i || ':' || shingle) —
     shingle→minhash, so the signature approximates the same 3-gram
     jaccard ngram_jaccard_pairs verifies. md5 keys make the signature
-    engine-portable (DuckDB-verifiable)."""
+    engine-portable (DuckDB-verifiable).
+
+    All n_hashes mins are computed in a single pass over each doc's
+    shingle list (one groupBy-doc_id shuffle of the shingle rows); the
+    former ``crossJoin(hashes)`` amplified that shuffle 128× for the
+    same bits."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     sh = _capped_shingles(spark, sf_dir)
-    hashes = spark.range(n_hashes).select(
-        F.col("id").cast("int").alias("i"))
-    return (sh.crossJoin(hashes)
-            .select("doc_id", "i",
-                    F.md5(F.concat(F.col("i").cast("string"),
-                                   F.lit(":"), F.col("sh"))).alias("h"))
-            .groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
+
+    def sig_rows(pdf):
+        doc_id = pdf["doc_id"].iloc[0]
+        sigs = _minhash_hex(pdf["sh"], n_hashes)
+        return pd.DataFrame({
+            "doc_id": doc_id,
+            "i": pd.array(range(n_hashes), dtype="int32"),
+            "sig": sigs})
+
+    return (sh.groupBy("doc_id")
+            .applyInPandas(sig_rows,
+                           schema="doc_id long, i int, sig string")
             .orderBy("doc_id", "i"))
 
 
