@@ -19,7 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
-    dedup, engineq, fulltext, multimodal, similarity, textstats,
+    ann_oracle, dedup, engineq, fulltext, multimodal, similarity,
+    textstats,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -68,8 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,               # rows-only
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,     # rows-only
-        "ann_ivf_topk": similarity.ann_ivf_topk,     # rows-only
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,
@@ -374,7 +375,12 @@ acc as (select doc_id,
         from bits group by doc_id)
 select doc_id, cast(simhash as bigint) as simhash from acc
 order by doc_id""",
-        # similarity
+        # similarity — the ANN oracles re-derive the seeded hyperplanes
+        # / k-means centroids as SQL literals (swish_e_spark/ops/
+        # ann_oracle.py): both ANN paths are deterministic, so the gate
+        # is an exact value compare, not a recall heuristic
+        "ann_lsh_topk": ann_oracle.ann_lsh_topk_sql(),
+        "ann_ivf_topk": ann_oracle.ann_ivf_topk_sql(),
         "embedding_topk": """
 with q as (select embedding::DOUBLE[] as v from embeddings
            where vec_id = 0)

@@ -1,0 +1,130 @@
+"""DuckDB oracle SQL builders for the ANN driver entries.
+
+Both ANN paths are deterministic given the table and the seeded
+constants, so an exact SQL oracle exists:
+
+- ``ann_lsh_topk``: the hyperplanes are a pure function of the seed
+  (``np.random.default_rng(seed + 101*t).standard_normal``), so the
+  oracle inlines them as double literals and re-derives every vector's
+  sign-pattern bucket, the query's Hamming-1 probe set, the candidate
+  union over all tables, and the exact cosine rerank — line-for-line
+  the computation ``similarity.ann_lsh_topk`` runs on Spark.
+
+- ``ann_ivf_topk``: the coarse centroids are a pure function of the
+  (vec_id-ordered, capped) sample and the seeded Lloyd iterations, so
+  the oracle re-runs the identical numpy training on the same parquet
+  at SQL-build time and inlines the resulting centroids; cell
+  assignment is the same argmax over 16 dot products (first-max
+  tie-break, matching ``np.argmax``), then probe-cells + exact rerank.
+
+Float-literal round-trip: ``repr(float)`` is the shortest round-trip
+decimal, which both Spark's ``F.lit`` and DuckDB's parser map back to
+the identical double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .similarity import (
+    KMEANS_ITERS, N_CENTROIDS, N_PLANES, N_TABLES, _train_centroids,
+)
+
+# the driver's correctness gate always runs oracle SQL at sf0.01
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _lit_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10,
+                     n_planes: int = N_PLANES, seed: int = 7,
+                     n_tables: int = N_TABLES) -> str:
+    """SQL reproducing similarity.ann_lsh_topk exactly."""
+    bucket_ctes = []
+    cand_ctes = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 101 * t)
+        planes = rng.standard_normal((n_planes, 64))
+        bits = " + ".join(
+            f"(case when list_dot_product(v, {_lit_list(planes[j])}) > 0"
+            f" then {1 << j} else 0 end)"
+            for j in range(n_planes))
+        bucket_ctes.append(
+            f"b{t} as (select vec_id, {bits} as bucket from e)")
+        probes = " or ".join(
+            ["b.bucket = q.qb"]
+            + [f"b.bucket = xor(q.qb, {1 << j})"
+               for j in range(n_planes)])
+        cand_ctes.append(
+            f"c{t} as (select b.vec_id from b{t} b, "
+            f"(select bucket as qb from b{t} "
+            f"where vec_id = {query_vec_id}) q where {probes})")
+    union = " union all ".join(f"select vec_id from c{t}"
+                               for t in range(n_tables))
+    buckets_sql = ",\n".join(bucket_ctes)
+    cands_sql = ",\n".join(cand_ctes)
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+{buckets_sql},
+{cands_sql},
+cand as (select distinct vec_id from ({union})),
+q as (select v from e where vec_id = {query_vec_id})
+select e.vec_id,
+       cast(round(list_cosine_similarity(e.v, q.v), 4) as double) as cos
+from e join cand using (vec_id), q
+where e.vec_id <> {query_vec_id}
+order by cos desc, e.vec_id asc limit {k}"""
+
+
+def ann_ivf_topk_sql(query_vec_id: int = 0, k: int = 10,
+                     nprobe: int = 4, n_centroids: int = N_CENTROIDS,
+                     seed: int = 7, sample_cap: int = 20_000) -> str:
+    """SQL reproducing similarity.ann_ivf_topk exactly. Centroids are
+    re-derived here by the same seeded numpy k-means over the same
+    (vec_id-ordered, capped) sample the Spark query trains on."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl["vec_id"]), kind="stable")
+    vecs = np.stack(
+        tbl["embedding"].to_pylist())[order][:sample_cap].astype(
+        np.float64)
+    cents = _train_centroids(vecs, n_centroids, KMEANS_ITERS, seed)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    qpos = int(np.flatnonzero(
+        np.asarray(tbl["vec_id"])[order] == query_vec_id)[0])
+    q = np.stack(tbl["embedding"].to_pylist())[order][qpos].astype(
+        np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
+
+    dots = ",\n       ".join(
+        f"list_dot_product(v, {_lit_list(cn[j])}) as d{j}"
+        for j in range(n_centroids))
+    # first-max tie-break == np.argmax: take j iff d_j >= every later d
+    cases = []
+    for j in range(n_centroids - 1):
+        conds = " and ".join(f"d{j} >= d{m}"
+                             for m in range(j + 1, n_centroids))
+        cases.append(f"when {conds} then {j}")
+    argmax = ("case " + " ".join(cases)
+              + f" else {n_centroids - 1} end")
+    probes = ", ".join(str(int(c)) for c in probe)
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+d as (select vec_id,
+       {dots}
+      from e),
+a as (select vec_id, {argmax} as cell from d),
+cand as (select vec_id from a where cell in ({probes})),
+q as (select v from e where vec_id = {query_vec_id})
+select e.vec_id,
+       cast(round(list_cosine_similarity(e.v, q.v), 4) as double) as cos
+from e join cand using (vec_id), q
+where e.vec_id <> {query_vec_id}
+order by cos desc, e.vec_id asc limit {k}"""

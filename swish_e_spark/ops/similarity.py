@@ -114,9 +114,14 @@ def ivf_assign(spark, sf_dir, n_centroids=N_CENTROIDS,
     from .corpus import embeddings
 
     emb = embeddings(spark, sf_dir)
+    # deterministic sample: ordered by vec_id so the trained centroids
+    # are a pure function of the table (the DuckDB oracle re-derives
+    # them bit-identically); the sort costs nothing — the sample is
+    # capped, and at 100 TB it's a capped sorted-limit pushdown
     sample = np.array(
         [r["embedding"] for r in
-         emb.select("embedding").limit(sample_cap).collect()],
+         emb.select("vec_id", "embedding").orderBy("vec_id")
+         .limit(sample_cap).collect()],
         dtype=np.float64)
     cents = _train_centroids(sample, n_centroids, iters, seed)
     cn = cents / np.maximum(
@@ -128,8 +133,9 @@ def ivf_assign(spark, sf_dir, n_centroids=N_CENTROIDS,
         for pdf in batches:
             mat = np.stack(pdf["embedding"].to_numpy()).astype(
                 np.float64)
-            mat /= np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            # argmax over normalized centroids; normalizing the row too
+            # is argmax-invariant (positive row scale), so skip it —
+            # the SQL oracle evaluates the same 16 raw dot products
             cell = np.argmax(mat @ cmat.T, axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "cell": cell.astype(np.int32)})
