@@ -4,10 +4,11 @@ Images/audio/video travel as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` kernels.
 
-Codecs: formats decodable with stdlib struct + numpy are decoded FOR
-REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
-24/32-bit BMP, and binary PPM (P6). Compressed formats (JPEG/PNG/MP4/
-MP3...) need external codecs that are NOT in this container, so they
+Codecs: formats decodable with stdlib zlib/struct + numpy are decoded
+FOR REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
+24/32-bit BMP, binary PPM (P6), and 8-bit PNG (gray/RGB/palette/alpha;
+zlib inflate + scanline unfiltering per the public spec). Formats whose
+codecs are NOT in this container (JPEG/MP4/MP3, 16-bit or Adam7 PNG)
 remain STUBBED: by default the decode raises ``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
 decode so the Spark-side plumbing (schema, partitioning, UDF
@@ -159,6 +160,106 @@ def decode_ppm(payload: bytes):
     return px.astype(np.float32).mean(axis=2) / float(maxval)
 
 
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth). Rows carry a leading filter-type byte; Sub/Average/
+    Paeth have a left-pixel data dependency, so those rows walk
+    pixel-by-pixel (test thumbs are small; real deployments plug a
+    codec into the same seam)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint16)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.uint16)
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint16)
+        if ftype == 0:
+            out[y] = cur
+        elif ftype == 2:
+            out[y] = (cur + up) & 0xFF
+        elif ftype in (1, 3, 4):
+            row = out[y]
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = up[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:
+                    c = up[x - ch] if x >= ch else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc \
+                        else (b if pb <= pc else c)
+                row[x] = (int(cur[x]) + int(pred)) & 0xFF
+        else:
+            return None
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png(payload: bytes):
+    """Dependency-free PNG decode (public spec, RFC 2083): stdlib zlib
+    inflate + numpy scanline unfiltering. Supports 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Returns float32 grayscale (H, W) in [0,1], or None
+    for anything else (Adam7, 16-bit) — those stay at the codec stub."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    if ctype == 3 and plte is None:
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                            dtype=np.uint8)
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * channels + 1):
+        return None
+    px = _png_unfilter(raw, h, w, channels)
+    if px is None:
+        return None
+    if ctype == 0:
+        gray = px[:, :, 0].astype(np.float32)
+    elif ctype == 2:
+        gray = px.astype(np.float32).mean(axis=2)
+    elif ctype == 3:
+        rgb = plte[px[:, :, 0]]
+        gray = rgb.astype(np.float32).mean(axis=2)
+    elif ctype == 4:
+        gray = px[:, :, 0].astype(np.float32)  # alpha ignored
+    else:  # 6: RGBA
+        gray = px[:, :, :3].astype(np.float32).mean(axis=2)
+    return gray / 255.0
+
+
 def resize_thumb(gray: np.ndarray, thumb: int = THUMB) -> np.ndarray:
     """Nearest-index downsample/upsample to (thumb, thumb)."""
     h, w = gray.shape
@@ -187,6 +288,8 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
     img = decode_bmp(payload)
     if img is None:
         img = decode_ppm(payload)
+    if img is None:
+        img = decode_png(payload)
     if img is not None:
         return resize_thumb(img)
     if not fake:

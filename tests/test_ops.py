@@ -179,10 +179,110 @@ class TestMultimodal:
                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                              len(rows), 0, 0, 0, 0) + bytes(rows))
         ppm = b"P6\n4 2\n255\n" + bytes(range(24))
-        return [(0, "audio", wav), (1, "image", bmp), (2, "image", ppm)]
+        rng = np.random.default_rng(11)
+        png = TestMultimodal._png_bytes(
+            rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8), 2)
+        return [(0, "audio", wav), (1, "image", bmp), (2, "image", ppm),
+                (3, "image", png)]
+
+    @staticmethod
+    def _png_bytes(px, ctype, plte=None, depth=8, interlace=0):
+        """Minimal spec-following PNG encoder for tests: px is
+        (H, W, ch) uint8; row y gets filter type y % 5, so one image
+        exercises all five filters (None/Sub/Up/Average/Paeth)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I",
+                                  zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+        h, w, ch = px.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int32)
+            f = y % 5
+            raw.append(f)
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc \
+                        else (b if pb <= pc else c)
+                raw.append((int(cur[x]) - pred) & 0xFF)
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                           interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+        return out + chunk(b"IEND", b"")
+
+    def test_png_decode_all_filters_and_color_types(self):
+        """decode_png inverts every scanline filter and every 8-bit
+        color type against an independent spec-following encoder."""
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_png
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+        g = decode_png(self._png_bytes(px, 2))
+        assert g.shape == (10, 9)
+        assert np.allclose(
+            g, px.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+        pg = rng.integers(0, 256, size=(7, 5, 1), dtype=np.uint8)
+        assert np.allclose(decode_png(self._png_bytes(pg, 0)),
+                           pg[:, :, 0].astype(np.float32) / 255.0)
+
+        pa = rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+        assert np.allclose(
+            decode_png(self._png_bytes(pa, 6)),
+            pa[:, :, :3].astype(np.float32).mean(axis=2) / 255.0)
+
+        plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        pi = rng.integers(0, 16, size=(5, 8, 1), dtype=np.uint8)
+        assert np.allclose(
+            decode_png(self._png_bytes(pi, 3, plte=plte)),
+            plte[pi[:, :, 0]].astype(np.float32).mean(axis=2) / 255.0)
+
+        ga = rng.integers(0, 256, size=(4, 4, 2), dtype=np.uint8)
+        assert np.allclose(decode_png(self._png_bytes(ga, 4)),
+                           ga[:, :, 0].astype(np.float32) / 255.0)
+
+    def test_png_unsupported_variants_stay_stubbed(self):
+        """16-bit and Adam7 PNGs fall through to the codec stub."""
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import _decode_stub, decode_png
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        assert decode_png(self._png_bytes(px, 2, depth=16)) is None
+        assert decode_png(self._png_bytes(px, 2, interlace=1)) is None
+        with pytest.raises(NotImplementedError):
+            _decode_stub(self._png_bytes(px, 2, depth=16), "image",
+                         fake=False)
 
     def test_real_codecs_through_spark_plumbing(self, spark):
-        """WAV/BMP/PPM payloads decode FOR REAL (stdlib struct+numpy)
+        """WAV/BMP/PPM/PNG payloads decode FOR REAL (stdlib+numpy)
         inside the Arrow-batched kernel — features equal a local
         reference computation, and fake=False no longer raises for
         these formats."""
@@ -202,7 +302,7 @@ class TestMultimodal:
                  F.lit(0).alias("sample_rate"))
         feats = {r["media_id"]: np.asarray(r["feature"])
                  for r in extract_features(media, fake=False).collect()}
-        assert len(feats) == 3
+        assert len(feats) == 4
         for mid, kind, payload in rows:
             decoded = _decode_stub(payload, kind, fake=False)
             grid = decoded.reshape(4, 8, 4, 8).mean(axis=(1, 3)) \
