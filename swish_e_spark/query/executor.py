@@ -236,13 +236,19 @@ def _wand_leaves(node):
 
 def _required_leaves(node):
     """Leaves conjunctively REQUIRED for a match (every matching doc
-    contains them) — used for chunk doc-range intersection pruning."""
+    contains them) — used for chunk doc-range intersection pruning.
+    Phrase/NEAR words are all required too (a phrase match needs every
+    non-gap word in the doc, /root/reference/src/search.c:2203-2260),
+    which is what lets the exhaustive positional path skip decoding
+    head-term chunks outside the rare term's doc ranges."""
     if isinstance(node, Term):
         return {(node.field, node.term)}
-    if isinstance(node, And):
+    if isinstance(node, (And, Near)):
         return _required_leaves(node.left) | _required_leaves(node.right)
     if isinstance(node, AndNot):
         return _required_leaves(node.left)
+    if isinstance(node, Phrase):
+        return {(node.field, t) for t in node.terms if t is not None}
     return set()
 
 
@@ -266,6 +272,8 @@ class SparkQueryEngine:
         self.n_buckets = handle.cfg.n_buckets
         self._prefix_cache: dict = {}
         self._df_cache: dict = {}  # (field, term) -> df across queries
+        self.exh_prune_min_docs = self.EXH_PRUNE_MIN_DOCS
+        self.last_exh_stats = None  # exhaustive-path pruning evidence
 
     PREFIX_EXPAND_CAP = 5000  # max terms a wildcard may expand to via
                               # the terms table before falling back to a
@@ -385,12 +393,100 @@ class SparkQueryEngine:
             cond = cond | c
         return seg.filter(cond)
 
+    EXH_PRUNE_MIN_DOCS = 100_000  # below this the chunk-metadata job
+                                  # costs more than the decode it saves
+
+    def _prune_required_chunks(self, node, scan):
+        """Exhaustive-path analogue of the WAND planner's
+        overlaps_required: drop chunks of conjunctively-required leaves
+        whose doc range overlaps NO chunk of some other required leaf.
+        Docs in a dropped chunk miss at least one required word, so the
+        conjunction (And/Phrase/NEAR) cannot match them — skipping the
+        positional decode is lossless. `rare NEAR head` then decodes
+        only the head-term chunks near the rare term instead of the
+        whole head posting list. Applied only when df comes from
+        segment metadata (no structure mask, no tombstones), so BM25
+        idf never sees the pruned scan. Reference contrast:
+        getfileinfo seeks only the requested metaID chunk
+        (/root/reference/src/search.c:1731-1760); here the skip falls
+        out of chunk doc-range metadata before posting bytes are read."""
+        from bisect import bisect_right
+
+        from pyspark.sql import functions as F
+
+        required = _required_leaves(node)
+        if len(required) < 2:
+            return scan
+        if self.handle.stats["n_docs"] < self.exh_prune_min_docs:
+            return scan
+        meta = (scan.select("field", "term", "shard", "doc_lo",
+                            "doc_hi")
+                .limit(self.WAND_MAX_CHUNKS + 1).collect())
+        if len(meta) > self.WAND_MAX_CHUNKS:
+            return scan  # planning collect would flood the driver
+        bases = self.handle.shard_bases
+        chunks: dict = {}  # required leaf -> [(shard, lo, glo, ghi)]
+        for r in meta:
+            key = (r["field"], r["term"])
+            if key not in required:
+                continue
+            base = int(bases.get(int(r["shard"]), 0)) if bases else 0
+            chunks.setdefault(key, []).append(
+                (int(r["shard"]), r["doc_lo"], r["doc_lo"] + base,
+                 r["doc_hi"] + base))
+        if len(chunks) < 2:
+            return scan
+        # merged GLOBAL intervals per leaf (shard-rebased, same
+        # coordinate rule as the WAND planner) for log-time probes
+        merged: dict = {}
+        for key, cl in chunks.items():
+            iv = sorted((g, h) for _, _, g, h in cl)
+            acc = [list(iv[0])]
+            for g, h in iv[1:]:
+                if g <= acc[-1][1]:
+                    acc[-1][1] = max(acc[-1][1], h)
+                else:
+                    acc.append([g, h])
+            merged[key] = ([g for g, _ in acc], [h for _, h in acc])
+
+        def overlaps(key, glo, ghi):
+            starts, ends = merged[key]
+            i = bisect_right(starts, ghi) - 1
+            return i >= 0 and ends[i] >= glo
+
+        drop: dict = {}  # (field, term, shard) -> [doc_lo, ...]
+        total = pruned = 0
+        for key, cl in chunks.items():
+            for shard, lo, glo, ghi in cl:
+                total += 1
+                if any(not overlaps(other, glo, ghi)
+                       for other in chunks if other != key):
+                    drop.setdefault((key[0], key[1], shard),
+                                    []).append(lo)
+                    pruned += 1
+        self.last_exh_stats = {"chunks_total": total,
+                               "chunks_pruned": pruned}
+        if not pruned:
+            return scan
+        cond = None
+        for (field, term, shard), los in drop.items():
+            c = ((F.col("field") == field) & (F.col("term") == term)
+                 & (F.col("shard") == shard)
+                 & F.col("doc_lo").isin(los))
+            cond = c if cond is None else cond | c
+        return scan.filter(~cond)
+
     def _decoded(self, node, structure_mask, need_structs: bool = False):
         from pyspark.sql import functions as F
 
         scan = self._segment_scan(node)
         if scan is None:
             return None
+        self.last_exh_stats = None
+        if structure_mask is None and self.handle.removed() is None:
+            # df for idf comes from unpruned segment metadata in this
+            # case (_term_stats fast path), so range pruning is safe
+            scan = self._prune_required_chunks(node, scan)
         bases = self.handle.shard_bases
         if bases:
             # merged index: per-shard doc-id rebase (maintenance.py)

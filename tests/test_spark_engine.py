@@ -128,6 +128,60 @@ class TestRankIdentity:
         assert [d for d, _ in got] == [d for d, _ in expected]
 
 
+class TestExhaustivePruning:
+    """Chunk doc-range intersection on the exhaustive positional path
+    (_prune_required_chunks): rank identity must hold with pruning
+    forced on, and a rare-AND-head query must actually drop head-term
+    chunks (the index is built with chunk_docs=64 so head terms span
+    several chunks)."""
+
+    PRUNE_QUERIES = [
+        "pigs AND wolf",
+        '"three little pigs"',
+        '"once upon a time"',
+        "little NEAR5 wolf",
+        "upon near3 time",
+        "tailterm0 AND common0",
+        "tailterm0 NEAR5 common0",
+        '"tailterm0 common0"',
+        "(pigs OR sugar) AND NOT wolf",
+    ]
+
+    @pytest.mark.parametrize("q", PRUNE_QUERIES)
+    def test_rank_identity_with_pruning(self, q, engine, oracle300):
+        engine.exh_prune_min_docs = 0
+        try:
+            expected = oracle300.query(q, k=10)
+            got = engine.search(q, k=10)
+        finally:
+            engine.exh_prune_min_docs = engine.EXH_PRUNE_MIN_DOCS
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-6), q
+
+    def test_head_chunks_pruned(self, engine, oracle300):
+        """tailterm0 lives in few docs; common0 spans many 64-doc
+        chunks — the non-overlapping common0 chunks must be dropped
+        before decode, and the match set must not change."""
+        engine.exh_prune_min_docs = 0
+        try:
+            got = engine.search("tailterm0 NEAR5 common0", k=10**6)
+            stats = engine.last_exh_stats
+        finally:
+            engine.exh_prune_min_docs = engine.EXH_PRUNE_MIN_DOCS
+        assert stats is not None
+        assert stats["chunks_pruned"] > 0, stats
+        assert stats["chunks_pruned"] < stats["chunks_total"]
+        expected = oracle300.query("tailterm0 NEAR5 common0", k=10**6)
+        assert [d for d, _ in got] == [d for d, _ in expected]
+
+    def test_gate_off_below_min_docs(self, engine):
+        """Default gate: tiny index (300 docs) never pays the metadata
+        planning job."""
+        engine.search("pigs AND wolf", k=5)
+        assert engine.last_exh_stats is None
+
+
 class TestResume:
     def test_kill_and_resume(self, spark, tmp_path):
         out = str(tmp_path / "idx")
