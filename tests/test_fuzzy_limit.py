@@ -93,6 +93,44 @@ class TestIgnoreLimit:
             for (_, es), (_, osc) in zip(got, want):
                 assert es == pytest.approx(osc, rel=1e-6)
 
+    def test_position_gap_divergence_pinned(self, spark, tmp_path):
+        """Intentional divergence from the reference, kept under review
+        (rationale: maintenance.py apply_ignore_limit docstring).
+
+        The reference renumbers surviving word positions after
+        IgnoreLimit removes a word (adjustWordPositions,
+        /root/reference/src/index.c:1824-1924) because ITS index-time
+        stopwords never consumed positions. This engine's index-time
+        stopwords DO consume positions, so post-hoc stopped words keep
+        their position slot: a phrase spelled WITH the stopped word
+        still matches through the gap, and the gap does NOT collapse.
+        If either assertion ever flips, the divergence stopped being
+        intentional."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rows = [("a0.txt", "alpha filler beta")] + [
+            (f"a{i}.txt", f"filler word{i}") for i in range(1, 6)]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.encode("text", "utf-8").alias("html"),
+                    "text", F.lit("en").alias("lang")))
+        out = str(tmp_path / "ilgap")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        stopped = apply_ignore_limit(spark, out, plimit=30, flimit=5)
+        assert stopped == ["filler"]
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        # the stopped word leaves a positional GAP the phrase walks over
+        assert [d for d, _ in eng.search('"alpha filler beta"', k=5)] \
+            == [0]
+        # ... and the gap does NOT collapse (the reference, after
+        # renumbering, WOULD match this adjacency query)
+        assert eng.search('"alpha beta"', k=5) == []
+
     def test_stopped_word_query_raises(self, spark, tmp_path):
         from swish_e_spark.query.parser import WordsTooCommon
 
