@@ -86,7 +86,10 @@ def main():
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     n_hi = n_lo * mult
-    pages_path = os.path.join(REPO, ".cache", f"bench_pages_{n_docs}")
+    sys.path.insert(0, REPO)
+    from swish_e_spark.datagen.pages import CORPUS_VERSION
+    pages_path = os.path.join(
+        REPO, ".cache", f"bench_pages_v{CORPUS_VERSION}_{n_docs}")
     if not os.path.exists(pages_path):
         code = f"""
 import sys; sys.path.insert(0, {REPO!r})

@@ -70,10 +70,14 @@ def main():
     times: dict = {}
     t_all = time.time()
 
-    # corpus (cached parquet; generation timed separately)
+    # corpus (cached parquet; generation timed separately). The cache
+    # key carries CORPUS_VERSION so datagen changes invalidate it.
+    from swish_e_spark.datagen.pages import CORPUS_VERSION
+
     cache = os.path.join(REPO, ".cache")
     os.makedirs(cache, exist_ok=True)
-    pages_path = os.path.join(cache, f"bench_pages_{n_docs}")
+    pages_path = os.path.join(
+        cache, f"bench_pages_v{CORPUS_VERSION}_{n_docs}")
     if not os.path.exists(pages_path):
         t0 = time.time()
         generate_pages_df(spark, n_docs, partitions=cpus * 2) \
@@ -109,6 +113,11 @@ def main():
 
         for name, q in BENCH_QUERIES.items():
             timed(name, lambda q=q: engine.search(q, k=10))
+            if name in ("q_phrase", "q_near", "q_and") \
+                    and engine.last_exh_stats:
+                s = engine.last_exh_stats
+                times[f"{name}_chunks_pruned_frac"] = round(
+                    s["chunks_pruned"] / max(s["chunks_total"], 1), 4)
 
         # block-max WAND path (auto-gated to big indexes; force here so
         # the pruned plan is exercised and timed at bench scale), with
@@ -119,10 +128,18 @@ def main():
         timed("q_wand_forced",
               lambda: engine.search_df("common0 OR wolf", 10,
                                        wand="force").collect())
-        times["wand_chunks_pruned"] = engine.last_wand_stats.get(
-            "chunks_pruned", 0)
-        times["wand_blocks_pruned"] = engine.last_wand_stats.get(
-            "blocks_pruned", 0)
+
+        def wand_evidence(prefix):
+            s = engine.last_wand_stats or {}
+            times[f"{prefix}_chunks_pruned"] = s.get("chunks_pruned", 0)
+            times[f"{prefix}_chunks_total"] = s.get("chunks_total", 0)
+            times[f"{prefix}_blocks_pruned"] = s.get("blocks_pruned", 0)
+            times[f"{prefix}_blocks_total"] = s.get("blocks_total", 0)
+            if s.get("blocks_total"):
+                times[f"{prefix}_blocks_pruned_frac"] = round(
+                    s["blocks_pruned"] / s["blocks_total"], 4)
+
+        wand_evidence("wand")
         # the query class block-max WAND exists for: a rare high-idf
         # term sets θ, so the head term's blocks prune wherever the
         # rare term is absent (range-aware others)
@@ -132,8 +149,7 @@ def main():
         timed("q_wand_skew",
               lambda: engine.search_df("common0 OR tailterm3", 10,
                                        wand="force").collect())
-        times["wand_skew_blocks_pruned"] = engine.last_wand_stats.get(
-            "blocks_pruned", 0)
+        wand_evidence("wand_skew")
 
         total = round(time.time() - t_all, 3)
         out = {

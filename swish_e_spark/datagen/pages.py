@@ -26,6 +26,7 @@ import numpy as np
 SEED = 42
 VOCAB_SIZE = 30_000
 ZIPF_S = 1.07
+CORPUS_VERSION = 2  # bump when render_page bytes change (bench cache key)
 
 _SYLLABLES = (
     "ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu ga ge gi "
@@ -93,10 +94,17 @@ def page_url(doc_index: int) -> str:
 
 
 def _probe_terms(doc_index: int, rng) -> list:
-    """Planted probe terms: head term + tails (FIXTURES.md §2)."""
+    """Planted probe terms: head term + tails (FIXTURES.md §2).
+
+    The head term's tf is Zipf-skewed (1 + Pareto draw, capped):
+    real web text has heavy-tailed within-doc term frequencies, and
+    BM25 block-max pruning only pays when block score bounds VARY —
+    a flat tf∈{1..3} corpus puts θ at every block's bound and makes
+    WAND evidence unmeasurable (round-2 verdict)."""
     out = []
     if doc_index % 5 < 2:          # ~40% of docs: head-term skew
-        out.extend(["common0"] * int(rng.integers(1, 4)))
+        tf = 1 + min(63, int(rng.pareto(1.1)))
+        out.extend(["common0"] * tf)
     if doc_index % 7 == 0:
         out.append("common1")
     # tailterm{i} appears in docs 17+29*i .. +(i%3): df ∈ {1,2,3}
@@ -115,10 +123,17 @@ def _probe_terms(doc_index: int, rng) -> list:
 
 
 def _paragraphs(rng, probes) -> str:
-    n_par = int(rng.integers(2, 5))
+    # log-normal doc length (median ~90 words, p99 ~7×): varied dl is
+    # the other half of BM25 score skew — short docs score far above
+    # long ones at equal tf, so block [max_tf, min_dl] bounds spread
+    # and the WAND planner has something to prune against
+    total = int(np.exp(rng.normal(np.log(90.0), 0.8)))
+    total = max(20, min(total, 2500))
+    n_par = max(1, total // 45)
     paras = []
-    for _ in range(n_par):
-        words = _sample_words(rng, int(rng.integers(20, 60)))
+    for i in range(n_par):
+        n_w = total // n_par + (1 if i < total % n_par else 0)
+        words = _sample_words(rng, n_w)
         paras.append(" ".join(words))
     if probes:
         # plant probes at deterministic spots inside the first paragraph

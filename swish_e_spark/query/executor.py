@@ -742,6 +742,7 @@ class SparkQueryEngine:
         # round-1 failure mode: 0 pruned).
         masks = None
         planned_pruned = 0
+        block_total = 0
         if theta > 0.0 and have_blocks:
             masks, planned_pruned, block_total = \
                 self._plan_block_masks(meta, scoring_set,
@@ -772,7 +773,8 @@ class SparkQueryEngine:
         self.last_wand_stats = {
             "chunks_total": len(meta), "chunks_pruned": pruned,
             "theta": theta, "seed_chunks": len(seed),
-            "block_plan": masks is not None}
+            "block_plan": masks is not None,
+            "blocks_total": block_total}
         main_scan = scan_for(keep)
         if main_scan is None:
             self.last_wand_stats["blocks_pruned"] = planned_pruned
