@@ -41,6 +41,10 @@ BENCH_QUERIES = {
     "q_field": "meta1=metatest1",
     "q_prefix": "meta*",
     "q_tail": "tailterm3",
+    # rare (df≈64) term + head term: the exhaustive positional/AND
+    # pruner's best case — head chunks outside the rare ranges skip
+    "q_and_rare": "midterm3 AND common0",
+    "q_near_rare": "midterm3 NEAR5 common0",
 }
 
 
@@ -113,8 +117,8 @@ def main():
 
         for name, q in BENCH_QUERIES.items():
             timed(name, lambda q=q: engine.search(q, k=10))
-            if name in ("q_phrase", "q_near", "q_and") \
-                    and engine.last_exh_stats:
+            if name in ("q_phrase", "q_near", "q_and", "q_and_rare",
+                        "q_near_rare") and engine.last_exh_stats:
                 s = engine.last_exh_stats
                 times[f"{name}_chunks_pruned_frac"] = round(
                     s["chunks_pruned"] / max(s["chunks_total"], 1), 4)
@@ -150,6 +154,16 @@ def main():
               lambda: engine.search_df("common0 OR tailterm3", 10,
                                        wand="force").collect())
         wand_evidence("wand_skew")
+        # the BMW headline class: rare-but-df≥k term sets θ at the
+        # rare-term score level, so nearly every head-term block whose
+        # range misses the rare docs prunes (exact-doc rare planning)
+        timed("q_wand_mid_exhaustive",
+              lambda: engine.search_df("common0 OR midterm3", 10,
+                                       wand="off").collect())
+        timed("q_wand_mid",
+              lambda: engine.search_df("common0 OR midterm3", 10,
+                                       wand="force").collect())
+        wand_evidence("wand_mid")
 
         total = round(time.time() - t_all, 3)
         out = {

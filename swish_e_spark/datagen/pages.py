@@ -26,7 +26,20 @@ import numpy as np
 SEED = 42
 VOCAB_SIZE = 30_000
 ZIPF_S = 1.07
-CORPUS_VERSION = 2  # bump when render_page bytes change (bench cache key)
+CORPUS_VERSION = 3  # bump when render_page bytes change (bench cache key)
+
+# Crawl-segment score clustering (corpus v3): real crawls are fetched
+# site-by-site, so doc-id order correlates with site "profile" — 20% of
+# contiguous SEGMENT_DOCS-doc segments are content-farm-like (short
+# pages stuffing the head term), the rest article-like (long pages,
+# head term incidental). Block-max metadata is per doc-range, so this
+# clustering is what gives BM25 block bounds their spread: a block
+# inside an article segment bounds at satur(tf<=2, long dl), far below
+# the θ set by farm pages, and prunes. A corpus where every 128-posting
+# block mixes both profiles has every block's bound near the max —
+# that was corpus v2's residual flatness.
+SEGMENT_DOCS = 2048
+FARM_FRAC = 0.2
 
 _SYLLABLES = (
     "ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu ga ge gi "
@@ -93,20 +106,43 @@ def page_url(doc_index: int) -> str:
     return f"https://site{site:04d}.example/{tmpl}/{doc_index:06d}.html"
 
 
-def _probe_terms(doc_index: int, rng) -> list:
-    """Planted probe terms: head term + tails (FIXTURES.md §2).
+def segment_is_farm(doc_index: int) -> bool:
+    """Content-farm segment flag — a pure function of the crawl
+    segment, drawn from its own seeded stream so probe/body draws stay
+    independent of it."""
+    seg = doc_index // SEGMENT_DOCS
+    srng = np.random.default_rng((SEED, 977, seg))
+    return bool(srng.random() < FARM_FRAC)
 
-    The head term's tf is Zipf-skewed (1 + Pareto draw, capped):
-    real web text has heavy-tailed within-doc term frequencies, and
-    BM25 block-max pruning only pays when block score bounds VARY —
-    a flat tf∈{1..3} corpus puts θ at every block's bound and makes
-    WAND evidence unmeasurable (round-2 verdict)."""
+
+def _probe_terms(doc_index: int, rng) -> list:
+    """Planted probe terms: head term + tails + midterms (FIXTURES.md
+    §2).
+
+    The head term's tf is segment-correlated (corpus v3): content-farm
+    segments stuff it (1 + scaled Pareto draw, capped), article
+    segments carry it incidentally (tf 1-2). Real web text has
+    heavy-tailed, site-correlated term frequencies, and BM25 block-max
+    pruning only pays when block score bounds VARY BY DOC RANGE — a
+    flat tf corpus puts θ at every block's bound and makes WAND
+    evidence unmeasurable (round-2 verdict).
+
+    midterm{i} (i < 10) each land in ~1/15,259 of docs (df ≈ 64 at 1M)
+    — rare enough for a huge idf, common enough that df ≥ k=10 keeps θ
+    at the rare-term score level: the query class where block-max WAND
+    pays hardest."""
     out = []
-    if doc_index % 5 < 2:          # ~40% of docs: head-term skew
-        tf = 1 + min(63, int(rng.pareto(1.1)))
+    if doc_index % 5 < 2:          # ~40% of docs carry the head term
+        if segment_is_farm(doc_index):
+            tf = 1 + min(63, int(rng.pareto(1.1) * 6))
+        else:
+            tf = int(rng.integers(1, 3))
         out.extend(["common0"] * tf)
     if doc_index % 7 == 0:
         out.append("common1")
+    for i in range(10):
+        if (doc_index + 7919 * i) % 15259 == 367:
+            out.append(f"midterm{i}")
     # tailterm{i} appears in docs 17+29*i .. +(i%3): df ∈ {1,2,3}
     if doc_index >= 17 and (doc_index - 17) % 29 == 0:
         i = (doc_index - 17) // 29
@@ -122,13 +158,19 @@ def _probe_terms(doc_index: int, rng) -> list:
     return out
 
 
-def _paragraphs(rng, probes) -> str:
-    # log-normal doc length (median ~90 words, p99 ~7×): varied dl is
-    # the other half of BM25 score skew — short docs score far above
-    # long ones at equal tf, so block [max_tf, min_dl] bounds spread
-    # and the WAND planner has something to prune against
-    total = int(np.exp(rng.normal(np.log(90.0), 0.8)))
-    total = max(20, min(total, 2500))
+def _paragraphs(rng, probes, farm: bool = False) -> str:
+    # log-normal doc length, segment-correlated (corpus v3): farm pages
+    # short (median ~40 words), article pages long (median ~130).
+    # Varied dl is the other half of BM25 score skew — short docs score
+    # far above long ones at equal tf — and the segment correlation
+    # keeps each block's min_dl representative of its range instead of
+    # every block bottoming out at the global minimum.
+    if farm:
+        total = int(np.exp(rng.normal(np.log(40.0), 0.5)))
+        total = max(20, min(total, 140))
+    else:
+        total = int(np.exp(rng.normal(np.log(130.0), 0.6)))
+        total = max(60, min(total, 2500))
     n_par = max(1, total // 45)
     paras = []
     for i in range(n_par):
@@ -149,12 +191,13 @@ def render_page(doc_index: int):
     rng = np.random.default_rng((SEED, doc_index))
     tmpl = template_of(doc_index)
     probes = _probe_terms(doc_index, rng)
+    farm = segment_is_farm(doc_index)
     title_words = " ".join(_sample_words(rng, int(rng.integers(2, 6))))
     lang_u = rng.random()
     lang = "en" if lang_u < 0.95 else ("es", "fr", "de")[int(lang_u * 1000) % 3]
 
     if tmpl == "plain":
-        body = _paragraphs(rng, probes)
+        body = _paragraphs(rng, probes, farm)
         extra = _sample_words(rng, 6)
         html = (
             f"<html><head><title>{title_words}</title></head><body>\n"
@@ -165,7 +208,7 @@ def render_page(doc_index: int):
             f"<h2>section {extra[0]}</h2>\n</body></html>"
         )
     elif tmpl == "meta":
-        body = _paragraphs(rng, probes)
+        body = _paragraphs(rng, probes, farm)
         mwords = _sample_words(rng, 3)
         html = (
             f"<html><head><title>{title_words}</title>\n"
@@ -183,7 +226,7 @@ def render_page(doc_index: int):
             f"<note>{' '.join(words[8:12])}</note>\n</all>"
         )
     elif tmpl == "phrase":
-        body = _paragraphs(rng, probes)
+        body = _paragraphs(rng, probes, farm)
         html = (
             f"<html><head><title>{title_words}</title></head><body>\n"
             f"<p>{PHRASE_SENTENCE}</p>\n{body}\n"
@@ -197,13 +240,13 @@ def render_page(doc_index: int):
             lines.insert(0, " ".join(probes))
         html = "\n".join(lines)
     elif tmpl == "stem":
-        body = _paragraphs(rng, probes)
+        body = _paragraphs(rng, probes, farm)
         html = (
             f"<html><head><title>{title_words}</title></head><body>\n"
             f"<p>{STEM_SENTENCE}</p>\n{body}\n</body></html>"
         )
     else:  # noise
-        body = _paragraphs(rng, probes)
+        body = _paragraphs(rng, probes, farm)
         longtok = "x" * 45
         noindex_meta = (
             '<meta name="robots" content="noindex">' if doc_index % 40 == 9

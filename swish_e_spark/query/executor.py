@@ -56,10 +56,19 @@ DECODED_SCHEMA = ("field string, term string, doc_id long, tf long, "
 
 
 def _decode_kernel(batches, need_positions: bool, structure_mask,
-                   need_structs: bool = False):
+                   need_structs: bool = False, allow_docs=None):
     """Arrow-batched chunk decode → per-posting rows. ``base`` column
     (merged-index doc rebase, index/maintenance.py) is added to decoded
-    doc ids when present."""
+    doc ids when present.
+
+    ``allow_docs`` (sorted global doc ids) restricts the output to
+    those docs BEFORE per-doc position arrays are materialized — for a
+    conjunction with a rare required leaf, the other leaves' postings
+    collapse from hundreds of thousands of rows (each carrying an
+    Arrow position array) to the rare doc set. Lossless: every match
+    of the conjunction contains the rare leaf, so only allow-listed
+    docs can match, and all postings OF an allow-listed doc survive
+    the filter (scores unchanged)."""
     import numpy as np
 
     from ..codec.postings import unpack_posting_list
@@ -77,6 +86,22 @@ def _decode_kernel(batches, need_positions: bool, structure_mask,
             rebase = int(rec.get("base") or 0)
             if rebase:
                 doc_ids = doc_ids + rebase
+            if allow_docs is not None and len(doc_ids):
+                idx = np.searchsorted(allow_docs, doc_ids)
+                inb = idx < len(allow_docs)
+                sel = np.zeros(len(doc_ids), dtype=bool)
+                sel[inb] = allow_docs[idx[inb]] == doc_ids[inb]
+                if not sel.any():
+                    continue
+                if not sel.all():
+                    if positions is not None or structs is not None:
+                        pk = np.repeat(sel, tfs)
+                        if positions is not None:
+                            positions = positions[pk]
+                        if structs is not None:
+                            structs = structs[pk]
+                    doc_ids, tfs, dls = \
+                        doc_ids[sel], tfs[sel], dls[sel]
             if structure_mask is not None:
                 keep = (structs & structure_mask) != 0
                 ends = np.cumsum(tfs)
@@ -272,6 +297,27 @@ class SparkQueryEngine:
         self.n_buckets = handle.cfg.n_buckets
         self._prefix_cache: dict = {}
         self._df_cache: dict = {}  # (field, term) -> df across queries
+        # resident term-dictionary cache: (field, term) -> chunk
+        # metadata rows incl. block bounds. A native engine keeps its
+        # word dictionary + skip metadata in memory across queries
+        # (the reference mmaps the index file once per handle,
+        # /root/reference/src/db_native.c); here the analogue is
+        # caching the tiny metadata collect so a warm WAND query plans
+        # with ZERO extra Spark jobs. Bounded by _CHUNK_META_CACHE_CAP
+        # total chunks; per-term lists above WAND_BLOCK_PLAN_CHUNKS
+        # never enter (those queries take the uncached big path).
+        self._chunk_meta_cache: dict = {}
+        self._chunk_meta_chunks = 0
+        # threshold cache (classic IR threshold/impact caching): a
+        # completed top-k query's true k-th score is the tightest
+        # lossless θ for the SAME query later — a warm repeat plans
+        # from cache and runs as a single Spark job. Keyed on the
+        # canonical AST repr + k; only populated/read when no property
+        # limits apply (limits change the admissible doc set).
+        self._theta_cache: dict = {}
+        # rare-leaf exact doc ids ((field, term) -> sorted global ids)
+        # fetched once by the θ seed; index-static like the dictionary
+        self._rare_docs_cache: dict = {}
         self.exh_prune_min_docs = self.EXH_PRUNE_MIN_DOCS
         self.last_exh_stats = None  # exhaustive-path pruning evidence
 
@@ -419,11 +465,13 @@ class SparkQueryEngine:
             return scan
         if self.handle.stats["n_docs"] < self.exh_prune_min_docs:
             return scan
-        meta = (scan.select("field", "term", "shard", "doc_lo",
-                            "doc_hi")
-                .limit(self.WAND_MAX_CHUNKS + 1).collect())
-        if len(meta) > self.WAND_MAX_CHUNKS:
-            return scan  # planning collect would flood the driver
+        meta = self._wand_meta_cached(sorted(required))
+        if meta is None:
+            meta = (scan.select("field", "term", "shard", "doc_lo",
+                                "doc_hi")
+                    .limit(self.WAND_MAX_CHUNKS + 1).collect())
+            if len(meta) > self.WAND_MAX_CHUNKS:
+                return scan  # planning collect would flood the driver
         bases = self.handle.shard_bases
         chunks: dict = {}  # required leaf -> [(shard, lo, glo, ghi)]
         for r in meta:
@@ -476,6 +524,62 @@ class SparkQueryEngine:
             cond = c if cond is None else cond | c
         return scan.filter(~cond)
 
+    def _required_allow_docs(self, node):
+        """Sorted global doc ids of the rarest conjunctively-required
+        leaf, when its df is small enough to hold on the driver — the
+        exhaustive-path analogue of DAAT intersection driving: every
+        match of an And/Phrase/NEAR contains that leaf, so the decode
+        kernel can drop all other docs BEFORE materializing per-doc
+        position arrays (the dominant positional-query cost). Chunk
+        doc-range pruning cannot help here — a scattered df-64 term's
+        single chunk spans the whole doc space. Returns None when no
+        qualifying leaf exists."""
+        import numpy as np
+
+        from ..codec.postings import unpack_posting_list
+        from pyspark.sql import functions as F
+
+        required = _required_leaves(node)
+        if len(required) < 2:
+            return None
+        if self.handle.stats["n_docs"] < self.exh_prune_min_docs:
+            return None
+        meta = self._wand_meta_cached(sorted(required))
+        if not meta:
+            return None
+        df_by: dict = {}
+        for r in meta:
+            key = (r["field"], r["term"])
+            df_by[key] = df_by.get(key, 0) + r["df"]
+        if len(df_by) < len(required):
+            return None  # an absent required leaf: no matches anyway
+        rare = min(df_by, key=df_by.get)
+        if df_by[rare] > self.RARE_EXACT_DF:
+            return None
+        cached = self._rare_docs_cache.get(rare)
+        if cached is not None:
+            return cached
+        field, term = rare
+        rows = (self.handle.segments()
+                .filter((F.col("term_bucket")
+                         == term_bucket(term, self.n_buckets))
+                        & (F.col("term") == term)
+                        & (F.col("field") == field))
+                .select("shard", "docs_bin", "tfs_bin", "dls_bin")
+                .collect())
+        bases = self.handle.shard_bases
+        parts = []
+        for r in rows:
+            doc_ids, _tf, _p, _s, _dl = unpack_posting_list(
+                r["docs_bin"], r["tfs_bin"], None, None, r["dls_bin"])
+            base = int(bases.get(int(r["shard"]), 0)) if bases else 0
+            parts.append(doc_ids + base)
+        if not parts:
+            return None
+        ids = np.sort(np.concatenate(parts))
+        self._rare_docs_cache[rare] = ids
+        return ids
+
     def _decoded(self, node, structure_mask, need_structs: bool = False):
         from pyspark.sql import functions as F
 
@@ -483,10 +587,17 @@ class SparkQueryEngine:
         if scan is None:
             return None
         self.last_exh_stats = None
+        allow = None
         if structure_mask is None and self.handle.removed() is None:
             # df for idf comes from unpruned segment metadata in this
             # case (_term_stats fast path), so range pruning is safe
             scan = self._prune_required_chunks(node, scan)
+            allow = self._required_allow_docs(node)
+            if allow is not None:
+                st = self.last_exh_stats or {"chunks_total": 0,
+                                             "chunks_pruned": 0}
+                st["allow_docs"] = len(allow)
+                self.last_exh_stats = st
         bases = self.handle.shard_bases
         if bases:
             # merged index: per-shard doc-id rebase (maintenance.py)
@@ -507,7 +618,8 @@ class SparkQueryEngine:
             # reads them (column pruning through mapInPandas)
             scan = scan.drop("pos_bin", "structs_bin")
         out = scan.mapInPandas(
-            lambda it: _decode_kernel(it, need_pos, mask, need_structs),
+            lambda it: _decode_kernel(it, need_pos, mask, need_structs,
+                                      allow),
             schema=DECODED_SCHEMA)
         removed = self.handle.removed()
         if removed is not None:
@@ -558,6 +670,61 @@ class SparkQueryEngine:
                              # distributed planner (_search_wand_big),
                              # which never enumerates chunks on the
                              # driver.
+
+    _CHUNK_META_CACHE_CAP = 65_536  # total cached chunk rows; ~256
+                                    # block floats each -> ~130 MB max
+
+    def _wand_meta_cached(self, leaf_keys):
+        """Chunk+block-bound metadata for exact (field, term) leaves,
+        from the resident dictionary cache; one metadata job fetches
+        only the missing leaves. Returns a row list usable exactly
+        like the direct collect, or None when the result would exceed
+        the block-planning cap (caller falls back to the uncached
+        two-step collect / distributed planner)."""
+        from pyspark.sql import functions as F
+
+        missing = [kk for kk in leaf_keys
+                   if kk not in self._chunk_meta_cache]
+        if missing:
+            cond = None
+            for field, term in missing:
+                c = ((F.col("term_bucket")
+                      == term_bucket(term, self.n_buckets))
+                     & (F.col("term") == term)
+                     & (F.col("field") == field))
+                cond = c if cond is None else cond | c
+            stats = self.handle.stats
+            avgdl = max(stats["avgdl"], 1e-9)
+            impact = lambda t, d: (t * (K1 + 1.0)) / (  # noqa: E731
+                t + K1 * (1.0 - B + B * d / avgdl))
+            ub_raw = F.array_max(F.zip_with(
+                F.transform("block_max_tf", lambda x: x.cast("double")),
+                F.transform("block_min_dl", lambda x: x.cast("double")),
+                impact)).alias("ub_raw")
+            rows = (self.handle.segments().filter(cond)
+                    .select("field", "term", "shard", "doc_lo",
+                            "doc_hi", "df", ub_raw, "block_doc_lo",
+                            "block_doc_hi", "block_max_tf",
+                            "block_min_dl")
+                    .limit(self.WAND_BLOCK_PLAN_CHUNKS + 1).collect())
+            if len(rows) > self.WAND_BLOCK_PLAN_CHUNKS:
+                return None  # too many chunks to plan block-wise
+            by_key: dict = {}
+            for r in rows:
+                by_key.setdefault((r["field"], r["term"]),
+                                  []).append(r.asDict())
+            if self._chunk_meta_chunks + len(rows) \
+                    > self._CHUNK_META_CACHE_CAP:
+                self._chunk_meta_cache.clear()
+                self._chunk_meta_chunks = 0
+            for kk in missing:
+                rl = by_key.get(kk, [])
+                self._chunk_meta_cache[kk] = rl
+                self._chunk_meta_chunks += len(rl)
+        out = []
+        for kk in leaf_keys:
+            out.extend(self._chunk_meta_cache[kk])
+        return out if len(out) <= self.WAND_BLOCK_PLAN_CHUNKS else None
 
     def _search_wand(self, node, k: int, limits, force: bool = False):
         """Distributed block-max WAND: prune posting chunks whose score
@@ -611,14 +778,15 @@ class SparkQueryEngine:
             impact)).alias("ub_raw")
         # one collect serves BOTH chunk planning and (in the common
         # small case) the range-aware block planner: the 128-doc block
-        # bound arrays ride along, avoiding a second metadata job
-        meta = (scan.select("field", "term", "shard", "doc_lo",
-                            "doc_hi", "df", ub_raw, "block_doc_lo",
-                            "block_doc_hi", "block_max_tf",
-                            "block_min_dl")
-                .limit(self.WAND_BLOCK_PLAN_CHUNKS + 1).collect())
-        have_blocks = len(meta) <= self.WAND_BLOCK_PLAN_CHUNKS
+        # bound arrays ride along, avoiding a second metadata job.
+        # WAND leaves are always exact terms, so the resident
+        # dictionary cache applies — a warm query plans job-free.
+        meta = self._wand_meta_cached(
+            sorted(set(scoring) | set(aux)))
+        have_blocks = meta is not None
         if not have_blocks:
+            # over the block-planning cap: chunk-granularity metadata
+            # only (the cache never holds these)
             meta = (scan.select("field", "term", "shard", "doc_lo",
                                 "doc_hi", "df", ub_raw)
                     .limit(self.WAND_MAX_CHUNKS + 1).collect())
@@ -685,6 +853,23 @@ class SparkQueryEngine:
         for key in set(chunks) - scoring_set:  # aux: decode fully
             for _, lo, _, _, _ in chunks[key]:
                 seed.add((key, lo))
+        # rare scoring leaves (df small enough to fit one chunk) seed
+        # FULLY: their exact doc ids come back with the θ fetch and
+        # turn the block planner's range bound for them into an exact
+        # presence test — the batch analogue of DAAT pivoting. A rare
+        # term's single 128-posting block spans nearly the whole doc
+        # space, so its range-max ub would otherwise protect EVERY
+        # head-term block from pruning (the corpus-v2 15%-pruned
+        # plateau); with exact docs, head blocks not containing any
+        # rare doc are bounded by their own ub alone and fall below a
+        # θ set at the rare-term score level.
+        rare_exact = {key for key in scoring_set & set(chunks)
+                      if df_by_leaf.get(key, 0) <= self.RARE_EXACT_DF}
+        if len(rare_exact) == len(set(scoring)):
+            rare_exact = set()  # all-rare queries gain nothing
+        for key in rare_exact:
+            for _, lo, _, _, _ in chunks[key]:
+                seed.add((key, lo))
 
         def scan_for(keys: set):
             cond = None
@@ -717,11 +902,24 @@ class SparkQueryEngine:
         # limit later removes could exceed the true k-th score of the
         # LIMITED result set and over-prune — the Spark seed job
         # applies limits inside _wand_decode_eval, so take it instead
-        if not required and not aux and not limits \
+        exact_docs: dict = {}
+        theta_key = (repr(node), k) if not limits else None
+        cached_theta = self._theta_cache.get(theta_key) \
+            if theta_key is not None else None
+        if cached_theta is not None \
+                and all(kk in self._rare_docs_cache
+                        for kk in rare_exact):
+            # warm repeat: the previous run's true k-th score is the
+            # tightest lossless θ — no seed job at all
+            theta = cached_theta
+            exact_docs = {kk: self._rare_docs_cache[kk]
+                          for kk in rare_exact}
+        elif not required and not aux and not limits \
                 and len(seed) <= 64:
-            theta = self._seed_theta_driver(scan_for(seed),
-                                            idf_by_leaf, avgdl, k,
-                                            bases)
+            theta, exact_docs = self._seed_theta_driver(
+                scan_for(seed), idf_by_leaf, avgdl, k, bases,
+                want_docs=rare_exact)
+            self._rare_docs_cache.update(exact_docs)
         else:
             seed_scan = scan_for(seed)
             if seed_scan is not None:
@@ -746,7 +944,8 @@ class SparkQueryEngine:
         if theta > 0.0 and have_blocks:
             masks, planned_pruned, block_total = \
                 self._plan_block_masks(meta, scoring_set,
-                                       idf_by_leaf, theta, avgdl, bases)
+                                       idf_by_leaf, theta, avgdl,
+                                       bases, exact_docs)
 
         keep: set = set()
         pruned = 0
@@ -774,7 +973,8 @@ class SparkQueryEngine:
             "chunks_total": len(meta), "chunks_pruned": pruned,
             "theta": theta, "seed_chunks": len(seed),
             "block_plan": masks is not None,
-            "blocks_total": block_total}
+            "blocks_total": block_total,
+            "exact_leaves": len(exact_docs)}
         main_scan = scan_for(keep)
         if main_scan is None:
             self.last_wand_stats["blocks_pruned"] = planned_pruned
@@ -796,31 +996,54 @@ class SparkQueryEngine:
         out = out.localCheckpoint()
         self.last_wand_stats["blocks_pruned"] = planned_pruned \
             if masks is not None else acc.value
+        self.last_wand_stats["theta_cached"] = cached_theta is not None
+        if theta_key is not None:
+            # the checkpointed top-k is materialized: reading its k-th
+            # score is a driver-local fetch, and it becomes the exact
+            # lossless θ for the next identical query
+            rows = out.collect()
+            if len(rows) == k:
+                kth = rows[-1]["score"]
+                # back off by a relative ulp margin: block bounds are
+                # computed in numpy while true scores come from the
+                # Spark float64 expression — a tie doc whose bound
+                # lands 1 ulp under its score must not be pruned
+                self._theta_cache[theta_key] = \
+                    kth - max(1e-9, 1e-9 * abs(kth))
         return out
 
     WAND_BLOCK_PLAN_CHUNKS = 8192  # block-bound planning cap: block
                              # arrays are ~256 entries/chunk, so this
                              # bounds the planner collect at ~2M floats
+    RARE_EXACT_DF = 4096     # scoring leaves at or below this df seed
+                             # fully and plan with exact doc presence
+                             # (one chunk; ≤32 KB of doc ids on the
+                             # driver per leaf)
 
     def _seed_theta_driver(self, seed_scan, idf_by_leaf, avgdl, k,
-                           bases) -> float:
+                           bases, want_docs=frozenset()):
         """θ for a pure-OR tree from a driver-side decode of the seed
         chunks: fetch their TF binaries (no positions/structures) and
         evaluate the exact _leaf_term BM25 expression in numpy,
-        summing per doc across leaves. Returns the k-th best achieved
-        score, or 0.0 when fewer than k docs are seen (θ=0 disables
-        pruning — safe)."""
+        summing per doc across leaves. Returns (θ, exact_docs) where
+        θ is the k-th best achieved score (0.0 when fewer than k docs
+        are seen — pruning disabled, safe) and exact_docs maps each
+        ``want_docs`` leaf to the sorted GLOBAL doc ids of its fetched
+        postings (complete for fully-seeded rare leaves; the block
+        planner uses them as an exact presence test)."""
         import numpy as np
 
         from ..codec.postings import unpack_posting_list
 
         if seed_scan is None:
-            return 0.0
+            return 0.0, {}
         rows = (seed_scan.select("field", "term", "shard", "docs_bin",
                                  "tfs_bin", "dls_bin").collect())
         doc_parts, score_parts = [], []
+        exact: dict = {}
         for r in rows:
-            idf = idf_by_leaf.get((r["field"], r["term"]))
+            key = (r["field"], r["term"])
+            idf = idf_by_leaf.get(key)
             if idf is None:
                 continue
             doc_ids, tfs, _p, _s, dls = unpack_posting_list(
@@ -828,34 +1051,53 @@ class SparkQueryEngine:
             base = int(bases.get(int(r["shard"]), 0)) if bases else 0
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
-            doc_parts.append(doc_ids + base)
+            gids = doc_ids + base
+            if key in want_docs:
+                exact.setdefault(key, []).append(gids)
+            doc_parts.append(gids)
             score_parts.append(idf * (tf * (K1 + 1.0)) / (
                 tf + K1 * (1.0 - B + B * dl / avgdl)))
+        exact_docs = {key: np.sort(np.concatenate(parts))
+                      for key, parts in exact.items()}
         if not doc_parts:
-            return 0.0
+            return 0.0, exact_docs
         docs = np.concatenate(doc_parts)
         scores = np.concatenate(score_parts)
         uniq, inv = np.unique(docs, return_inverse=True)
         per_doc = np.zeros(len(uniq))
         np.add.at(per_doc, inv, scores)
         if len(per_doc) < k:
-            return 0.0
-        return float(np.partition(per_doc, -k)[-k])
+            return 0.0, exact_docs
+        kth = float(np.partition(per_doc, -k)[-k])
+        # relative ulp back-off: numpy-evaluated seed scores vs the
+        # Spark float64 score expression can differ in the last ulp,
+        # and a tied doc must survive pruning
+        return kth - max(1e-9, 1e-9 * abs(kth)), exact_docs
 
     def _plan_block_masks(self, meta, scoring_set, idf_by_leaf,
-                          theta, avgdl, bases):
+                          theta, avgdl, bases, exact_docs=None):
         """Driver-side range-aware block planning over the already-
         collected chunk metadata: for every 128-posting block b of
         leaf t keep b iff  ub_t(b) + Σ_{u≠t} max ub_u over u's blocks
         intersecting b's doc range  >= θ.
 
+        Leaves in ``exact_docs`` (fully-seeded rare terms) contribute
+        by exact presence instead: ub_u if any of u's docs falls in
+        b's range, else 0 — the batch analogue of DAAT pivoting past
+        docs the rare term's pointer already skipped. Without it a
+        rare term's single wide block protects every head block.
+
         Safety: a doc d in block b has true score ≤ that bound (every
         other leaf's contribution on d is ≤ its range max over b's
-        range), so a dropped block cannot contain a top-k doc; docs
-        partially scored because another leaf's block was dropped only
-        score LOWER. Returns ({(field, term, shard, doc_lo): bool
-        ndarray}, blocks_pruned, blocks_total)."""
+        range; for an exact leaf, 0 is exact when no u-doc is in the
+        range, and d itself witnesses presence otherwise), so a
+        dropped block cannot contain a top-k doc; docs partially
+        scored because another leaf's block was dropped only score
+        LOWER. Returns ({(field, term, shard, doc_lo): bool ndarray},
+        blocks_pruned, blocks_total)."""
         import numpy as np
+
+        exact_docs = exact_docs or {}
 
         rows = [r for r in meta
                 if (r["field"], r["term"]) in scoring_set]
@@ -908,12 +1150,26 @@ class SparkQueryEngine:
                 out[j] = ub_u[i0[j]:i1[j]].max()
             return out
 
+        def exact_presence_vec(ukey, glo_b, ghi_b):
+            """ub_u where any of u's exact docs lies in the query
+            block's range, else 0 (sorted searchsorted probes)."""
+            docs_u = exact_docs[ukey]
+            ub_full = flat[ukey][2]
+            ub_u = float(ub_full.max()) if len(ub_full) else 0.0
+            i0 = np.searchsorted(docs_u, glo_b, side="left")
+            i1 = np.searchsorted(docs_u, ghi_b, side="right")
+            return np.where(i1 > i0, ub_u, 0.0)
+
         masks = {}
         pruned = total = 0
         for ckey, (key, glo, ghi, ub) in by_chunk.items():
             others = np.zeros(len(ub))
             for ukey in scoring_set:
-                if ukey != key:
+                if ukey == key or ukey not in flat:
+                    continue  # absent term: contributes exactly 0
+                if ukey in exact_docs:
+                    others += exact_presence_vec(ukey, glo, ghi)
+                else:
                     others += range_max_vec(ukey, glo, ghi)
             m = (ub + others) >= theta
             masks[ckey] = m
