@@ -1,0 +1,544 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
+
+Decode path (used by the multimodal feature kernel): baseline
+sequential DCT, 8-bit precision, grayscale or YCbCr with generic 1-2
+h/v chroma subsampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
+markers. Progressive / arithmetic / 12-bit streams raise ValueError
+and stay at the documented codec stub in ops.multimodal.
+
+Encode path: a minimal baseline encoder with the Annex K default
+quantization + Huffman tables — used for thumbnail writing and for
+deterministic test fixtures (this container ships no image library,
+so fixtures are produced by our own encoder and the decoder is
+pinned by round-trip error bounds against known pixel fields).
+
+The reference engine has no image handling at all (swish-e indexes
+only text/HTML/XML, /root/reference/src/html.c); this module exists
+for the training-data-pipeline brief: multimodal columns travel as
+opaque binary and decode executor-side inside Arrow-batched kernels.
+
+Everything here implements the public ITU-T T.81 spec directly:
+Annex C (canonical Huffman code construction), F.2 (decode
+procedures, DC prediction + EXTEND), F.1 (encode), K.1/K.3 (default
+tables), plus the JFIF YCbCr<->RGB matrix (ITU-R BT.601).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- zigzag
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# 8x8 DCT-II basis (orthonormal); IDCT is B.T @ X @ B
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8)
+    n = np.arange(8)
+    b = np.cos((2 * n[None, :] + 1) * k[:, None] * np.pi / 16)
+    b[0] *= 1 / np.sqrt(2)
+    return b * 0.5
+
+
+_B = _dct_basis()
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    return _B.T @ block @ _B
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    return _B @ block @ _B.T
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0  # pad past end
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller handles
+                else:
+                    break  # real marker: stop feeding
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        if self.nbits < n:  # truncated stream: zero-pad
+            self.acc <<= (n - self.nbits)
+            self.nbits = n
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_restart(self):
+        """Skip to just past the next RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        i = self.pos
+        while i + 1 < len(d):
+            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
+                self.pos = i + 2
+                return
+            i += 1
+        self.pos = len(d)
+
+
+def _build_huff(counts: list, symbols: bytes) -> dict:
+    """(length, code) -> symbol, per T.81 Annex C canonical order."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline JPEG. Returns (height, width, channels,
+    pixels ndarray HxWxC uint8)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i:i + 128], ">u2")
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i:i + 64], np.uint8)
+                    i += 64
+                q = np.zeros(64, np.int32)
+                q[ZIGZAG] = vals
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                n = sum(counts)
+                symbols = seg[i + 17:i + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = \
+                    _build_huff(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arith)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                scomp.append((cs, tt >> 4, tt & 15))
+            data_start = pos + seglen
+            return _decode_scan(payload, data_start, frame, scomp, qt,
+                                huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("no SOS in JPEG")
+
+
+def _decode_scan(data, start, frame, scomp, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scomp:
+        c = by_id[cs]
+        order.append((c, td, ta))
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                np.float64) for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    br = _BitReader(data, start)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_restart()
+                for k in pred:
+                    pred[k] = 0
+            for c, td, ta in order:
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        blk = np.zeros(64, np.int32)
+                        t = _huff_decode(br, huff_dc[td])
+                        diff = _extend(br.read(t), t)
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            blk[ZIGZAG[k]] = _extend(br.read(s), s)
+                            k += 1
+                        q = qt[c["tq"]]
+                        px = idct2((blk.reshape(8, 8) * q)
+                                   .astype(np.float64)) + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+            mcu += 1
+    # upsample to full res and crop
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        pix = np.clip(out[0], 0, 255).astype(np.uint8)[:, :, None]
+        return h, w, 1, pix
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    pix = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    return h, w, 3, pix
+
+
+# ------------------------------------------------------------ encoder
+# (test-fixture generation only — T.81 Annex K default tables)
+
+STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32).reshape(8, 8)
+
+STD_CHR_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32).reshape(8, 8)
+
+# Annex K.3 default huffman specs: (bits list len16, value bytes)
+K3_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             bytes(range(12)))
+K3_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             bytes(range(12)))
+K3_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+             bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+K3_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+             bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+def _enc_huff(spec):
+    counts, symbols = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int):
+        self.acc = (self.acc << n) | code
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _mag(v: int):
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode HxWx{1,3} uint8 to baseline JPEG (fixtures only).
+    quality_scale divides the Annex K tables (1 = default)."""
+    h, w = pixels.shape[:2]
+    nc = 1 if pixels.ndim == 2 or pixels.shape[2] == 1 else 3
+    px = pixels.reshape(h, w, nc).astype(np.float64)
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        chans = [y, cb, cr]
+    else:
+        chans = [px[..., 0]]
+    ql = np.maximum(STD_LUM_Q // quality_scale, 1)
+    qc = np.maximum(STD_CHR_Q // quality_scale, 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    for tq, q in ((0, ql), (1, qc))[:2 if nc == 3 else 1]:
+        seg(0xDB, bytes([tq]) + bytes(q.reshape(-1)[ZIGZAG].astype(
+            np.uint8).tolist()))
+    # SOF0
+    sub_h = 2 if (subsample and nc == 3) else 1
+    body = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hv = (sub_h << 4 | sub_h) if ci == 0 and nc == 3 else 0x11
+        body += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    seg(0xC0, body)
+    specs = [(0x00, K3_DC_LUM), (0x10, K3_AC_LUM)]
+    if nc == 3:
+        specs += [(0x01, K3_DC_CHR), (0x11, K3_AC_CHR)]
+    for tc_th, (counts, symbols) in specs:
+        seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    body = bytes([nc])
+    for ci in range(nc):
+        body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    body += bytes([0, 63, 0])
+    seg(0xDA, body)
+
+    dc_lum, ac_lum = _enc_huff(K3_DC_LUM), _enc_huff(K3_AC_LUM)
+    dc_chr, ac_chr = _enc_huff(K3_DC_CHR), _enc_huff(K3_AC_CHR)
+    bw = _BitWriter()
+    hmax = sub_h
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * hmax - 1) // (8 * hmax)
+
+    def pad_plane(p, fh, fv):
+        H = mcuy * fv * 8
+        W = mcux * fh * 8
+        ph, pw = p.shape
+        outp = np.empty((H, W))
+        outp[:ph, :pw] = p
+        outp[ph:, :pw] = p[ph - 1:ph, :]
+        outp[:, pw:] = outp[:, pw - 1:pw]
+        return outp
+
+    if nc == 3 and sub_h == 2:
+        yp = pad_plane(chans[0], 2, 2)
+        # 2x2 box-average chroma
+        cbp = pad_plane(chans[1], 2, 2)
+        crp = pad_plane(chans[2], 2, 2)
+        cbs = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+        crs = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+        comp_planes = [(yp, 2, 2, ql, dc_lum, ac_lum),
+                       (cbs, 1, 1, qc, dc_chr, ac_chr),
+                       (crs, 1, 1, qc, dc_chr, ac_chr)]
+    else:
+        comp_planes = []
+        for ci, ch in enumerate(chans):
+            q = ql if ci == 0 else qc
+            dt = dc_lum if ci == 0 else dc_chr
+            at = ac_lum if ci == 0 else ac_chr
+            comp_planes.append((pad_plane(ch, 1, 1), 1, 1, q, dt, at))
+
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                pred = [0] * nc
+            mcu += 1
+            for ci, (p, fh, fv, q, dt, at) in enumerate(comp_planes):
+                for vy in range(fv):
+                    for vx in range(fh):
+                        y0 = (my * fv + vy) * 8
+                        x0 = (mx * fh + vx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        co = np.round(dct2(blk) / q).astype(np.int32)
+                        zz = co.reshape(-1)[ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, code = _mag(diff)
+                        ln, c = dt[t]
+                        bw.write(c, ln)
+                        if t:
+                            bw.write(code, t)
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, c = at[0xF0]
+                                bw.write(c, ln)
+                                run -= 16
+                            t, code = _mag(v)
+                            ln, c = at[(run << 4) | t]
+                            bw.write(c, ln)
+                            bw.write(code, t)
+                            run = 0
+                        if last < 63:
+                            ln, c = at[0x00]
+                            bw.write(c, ln)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+

@@ -6,9 +6,11 @@ Arrow-batched ``mapInPandas`` kernels.
 
 Codecs: formats decodable with stdlib zlib/struct + numpy are decoded
 FOR REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
-24/32-bit BMP, binary PPM (P6), and 8-bit PNG (gray/RGB/palette/alpha;
-zlib inflate + scanline unfiltering per the public spec). Formats whose
-codecs are NOT in this container (JPEG/MP4/MP3, 16-bit or Adam7 PNG)
+24/32-bit BMP, binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha;
+zlib inflate + scanline unfiltering per the public spec), and baseline
+JPEG (ITU-T T.81: Huffman + DCT, 4:4:4/4:2:2/4:2:0 subsampling,
+restart markers — see ops/jpeg.py). Formats whose codecs are NOT in
+this container (MP4/MP3, progressive JPEG, 16-bit or Adam7 PNG)
 remain STUBBED: by default the decode raises ``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
 decode so the Spark-side plumbing (schema, partitioning, UDF
@@ -290,6 +292,14 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
         img = decode_ppm(payload)
     if img is None:
         img = decode_png(payload)
+    if img is None and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            _h, _w, _c, px = decode_jpeg(payload)
+            img = px.astype(np.float32).mean(axis=2) / 255.0
+        except ValueError:
+            img = None  # progressive/arithmetic: stays at the stub
     if img is not None:
         return resize_thumb(img)
     if not fake:

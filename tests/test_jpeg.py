@@ -1,0 +1,106 @@
+"""Baseline JPEG codec: round-trip pins + malformed-stream probes +
+multimodal kernel integration (real decode path for image payloads)."""
+
+import numpy as np
+import pytest
+
+from swish_e_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w, c, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 3 + xx * 5) % 200 + 20
+    img = np.stack([(base + 10 * k) for k in range(c)], -1)
+    return np.clip(img + rng.integers(-2, 3, img.shape), 0,
+                   255).astype(np.uint8)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("shape,sub,ri", [
+        ((16, 24, 3), False, 0),   # 4:4:4 color
+        ((16, 24, 3), True, 0),    # 4:2:0 color
+        ((8, 8, 1), False, 0),     # single-block grayscale
+        ((13, 17, 3), True, 0),    # odd dims + subsampling (MCU pad)
+        ((5, 7, 1), False, 0),     # sub-block image
+        ((32, 40, 3), False, 3),   # restart markers every 3 MCUs
+        ((32, 40, 1), False, 1),   # restart interval 1, grayscale
+        ((32, 40, 3), True, 2),    # restarts + subsampling
+    ])
+    def test_reconstruction_error_bounded(self, shape, sub, ri):
+        h, w, c = shape
+        img = _gradient(h, w, c)
+        data = encode_jpeg(img, subsample=sub, restart_interval=ri)
+        dh, dw, dc, dec = decode_jpeg(data)
+        assert (dh, dw, dc) == (h, w, c)
+        assert dec.shape == (h, w, c)
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        # smooth gradient content: lossy error stays small; the wrap
+        # seam of the %200 ramp dominates on the larger images
+        assert err < 12.0
+
+    def test_flat_image_near_exact(self):
+        img = np.full((24, 24, 3), 128, np.uint8)
+        _, _, _, dec = decode_jpeg(encode_jpeg(img))
+        assert np.abs(dec.astype(int) - 128).max() <= 2
+
+    def test_deterministic_bytes(self):
+        img = _gradient(16, 16, 3)
+        assert encode_jpeg(img) == encode_jpeg(img)
+
+
+class TestMalformed:
+    def test_not_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"GIF89a not a jpeg")
+
+    def test_progressive_rejected(self):
+        img = _gradient(8, 8, 1)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_truncated_entropy_stream_still_returns_image(self):
+        # zero-padded reads past truncation: decode degrades, never
+        # crashes — executor kernels must survive corrupt web media
+        img = _gradient(16, 16, 1)
+        data = encode_jpeg(img)
+        h, w, c, dec = decode_jpeg(data[: len(data) - 20])
+        assert (h, w, c) == (16, 16, 1)
+
+    def test_missing_sos(self):
+        img = _gradient(8, 8, 1)
+        data = encode_jpeg(img)
+        i = data.find(b"\xff\xda")
+        with pytest.raises(ValueError, match="no SOS"):
+            decode_jpeg(data[:i] + b"\xff\xd9")
+
+
+class TestMultimodalIntegration:
+    def test_decode_stub_routes_jpeg(self):
+        from swish_e_spark.ops.multimodal import THUMB, _decode_stub
+
+        img = _gradient(40, 40, 3)
+        thumb = _decode_stub(encode_jpeg(img), "image", fake=False)
+        assert thumb.shape == (THUMB, THUMB)
+        # grayscale thumb of the ramp: values in [0,1], non-constant
+        assert 0.0 <= thumb.min() and thumb.max() <= 1.0
+        assert thumb.std() > 0.01
+
+    def test_feature_kernel_over_jpeg_payloads(self, spark):
+        import pandas as pd
+
+        from swish_e_spark.ops.multimodal import extract_features
+
+        rows = []
+        for mid in range(6):
+            img = _gradient(24, 24, 3, seed=mid)
+            rows.append({"media_id": mid, "kind": "image",
+                         "payload": encode_jpeg(img),
+                         "width": 24, "height": 24, "sample_rate": 0})
+        media = spark.createDataFrame(pd.DataFrame(rows))
+        out = extract_features(media, fake=False).toPandas()
+        assert len(out) == 6
+        assert all(len(f) == 16 for f in out["feature"])
