@@ -122,6 +122,8 @@ def main():
                 s = engine.last_exh_stats
                 times[f"{name}_chunks_pruned_frac"] = round(
                     s["chunks_pruned"] / max(s["chunks_total"], 1), 4)
+                if s.get("allow_docs"):
+                    times[f"{name}_allow_docs"] = s["allow_docs"]
 
         # block-max WAND path (auto-gated to big indexes; force here so
         # the pruned plan is exercised and timed at bench scale), with

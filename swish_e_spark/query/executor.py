@@ -545,16 +545,37 @@ class SparkQueryEngine:
         if self.handle.stats["n_docs"] < self.exh_prune_min_docs:
             return None
         meta = self._wand_meta_cached(sorted(required))
-        if not meta:
-            return None
-        df_by: dict = {}
-        for r in meta:
-            key = (r["field"], r["term"])
-            df_by[key] = df_by.get(key, 0) + r["df"]
-        if len(df_by) < len(required):
+        if meta is not None:
+            df_by: dict = {}
+            for r in meta:
+                key = (r["field"], r["term"])
+                df_by[key] = df_by.get(key, 0) + r["df"]
+        else:
+            # head leaves over the dictionary-cache chunk cap (a
+            # 10^12-doc term is millions of chunks): one per-leaf df
+            # aggregate — no chunk list ever reaches the driver
+            cond = None
+            for field, term in required:
+                c = ((F.col("term_bucket")
+                      == term_bucket(term, self.n_buckets))
+                     & (F.col("term") == term)
+                     & (F.col("field") == field))
+                cond = c if cond is None else cond | c
+            rows = (self.handle.segments().filter(cond)
+                    .groupBy("field", "term")
+                    .agg(F.sum("df").alias("df")).collect())
+            df_by = {(r["field"], r["term"]): r["df"] for r in rows}
+        if not df_by or len(df_by) < len(required):
             return None  # an absent required leaf: no matches anyway
         rare = min(df_by, key=df_by.get)
-        if df_by[rare] > self.RARE_EXACT_DF:
+        others_df = sum(df_by.values()) - df_by[rare]
+        # benefit gate: the filter pays when the rare doc set is much
+        # smaller than the other leaves' posting mass. Heavily
+        # co-occurring leaves (a phrase whose words appear only
+        # together) keep ~every posting, so a near-equal-df allowlist
+        # is pure fetch + filter overhead.
+        if df_by[rare] > self.EXH_ALLOW_MAX_DF \
+                or df_by[rare] * 4 > others_df:
             return None
         cached = self._rare_docs_cache.get(rare)
         if cached is not None:
@@ -1019,6 +1040,16 @@ class SparkQueryEngine:
                              # fully and plan with exact doc presence
                              # (one chunk; ≤32 KB of doc ids on the
                              # driver per leaf)
+    EXH_ALLOW_MAX_DF = 262_144  # exhaustive-path allowlist cap: the
+                             # rarest REQUIRED leaf's doc ids drive
+                             # position materialization DAAT-style.
+                             # Unlike WAND's exact planning, this pays
+                             # even at head-term dfs — every phrase /
+                             # NEAR / AND match contains the rarest
+                             # leaf, so the other leaves' per-doc
+                             # position arrays (the dominant cost)
+                             # collapse to roughly the intersection.
+                             # ~2 MB of int64 ids on the driver at cap.
 
     def _seed_theta_driver(self, seed_scan, idf_by_leaf, avgdl, k,
                            bases, want_docs=frozenset()):
@@ -1292,7 +1323,12 @@ class SparkQueryEngine:
             seed_cond = c if seed_cond is None else seed_cond | c
 
         theta = 0.0
-        if seed_cond is not None:
+        theta_key = (repr(node), k) if not limits else None
+        cached_theta = self._theta_cache.get(theta_key) \
+            if theta_key is not None else None
+        if cached_theta is not None:
+            theta = cached_theta  # warm repeat: skip the seed job
+        elif seed_cond is not None:
             seed_rows = (self._wand_decode_eval(
                 node, self.handle.segments().filter(seed_cond),
                 df_by_leaf, stats, limits)
@@ -1325,6 +1361,13 @@ class SparkQueryEngine:
                .limit(k))
         out = out.localCheckpoint()
         self.last_wand_stats["blocks_pruned"] = acc.value
+        self.last_wand_stats["theta_cached"] = cached_theta is not None
+        if theta_key is not None:
+            rows = out.collect()
+            if len(rows) == k:
+                kth = rows[-1]["score"]
+                self._theta_cache[theta_key] = \
+                    kth - max(1e-9, 1e-9 * abs(kth))
         return out
 
     # ---- evaluation ----

