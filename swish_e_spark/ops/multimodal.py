@@ -9,9 +9,10 @@ FOR REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
 24/32-bit BMP, binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha;
 zlib inflate + scanline unfiltering per the public spec), and baseline
 JPEG (ITU-T T.81: Huffman + DCT, 4:4:4/4:2:2/4:2:0 subsampling,
-restart markers — see ops/jpeg.py). Formats whose codecs are NOT in
-this container (MP4/MP3, progressive JPEG, 16-bit or Adam7 PNG)
-remain STUBBED: by default the decode raises ``NotImplementedError``;
+restart markers — see ops/jpeg.py), and GIF87a/89a (LZW, interlace —
+see ops/gif.py). Formats whose codecs are NOT in this container
+(MP4/MP3, progressive JPEG, 16-bit or Adam7 PNG) remain STUBBED: by
+default the decode raises ``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
 decode so the Spark-side plumbing (schema, partitioning, UDF
 signature, Arrow batch shape) is exercised either way.
@@ -300,6 +301,10 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
             img = px.astype(np.float32).mean(axis=2) / 255.0
         except ValueError:
             img = None  # progressive/arithmetic: stays at the stub
+    if img is None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        img = decode_gif(payload)
     if img is not None:
         return resize_thumb(img)
     if not fake:
