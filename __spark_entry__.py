@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_not_complement": engineq.engine_not_complement,
         "engine_wildcard_match": engineq.engine_wildcard_match,
         "engine_wand_topk": engineq.engine_wand_topk,
+        "engine_wand_warm_topk": engineq.engine_wand_warm_topk,
+        "engine_rare_and": engineq.engine_rare_and,
         "engine_keyword_dump": engineq.engine_keyword_dump,
         "engine_swishrank0_topk": engineq.engine_swishrank0_topk,  # rows-only
         "engine_swishrank1_topk": engineq.engine_swishrank1_topk,  # rows-only
@@ -207,6 +209,11 @@ order by d.doc_id""",
 with {toks}
 select distinct doc_id from toks where t like 'sc%' order by doc_id""",
         "engine_wand_topk": _bm25_sql("'hash','join'", 2),
+        "engine_wand_warm_topk": _bm25_sql("'hash','join'", 2),
+        "engine_rare_and": f"""
+with {toks}
+select doc_id from toks where t = 'dup'
+intersect select doc_id from toks where t = 'hash' order by doc_id""",
         "engine_keyword_dump": f"""
 with {toks}
 select t as term, count(distinct doc_id) as df, count(*) as cf

@@ -139,6 +139,34 @@ def engine_wand_topk(spark, sf_dir, q="hash join", k=10):
         .orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def engine_rare_and(spark, sf_dir, q="dup AND hash"):
+    """Conjunction whose rarest leaf ('dup', df 25 « 'hash', df 394)
+    drives the exhaustive-path doc allowlist
+    (executor._required_allow_docs): the head leaf's postings are
+    dropped by the decode kernel before materialization, DAAT-style.
+    The ≥100k-doc production gate is lowered so the path executes at
+    driver scale; the DuckDB oracle proves the filter is lossless."""
+    eng = _engine(spark, sf_dir)
+    eng.exh_prune_min_docs = 0
+    df = eng.match_df(q)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_wand_warm_topk(spark, sf_dir, q="hash join", k=10):
+    """engine_wand_topk queried twice on one engine: the second run
+    plans from the threshold cache (θ = the first run's true k-th
+    score, ulp-backed) and the resident term dictionary — zero extra
+    planning jobs. Oracle identity proves the warm pruning path is
+    lossless, not just the cold one."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    eng.search_df(q, k=k, wand="force").collect()
+    df = eng.search_df(q, k=k, wand="force")
+    return df.select("doc_id", F.round("score", 4).alias("score")) \
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def engine_swishrank0_topk(spark, sf_dir, q="hash join", k=10):
     """Swish-e scheme-0 (structure-weighted TF) ranked top-k — engine
     path; rows-only driver check (the integer rank formula over per-
