@@ -125,3 +125,41 @@ class TestFastLexerProperty:
              for e in slow.doc.events]
         assert f == s, repr(raw)
         assert fast.doc.noindex == slow.doc.noindex
+
+
+class TestCodecProperty:
+    """Image codecs under arbitrary content: GIF round-trips exactly
+    (indexed color is lossless); JPEG stays within a quantization
+    error bound and never crashes on random pixel fields."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(2, 40), st.integers(2, 40),
+           st.sampled_from([2, 4, 16, 256]), st.integers(0, 2 ** 31))
+    def test_gif_roundtrip_exact(self, h, w, n_pal, seed):
+        from swish_e_spark.ops.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, (h, w), dtype=np.uint8)
+        gray = decode_gif(encode_gif(idx, pal))
+        want = pal[idx].astype(np.float32).mean(axis=2) / 255.0
+        assert gray is not None and gray.shape == (h, w)
+        assert np.allclose(gray, want)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([1, 3]), st.booleans(),
+           st.integers(0, 3), st.integers(0, 2 ** 31))
+    def test_jpeg_roundtrip_bounded(self, h, w, c, sub, ri, seed):
+        from swish_e_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        data = encode_jpeg(img, subsample=sub, restart_interval=ri)
+        dh, dw, dc, dec = decode_jpeg(data)
+        assert (dh, dw, dc) == (h, w, c)
+        # random noise is the worst case for a DCT codec: assert the
+        # decode is bounded and sane, not visually faithful
+        assert dec.dtype == np.uint8 and dec.shape == (h, w, c)
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 96.0
