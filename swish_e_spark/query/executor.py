@@ -182,13 +182,32 @@ def _wand_block_kernel(batches, prune: dict, theta: float,
             elif theta > 0.0:
                 info = prune.get((rec["field"], rec["term"]))
                 if info is not None:
-                    idf, others = info
+                    idf, others = info[0], info[1]
+                    rare_list = info[2] if len(info) > 2 else ()
                     btf = np.asarray(rec["block_max_tf"],
                                      dtype=np.float64)
                     bdl = np.asarray(rec["block_min_dl"],
                                      dtype=np.float64)
                     ub = idf * (btf * (K1 + 1.0)) / (
                         btf + K1 * (1.0 - B + B * bdl / avgdl)) + others
+                    if rare_list:
+                        # rare leaves contribute by exact presence in
+                        # each block's doc range, not globally — the
+                        # distributed-planner analogue of the driver
+                        # plan's exact_presence_vec (searchsorted on
+                        # the rare leaf's sorted global doc ids)
+                        rb = int(bases.get(int(rec["shard"]), 0)) \
+                            if bases else 0
+                        blo = np.asarray(rec["block_doc_lo"],
+                                         dtype=np.int64) + rb
+                        bhi = np.asarray(rec["block_doc_hi"],
+                                         dtype=np.int64) + rb
+                        for docs_u, gub_u in rare_list:
+                            i0 = np.searchsorted(docs_u, blo,
+                                                 side="left")
+                            i1 = np.searchsorted(docs_u, bhi,
+                                                 side="right")
+                            ub = ub + np.where(i1 > i0, gub_u, 0.0)
                     bmask = ub >= theta
                     if not bmask.any():
                         if acc is not None:
@@ -577,10 +596,21 @@ class SparkQueryEngine:
         if df_by[rare] > self.EXH_ALLOW_MAX_DF \
                 or df_by[rare] * 4 > others_df:
             return None
-        cached = self._rare_docs_cache.get(rare)
+        return self._leaf_docs(*rare)
+
+    def _leaf_docs(self, field, term):
+        """Sorted GLOBAL doc ids of one leaf, fetched driver-side from
+        its posting binaries (bounded by the caller's df cap — a rare
+        leaf fits one or two chunks regardless of corpus size) and
+        cached like the dictionary."""
+        import numpy as np
+
+        from ..codec.postings import unpack_posting_list
+        from pyspark.sql import functions as F
+
+        cached = self._rare_docs_cache.get((field, term))
         if cached is not None:
             return cached
-        field, term = rare
         rows = (self.handle.segments()
                 .filter((F.col("term_bucket")
                          == term_bucket(term, self.n_buckets))
@@ -598,7 +628,7 @@ class SparkQueryEngine:
         if not parts:
             return None
         ids = np.sort(np.concatenate(parts))
-        self._rare_docs_cache[rare] = ids
+        self._rare_docs_cache[(field, term)] = ids
         return ids
 
     def _decoded(self, node, structure_mask, need_structs: bool = False):
@@ -1300,6 +1330,22 @@ class SparkQueryEngine:
                if key in scoring_set}
         total_gub = sum(gub.values())
 
+        # rare scoring leaves plan with exact doc presence here too:
+        # their doc ids fit the driver no matter how many chunks the
+        # HEAD terms have (the fetch is term-filtered and df-capped),
+        # so the 10^12-doc path gets the same DAAT-style pruning as
+        # the enumerating planner instead of letting one scattered
+        # rare term's global bound protect every head block
+        rare_exact = {key for key in scoring_set
+                      if df_by_leaf.get(key, 0) <= self.RARE_EXACT_DF}
+        if len(rare_exact) == len(scoring_set):
+            rare_exact = set()
+        rare_docs = {}
+        for key in rare_exact:
+            ids = self._leaf_docs(*key)
+            if ids is not None:
+                rare_docs[key] = ids
+
         w = Window.partitionBy("field", "term").orderBy(
             F.desc(ub_raw), F.asc("doc_lo"))
         seed_keys = (scan.withColumn("_rn", F.row_number().over(w))
@@ -1307,13 +1353,17 @@ class SparkQueryEngine:
                      .select("field", "term", "doc_lo").collect())
         seed_cond = None
         for r in seed_keys:
-            if (r["field"], r["term"]) not in scoring_set:
+            key = (r["field"], r["term"])
+            if key not in scoring_set:
                 continue
             c = ((F.col("term_bucket")
                   == term_bucket(r["term"], self.n_buckets))
                  & (F.col("term") == r["term"])
-                 & (F.col("field") == r["field"])
-                 & (F.col("doc_lo") == r["doc_lo"]))
+                 & (F.col("field") == r["field"]))
+            if key not in rare_docs:
+                # head leaves seed their best chunk; rare leaves seed
+                # fully so θ lands at the rare-term score level
+                c = c & (F.col("doc_lo") == r["doc_lo"])
             seed_cond = c if seed_cond is None else seed_cond | c
         aux_set = set(df_by_leaf) - scoring_set
         for field, term in aux_set:  # full aux decode (needed anyway)
@@ -1350,10 +1400,23 @@ class SparkQueryEngine:
                            + F.lit(others)).otherwise(bound)
         main_scan = scan.filter(bound >= F.lit(theta))
         self.last_wand_stats = {"mode": "distributed", "theta": theta,
-                                "seed_chunks": len(seed_keys)}
+                                "seed_chunks": len(seed_keys),
+                                "exact_leaves": len(rare_docs)}
         acc = self.spark.sparkContext.accumulator(0)
-        prune = {key: (idf_by_leaf[key], total_gub - gub[key])
-                 for key in gub}
+        # kernel bounds: head leaves carry the other HEAD leaves' gub
+        # statically plus each rare leaf as (sorted docs, gub) for the
+        # per-block presence test; rare leaves decode fully (tiny).
+        # The JVM pre-filter above keeps the conservative global bound
+        # (>= the kernel's refined bound), so it stays lossless.
+        rare_gub = sum(gub[key] for key in rare_docs if key in gub)
+        rare_list = tuple((rare_docs[key], gub[key])
+                          for key in sorted(rare_docs) if key in gub)
+        prune = {}
+        for key in gub:
+            if key in rare_docs:
+                continue  # rare leaves: always fully decoded
+            others_static = total_gub - gub[key] - rare_gub
+            prune[key] = (idf_by_leaf[key], others_static, rare_list)
         out = (self._wand_decode_eval(node, main_scan, df_by_leaf,
                                       stats, limits, prune, theta, acc)
                .select("doc_id", "score")

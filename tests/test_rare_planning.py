@@ -82,6 +82,27 @@ class TestRareExactPlanning:
         assert [(r["doc_id"], round(r["score"], 9)) for r in wand] == \
             [(r["doc_id"], round(r["score"], 9)) for r in exact]
 
+    def test_distributed_planner_uses_exact_docs(self, engine):
+        # the many-chunks path (forced via WAND_MAX_CHUNKS=1) must
+        # fetch the rare leaf's docs and refine head-block bounds by
+        # presence inside the decode kernel — losslessly
+        engine._theta_cache.clear()
+        engine.WAND_MAX_CHUNKS = 1
+        engine.RARE_EXACT_DF = 10
+        try:
+            wand = engine.search_df("common0 OR tailterm0", 10,
+                                    wand="force").collect()
+            st = dict(engine.last_wand_stats)
+        finally:
+            del engine.WAND_MAX_CHUNKS
+            del engine.RARE_EXACT_DF
+        assert st["mode"] == "distributed"
+        assert st["exact_leaves"] == 1
+        exact = engine.search_df("common0 OR tailterm0", 10,
+                                 wand="off").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in wand] == \
+            [(r["doc_id"], round(r["score"], 9)) for r in exact]
+
     def test_all_rare_query_skips_exact_planning(self, engine):
         engine._theta_cache.clear()
         engine.search_df("tailterm0 OR tailterm1", 10,
