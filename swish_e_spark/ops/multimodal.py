@@ -67,13 +67,37 @@ def synthesize_media_df(spark, n: int = 64, partitions: int = 4):
 
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """ITU-T G.711 μ-law codeword → linear float32 in [-1,1]
+    (public-spec expansion formula, vectorized over all 256 codes)."""
+    b = np.arange(256, dtype=np.int64) ^ 0xFF  # transmitted inverted
+    sign = np.where(b & 0x80, -1.0, 1.0)
+    e = (b >> 4) & 7
+    m = b & 0xF
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return (sign * mag / 32768.0).astype(np.float32)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law codeword → linear float32 in [-1,1]."""
+    b = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
+    sign = np.where(b & 0x80, -1.0, 1.0)
+    e = (b >> 4) & 7
+    m = b & 0xF
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return (sign * mag / 32768.0).astype(np.float32)
+
+
 def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM decode with stdlib struct + numpy (no external
-    codec): returns (samples float32 in [-1,1], sample_rate)."""
+    """RIFF/WAVE decode with stdlib struct + numpy (no external codec):
+    integer PCM (8/16/32-bit), IEEE float (32/64-bit), and G.711
+    μ-law/A-law telephony encodings, incl. WAVE_FORMAT_EXTENSIBLE
+    headers. Returns (samples float32 in [-1,1], sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -81,23 +105,44 @@ def decode_wav(payload: bytes):
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, _br, _ba, bits = fmt
-    if audio_fmt != 1 or channels < 1:
-        return None  # only uncompressed PCM here; others stay stubbed
-    if bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    elif bits == 8:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
-             - 128.0) / 128.0
-    elif bits == 32:
-        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
-    else:
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format leads the SubFormat
+        # GUID at offset 24 of the fmt chunk
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if channels < 1:
         return None
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) \
+                / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) \
+                / 2147483648.0
+        else:
+            return None
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            return None
+    elif audio_fmt == 6 and bits == 8:  # G.711 A-law
+        x = _g711_alaw_table()[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_fmt == 7 and bits == 8:  # G.711 μ-law
+        x = _g711_ulaw_table()[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        return None  # compressed codecs (MP3 etc.) stay stubbed
     if channels > 1:
         x = x[: len(x) - len(x) % channels]
         x = x.reshape(-1, channels).mean(axis=1)

@@ -320,3 +320,76 @@ class TestMultimodal:
             _decode_stub(jpeg_ish, "image", fake=False)
         assert _decode_stub(jpeg_ish, "image", fake=True).shape == \
             (32, 32)
+
+
+class TestWavEncodings:
+    """Round-3 WAV coverage: IEEE float, G.711 u-law/A-law, and
+    WAVE_FORMAT_EXTENSIBLE headers — all dependency-free decodes."""
+
+    @staticmethod
+    def _wav(fmt_code, bits, body, extensible=False):
+        import struct
+
+        if extensible:
+            fmt = struct.pack("<HHIIHHH", 0xFFFE, 1, 8000,
+                              8000 * bits // 8, bits // 8, bits, 22)
+            fmt += struct.pack("<HI", bits, 0) + \
+                struct.pack("<H", fmt_code) + b"\x00" * 14
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000,
+                              8000 * bits // 8, bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(body))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    def test_ieee_float_roundtrip(self):
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_wav
+
+        sig = (0.5 * np.sin(2 * np.pi * 440 *
+                            np.arange(800) / 8000)).astype("<f4")
+        out = decode_wav(self._wav(3, 32, sig.tobytes()))
+        assert out is not None
+        x, rate = out
+        assert rate == 8000 and np.allclose(x, sig, atol=1e-6)
+
+    @pytest.mark.parametrize("law,fmt_code", [("ulaw", 7), ("alaw", 6)])
+    def test_g711_roundtrip_within_quantization(self, law, fmt_code):
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import (
+            _g711_alaw_table, _g711_ulaw_table, decode_wav,
+        )
+
+        table = _g711_ulaw_table() if law == "ulaw" \
+            else _g711_alaw_table()
+        sig = 0.6 * np.sin(2 * np.pi * 440 * np.arange(800) / 8000)
+        # companding encoder for the fixture: nearest codeword by the
+        # decode table (G.711 quantization is exactly this inverse)
+        codes = np.abs(sig[:, None] - table[None, :]).argmin(1)
+        out = decode_wav(self._wav(fmt_code, 8,
+                                   codes.astype(np.uint8).tobytes()))
+        assert out is not None
+        x, rate = out
+        assert rate == 8000
+        # G.711 is logarithmic 8-bit: ~2% worst-case step at this level
+        assert float(np.abs(x - sig).max()) < 0.03
+
+    def test_extensible_header_pcm16(self):
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_wav
+
+        sig = (20000 * np.sin(2 * np.pi * 100 *
+                              np.arange(400) / 8000)).astype("<i2")
+        out = decode_wav(self._wav(1, 16, sig.tobytes(),
+                                   extensible=True))
+        assert out is not None
+        x, _ = out
+        assert np.allclose(x, sig.astype(np.float32) / 32768.0)
+
+    def test_unknown_format_stays_stubbed(self):
+        from swish_e_spark.ops.multimodal import decode_wav
+
+        assert decode_wav(self._wav(0x55, 8, b"\x00" * 64)) is None
