@@ -5,14 +5,16 @@ metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` kernels.
 
 Codecs: formats decodable with stdlib zlib/struct + numpy are decoded
-FOR REAL — RIFF/WAVE PCM (8/16/32-bit, any channel count), uncompressed
-24/32-bit BMP, binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha;
-zlib inflate + scanline unfiltering per the public spec), and baseline
-JPEG (ITU-T T.81: Huffman + DCT, 4:4:4/4:2:2/4:2:0 subsampling,
-restart markers — see ops/jpeg.py), and GIF87a/89a (LZW, interlace —
-see ops/gif.py). Formats whose codecs are NOT in this container
-(MP4/MP3, progressive JPEG, 16-bit or Adam7 PNG) remain STUBBED: by
-default the decode raises ``NotImplementedError``;
+FOR REAL — RIFF/WAVE (integer PCM 8/16/32-bit, IEEE float, G.711
+μ-law/A-law, any channel count), uncompressed 24/32-bit BMP, binary
+PPM (P6), PNG at 8/16-bit depth incl. Adam7 interlace
+(gray/RGB/palette/alpha; zlib inflate + scanline unfiltering per the
+public spec), baseline JPEG (ITU-T T.81: Huffman + DCT,
+4:4:4/4:2:2/4:2:0 subsampling, restart markers — see ops/jpeg.py),
+and GIF87a/89a (LZW, interlace — see ops/gif.py). Formats whose
+codecs are NOT in this container (MP4/MP3, progressive JPEG,
+1/2/4-bit packed PNG) remain STUBBED: by default the decode raises
+``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
 decode so the Spark-side plumbing (schema, partitioning, UDF
 signature, Arrow batch shape) is exercised either way.
@@ -208,34 +210,36 @@ def decode_ppm(payload: bytes):
     return px.astype(np.float32).mean(axis=2) / float(maxval)
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+def _png_unfilter_bytes(raw: np.ndarray, h: int, row_bytes: int,
+                        bpp: int):
     """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
-    Average/Paeth). Rows carry a leading filter-type byte; Sub/Average/
-    Paeth have a left-pixel data dependency, so those rows walk
-    pixel-by-pixel (test thumbs are small; real deployments plug a
-    codec into the same seam)."""
-    stride = w * ch
-    out = np.zeros((h, stride), dtype=np.uint16)
-    rows = raw.reshape(h, stride + 1)
+    Average/Paeth) over raw BYTES with the left neighbor at distance
+    ``bpp`` bytes (filtering is byte-wise regardless of bit depth).
+    Rows carry a leading filter-type byte; Sub/Average/Paeth have a
+    left-byte data dependency, so those rows walk byte-by-byte (test
+    thumbs are small; real deployments plug a codec into the same
+    seam). Returns (h, row_bytes) uint8, or None on a bad filter."""
+    out = np.zeros((h, row_bytes), dtype=np.uint16)
+    rows = raw.reshape(h, row_bytes + 1)
     for y in range(h):
         ftype = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.uint16)
-        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint16)
+        up = out[y - 1] if y else np.zeros(row_bytes, dtype=np.uint16)
         if ftype == 0:
             out[y] = cur
         elif ftype == 2:
             out[y] = (cur + up) & 0xFF
         elif ftype in (1, 3, 4):
             row = out[y]
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = row[x - bpp] if x >= bpp else 0
                 b = up[x]
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (int(a) + int(b)) // 2
                 else:
-                    c = up[x - ch] if x >= ch else 0
+                    c = up[x - bpp] if x >= bpp else 0
                     p = int(a) + int(b) - int(c)
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc \
@@ -243,15 +247,27 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
                 row[x] = (int(cur[x]) + int(pred)) & 0xFF
         else:
             return None
-    return out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int):
+    """8-bit-depth convenience wrapper: (h, w, ch) uint8 samples."""
+    out = _png_unfilter_bytes(raw, h, w * ch, ch)
+    return None if out is None else out.reshape(h, w, ch)
+
+
+# Adam7 pass layout (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def decode_png(payload: bytes):
     """Dependency-free PNG decode (public spec, RFC 2083): stdlib zlib
-    inflate + numpy scanline unfiltering. Supports 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. Returns float32 grayscale (H, W) in [0,1], or None
-    for anything else (Adam7, 16-bit) — those stay at the codec stub."""
+    inflate + numpy scanline unfiltering. Supports 8- and 16-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette, 8-bit per spec),
+    4 (gray+alpha), 6 (RGBA), sequential or Adam7-interlaced. Returns
+    float32 grayscale (H, W) in [0,1], or None for anything else
+    (1/2/4-bit packed depths) — those stay at the codec stub."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -279,33 +295,67 @@ def decode_png(payload: bytes):
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 \
-            or interlace != 0 or w <= 0 or h <= 0:
+    if depth not in (8, 16) or channels is None or comp != 0 \
+            or filt != 0 or interlace not in (0, 1) \
+            or w <= 0 or h <= 0:
         return None
-    if ctype == 3 and plte is None:
+    if ctype == 3 and (plte is None or depth != 8):
         return None
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)),
                             dtype=np.uint8)
     except zlib.error:
         return None
-    if len(raw) != h * (w * channels + 1):
-        return None
-    px = _png_unfilter(raw, h, w, channels)
-    if px is None:
-        return None
+    nb = depth // 8          # bytes per sample
+    bpp = channels * nb      # bytes per pixel (filter distance)
+
+    def to_samples(bts, ph, pw):
+        """(ph, pw*bpp) bytes -> (ph, pw, ch) uint16 samples."""
+        if nb == 1:
+            return bts.reshape(ph, pw, channels).astype(np.uint16)
+        b2 = bts.reshape(ph, pw, channels, 2).astype(np.uint16)
+        return (b2[..., 0] << 8) | b2[..., 1]  # network byte order
+
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            return None
+        bts = _png_unfilter_bytes(raw, h, w * bpp, bpp)
+        if bts is None:
+            return None
+        px = to_samples(bts, h, w)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            if off + need > len(raw):
+                return None
+            bts = _png_unfilter_bytes(raw[off:off + need], ph,
+                                      pw * bpp, bpp)
+            if bts is None:
+                return None
+            px[y0::dy, x0::dx] = to_samples(bts, ph, pw)
+            off += need
+        if off != len(raw):
+            return None
+    maxval = float((1 << depth) - 1)
     if ctype == 0:
         gray = px[:, :, 0].astype(np.float32)
     elif ctype == 2:
         gray = px.astype(np.float32).mean(axis=2)
     elif ctype == 3:
-        rgb = plte[px[:, :, 0]]
+        rgb = plte[px[:, :, 0].astype(np.int64)]
         gray = rgb.astype(np.float32).mean(axis=2)
+        maxval = 255.0  # palette entries are 8-bit
     elif ctype == 4:
         gray = px[:, :, 0].astype(np.float32)  # alpha ignored
     else:  # 6: RGBA
         gray = px[:, :, :3].astype(np.float32).mean(axis=2)
-    return gray / 255.0
+    return gray / maxval
 
 
 def resize_thumb(gray: np.ndarray, thumb: int = THUMB) -> np.ndarray:

@@ -186,10 +186,56 @@ class TestMultimodal:
                 (3, "image", png)]
 
     @staticmethod
-    def _png_bytes(px, ctype, plte=None, depth=8, interlace=0):
+    def _png_filter_rows(samples, depth):
+        """Filter a (H, W, ch) sample array into PNG scanline bytes;
+        row y gets filter type y % 5, so one image exercises all five
+        filters (None/Sub/Up/Average/Paeth). Filtering is byte-wise
+        with the left neighbor at bytes-per-pixel distance (spec §6),
+        which is what makes 16-bit depth a distinct case."""
+        import numpy as np
+
+        h, w, ch = samples.shape
+        nb = depth // 8
+        bpp = ch * nb
+        if nb == 1:
+            rows_bytes = samples.reshape(h, w * ch).astype(np.int32)
+        else:
+            b = np.empty((h, w, ch, 2), dtype=np.int32)
+            b[..., 0] = samples >> 8
+            b[..., 1] = samples & 0xFF
+            rows_bytes = b.reshape(h, w * bpp)
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.int32)
+        for y in range(h):
+            cur = rows_bytes[y]
+            f = y % 5
+            raw.append(f)
+            for x in range(w * bpp):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b2 = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b2
+                elif f == 3:
+                    pred = (a + b2) // 2
+                else:
+                    p = a + b2 - c
+                    pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc \
+                        else (b2 if pb <= pc else c)
+                raw.append((int(cur[x]) - pred) & 0xFF)
+            prev = cur
+        return bytes(raw)
+
+    @classmethod
+    def _png_bytes(cls, px, ctype, plte=None, depth=8, interlace=0):
         """Minimal spec-following PNG encoder for tests: px is
-        (H, W, ch) uint8; row y gets filter type y % 5, so one image
-        exercises all five filters (None/Sub/Up/Average/Paeth)."""
+        (H, W, ch) uint8 (or uint16 for depth=16). interlace=1 emits
+        the seven Adam7 sub-images, each filtered independently."""
         import struct
         import zlib
 
@@ -201,37 +247,22 @@ class TestMultimodal:
                                   zlib.crc32(cid + body) & 0xFFFFFFFF))
 
         h, w, ch = px.shape
-        raw = bytearray()
-        prev = np.zeros(w * ch, dtype=np.int32)
-        for y in range(h):
-            cur = px[y].reshape(-1).astype(np.int32)
-            f = y % 5
-            raw.append(f)
-            for x in range(w * ch):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                if f == 0:
-                    pred = 0
-                elif f == 1:
-                    pred = a
-                elif f == 2:
-                    pred = b
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc \
-                        else (b if pb <= pc else c)
-                raw.append((int(cur[x]) - pred) & 0xFF)
-            prev = cur
+        if interlace == 0:
+            raw = cls._png_filter_rows(px, depth)
+        else:
+            from swish_e_spark.ops.multimodal import _ADAM7
+
+            raw = b""
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    raw += cls._png_filter_rows(sub, depth)
         ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                            interlace)
         out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         if plte is not None:
             out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
-        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += chunk(b"IDAT", zlib.compress(raw))
         return out + chunk(b"IEND", b"")
 
     def test_png_decode_all_filters_and_color_types(self):
@@ -267,19 +298,48 @@ class TestMultimodal:
         assert np.allclose(decode_png(self._png_bytes(ga, 4)),
                            ga[:, :, 0].astype(np.float32) / 255.0)
 
-    def test_png_unsupported_variants_stay_stubbed(self):
-        """16-bit and Adam7 PNGs fall through to the codec stub."""
+    def test_png_16bit_and_adam7(self):
+        """16-bit depth (byte-wise filtering at 2-byte pixel distance)
+        and Adam7 interlace (seven independently filtered sub-images)
+        decode exactly against the independent test encoder."""
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_png
+
+        rng = np.random.default_rng(3)
+        px16 = rng.integers(0, 65536, size=(9, 7, 3), dtype=np.uint16)
+        g = decode_png(self._png_bytes(px16, 2, depth=16))
+        assert g is not None and g.shape == (9, 7)
+        assert np.allclose(
+            g, px16.astype(np.float32).mean(axis=2) / 65535.0,
+            atol=1e-6)
+
+        px = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+        g = decode_png(self._png_bytes(px, 2, interlace=1))
+        assert g is not None and g.shape == (13, 11)
+        assert np.allclose(
+            g, px.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+        # 16-bit + Adam7 + gray-alpha together
+        ga = rng.integers(0, 65536, size=(10, 6, 2), dtype=np.uint16)
+        g = decode_png(self._png_bytes(ga, 4, depth=16, interlace=1))
+        assert np.allclose(
+            g, ga[:, :, 0].astype(np.float32) / 65535.0, atol=1e-6)
+
+    def test_png_packed_depths_stay_stubbed(self):
+        """1/2/4-bit packed PNGs fall through to the codec stub."""
         import numpy as np
 
         from swish_e_spark.ops.multimodal import _decode_stub, decode_png
 
         rng = np.random.default_rng(3)
-        px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
-        assert decode_png(self._png_bytes(px, 2, depth=16)) is None
-        assert decode_png(self._png_bytes(px, 2, interlace=1)) is None
+        px = rng.integers(0, 2, size=(4, 4, 1), dtype=np.uint8)
+        data = bytearray(self._png_bytes(px, 0))
+        # patch IHDR bit depth to 1 (packed): offset 8+4+4+8 = 24
+        data[24] = 1
+        assert decode_png(bytes(data)) is None
         with pytest.raises(NotImplementedError):
-            _decode_stub(self._png_bytes(px, 2, depth=16), "image",
-                         fake=False)
+            _decode_stub(bytes(data), "image", fake=False)
 
     def test_real_codecs_through_spark_plumbing(self, spark):
         """WAV/BMP/PPM/PNG payloads decode FOR REAL (stdlib+numpy)
