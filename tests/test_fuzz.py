@@ -74,6 +74,49 @@ class TestFuzzRankIdentity:
             checked += 1
         assert checked >= 15  # most random queries must be evaluable
 
+    def test_random_queries_aggressive_planning(self, fuzz_engine,
+                                                oracle300):
+        """The same rank-identity fuzz with every round-3 pruning path
+        forced open: the positional doc allowlist at any index size,
+        the rare-exact cap scaled to this corpus, WAND forced through
+        BOTH planners. Lossless planning must hold on arbitrary query
+        shapes, not just the curated bench queries."""
+        vocab = sorted({t for (f, t) in oracle300.postings
+                        if f == "swishdefault"})
+        rng = random.Random(20260818)
+        eng = fuzz_engine
+        eng.exh_prune_min_docs = 0
+        eng.RARE_EXACT_DF = 8
+        checked = 0
+        try:
+            for i in range(24):
+                q = _random_query(rng, vocab)
+                try:
+                    want = oracle300.query(q, k=10)
+                except (QueryError, WordsTooCommon):
+                    continue
+                got = eng.search(q, k=10)
+                assert [(d, round(s, 6)) for d, s in got] == \
+                    [(d, round(s, 6)) for d, s in want], q
+                # WAND surface: small planner on even iterations, the
+                # distributed planner on odd ones (ineligible trees
+                # fall back to the same exhaustive+allowlist path)
+                if i % 2:
+                    eng.WAND_MAX_CHUNKS = 1
+                try:
+                    rows = eng.search_df(q, 10, wand="force").collect()
+                finally:
+                    if i % 2:
+                        del eng.WAND_MAX_CHUNKS
+                assert [(r["doc_id"], round(r["score"], 6))
+                        for r in rows] == \
+                    [(d, round(s, 6)) for d, s in want], q
+                checked += 1
+        finally:
+            eng.exh_prune_min_docs = eng.EXH_PRUNE_MIN_DOCS
+            del eng.RARE_EXACT_DF
+        assert checked >= 14
+
 
 class TestGarbageInput:
     def test_garbage_bytes_build(self, spark, tmp_path):
