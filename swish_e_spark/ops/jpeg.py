@@ -1,10 +1,12 @@
 """Dependency-free baseline JPEG codec (ITU-T T.81, public spec).
 
 Decode path (used by the multimodal feature kernel): baseline
-sequential DCT, 8-bit precision, grayscale or YCbCr with generic 1-2
-h/v chroma subsampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-markers. Progressive / arithmetic / 12-bit streams raise ValueError
-and stay at the documented codec stub in ops.multimodal.
+sequential DCT and progressive DCT (spectral selection + successive
+approximation, T.81 Annex G), 8-bit precision, grayscale or YCbCr
+with generic 1-2 h/v chroma subsampling factors (4:4:4 / 4:2:2 /
+4:2:0), restart markers. Arithmetic / lossless / 12-bit streams
+raise ValueError and stay at the documented codec stub in
+ops.multimodal.
 
 Encode path: a minimal baseline encoder with the Annex K default
 quantization + Huffman tables — used for thumbnail writing and for
@@ -147,8 +149,16 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JPEG. Returns (height, width, channels,
-    pixels ndarray HxWxC uint8)."""
+    """Decode a baseline or progressive JPEG. Returns (height, width,
+    channels, pixels ndarray HxWxC uint8). Corrupt streams raise
+    ValueError (the multimodal codec boundary's contract)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -156,17 +166,22 @@ def decode_jpeg(payload: bytes):
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    coef: dict = {}
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(payload):
+            break  # lone trailing FF on a truncated stream
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(payload):
+            break  # segment length truncated away
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -190,10 +205,12 @@ def decode_jpeg(payload: bytes):
                 counts = list(seg[i + 1:i + 17])
                 n = sum(counts)
                 symbols = seg[i + 17:i + 17 + n]
+                if len(counts) < 16 or len(symbols) < n:
+                    raise ValueError("truncated DHT")
                 (huff_ac if tc else huff_dc)[th] = \
                     _build_huff(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -202,22 +219,46 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "prog": marker == 0xC2}
+            if frame["prog"]:
+                coef = _alloc_coefs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith)")
+            raise ValueError("unsupported JPEG (lossless/arith/12-bit)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scomp = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c:3 + 2 * c]
                 scomp.append((cs, tt >> 4, tt & 15))
             data_start = pos + seglen
-            return _decode_scan(payload, data_start, frame, scomp, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["prog"]:
+                return _decode_scan(payload, data_start, frame, scomp,
+                                    qt, huff_dc, huff_ac,
+                                    restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            end = _decode_prog_scan(payload, data_start, frame, scomp,
+                                    ss, se, ahal >> 4, ahal & 15,
+                                    huff_dc, huff_ac, restart_interval,
+                                    coef)
+            # skip to the next true marker (entropy data may contain
+            # stuffed FF00 and RSTn bytes the outer loop must not parse)
+            p = end
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] != 0x00 \
+                        and not 0xD0 <= payload[p + 1] <= 0xD7:
+                    break
+                p += 1
+            pos = p
+            continue
         pos += seglen
+    if frame is not None and frame.get("prog") and coef:
+        return _reconstruct_prog(frame, coef, qt)
     raise ValueError("no SOS in JPEG")
 
 
@@ -274,7 +315,12 @@ def _decode_scan(data, start, frame, scomp, qt, huff_dc, huff_ac,
                         x0 = (mx * c["h"] + vx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
             mcu += 1
-    # upsample to full res and crop
+    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_pixels(planes, comps, hmax, vmax, h, w):
+    """Upsample component planes to full resolution, crop, and color
+    convert (JFIF YCbCr->RGB, ITU-R BT.601)."""
     out = []
     for c in comps:
         p = planes[c["id"]]
@@ -291,6 +337,180 @@ def _decode_scan(data, start, frame, scomp, qt, huff_dc, huff_ac,
     b = y + 1.772 * cb
     pix = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     return h, w, 3, pix
+
+
+# ------------------------------------------------- progressive (G.2)
+
+
+def _geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_blocks(frame, c):
+    """Non-interleaved block grid of one component (T.81 A.2.2:
+    ceil of the scaled sample dims, NOT the MCU-padded grid)."""
+    hmax, vmax, _, _ = _geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame):
+    """Per-component coefficient store over the MCU-padded grid,
+    natural (de-zigzagged) order, filled in across scans."""
+    _, _, mcux, mcuy = _geometry(frame)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              np.int32)
+            for c in frame["comps"]}
+
+
+def _decode_prog_scan(data, start, frame, scomp, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, coef):
+    """One progressive scan (T.81 G.2): DC or AC band, first pass
+    (Ah=0) or successive-approximation refinement. Returns the byte
+    position just past the consumed entropy-coded data."""
+    if ss > 63 or se > 63 or se < ss or (ss == 0) != (se == 0):
+        raise ValueError("bad progressive scan band")
+    if ss > 0 and len(scomp) != 1:
+        raise ValueError("progressive AC scan must be one component")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    br = _BitReader(data, start)
+    state = {"eobrun": 0}
+    pred = {cs: 0 for cs, _, _ in scomp}
+
+    def dc_block(blk, td):
+        if ah == 0:
+            t = _huff_decode(br, huff_dc[td])
+            pred[cid] += _extend(br.read(t), t)
+            blk[0] = pred[cid] << al
+        else:
+            blk[0] |= br.read(1) << al
+
+    def ac_first(blk, ta):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, huff_ac[ta])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                return
+            k += r
+            if k > se:
+                return  # corrupt run: drop the rest of the band
+            blk[ZIGZAG[k]] = _extend(br.read(s), s) << al
+            k += 1
+
+    def ac_refine(blk, ta):
+        # T.81 G.1.2.3 correction-bit procedure
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(br, huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions
+                else:
+                    val = p1 if br.read(1) else m1
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z]:
+                        if br.read(1) and not blk[z] & p1:
+                            blk[z] += p1 if blk[z] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[ZIGZAG[k]] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z]:
+                    if br.read(1) and not blk[z] & p1:
+                        blk[z] += p1 if blk[z] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    interleaved = len(scomp) > 1
+    if ss == 0:  # DC scan (the only multi-component scan kind)
+        units = mcux * mcuy if interleaved \
+            else _comp_blocks(frame, by_id[scomp[0][0]])
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            bh, bw = units
+            n_units = bh * bw
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                br.align_restart()
+                state["eobrun"] = 0
+                for k in pred:
+                    pred[k] = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for cid, td, _ta in scomp:
+                    c = by_id[cid]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            dc_block(coef[cid][my * c["v"] + vy,
+                                               mx * c["h"] + vx], td)
+            else:
+                cid, td, _ta = scomp[0]
+                dc_block(coef[cid][u // bw, u % bw], td)
+    else:  # AC scan: exactly one component, non-interleaved
+        cid, _td, ta = scomp[0]
+        bh, bw = _comp_blocks(frame, by_id[cid])
+        fn = ac_first if ah == 0 else ac_refine
+        for u in range(bh * bw):
+            if restart_interval and u and u % restart_interval == 0:
+                br.align_restart()
+                state["eobrun"] = 0
+            fn(coef[cid][u // bw, u % bw], ta)
+    return br.pos
+
+
+def _reconstruct_prog(frame, coef, qt):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks per component) and assemble pixels."""
+    comps = frame["comps"]
+    hmax, vmax, _, _ = _geometry(frame)
+    planes = {}
+    for c in comps:
+        blocks = coef[c["id"]]
+        bh, bw, _ = blocks.shape
+        q = qt[c["tq"]].reshape(-1)
+        deq = (blocks.reshape(-1, 64) * q).astype(np.float64) \
+            .reshape(-1, 8, 8)
+        # per-block idct2, same op as the baseline path: progressive
+        # and baseline decodes of equal coefficients stay bit-equal
+        # (batched matmul takes a different BLAS path and drifts ±1)
+        px = np.stack([idct2(d) for d in deq]) + 128.0
+        planes[c["id"]] = px.reshape(bh, bw, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _planes_to_pixels(planes, comps, hmax, vmax,
+                             frame["h"], frame["w"])
 
 
 # ------------------------------------------------------------ encoder
@@ -402,6 +622,241 @@ def _mag(v: int):
         a >>= 1
     code = v if v >= 0 else v + (1 << t) - 1
     return t, code
+
+
+# ------------------------------------------- progressive encoder
+# (fixtures only). One flat Huffman table keeps the encoder trivial:
+# 255 symbols at 8 bits + 1 at 9 (the all-ones max-length code stays
+# unused, as T.81 C.2 requires).
+_FLAT_HUFF = ([0] * 7 + [255, 1] + [0] * 7, bytes(range(256)))
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
+                            restart_interval: int = 0) -> bytes:
+    """Encode HxWx{1,3} uint8 as a progressive JPEG (SOF2) with
+    spectral selection AND successive approximation — fixture
+    generation for the progressive decoder. 4:4:4 (no subsampling).
+    Scan script: DC all-comps first pass (Al=1); per component AC
+    bands 1-5 and 6-63 first pass (Al=1); per component AC refinement
+    of both bands (Ah=1, Al=0); DC refinement (Ah=1, Al=0).
+    restart_interval, if set, applies to the DC first scan only (DRI
+    is re-declared as 0 before the AC scans)."""
+    h, w = pixels.shape[:2]
+    nc = 1 if pixels.ndim == 2 or pixels.shape[2] == 1 else 3
+    px = pixels.reshape(h, w, nc).astype(np.float64)
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        chans = [0.299 * r + 0.587 * g + 0.114 * b,
+                 -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+                 0.5 * r - 0.418688 * g - 0.081312 * b + 128]
+    else:
+        chans = [px[..., 0]]
+    ql = np.maximum(STD_LUM_Q // quality_scale, 1)
+    qc = np.maximum(STD_CHR_Q // quality_scale, 1)
+    bh, bw = -(-h // 8), -(-w // 8)
+
+    # quantized coefficients per component, zigzag order (nblocks, 64)
+    coefs = []
+    for ci, ch in enumerate(chans):
+        pad = np.empty((bh * 8, bw * 8))
+        pad[:h, :w] = ch
+        pad[h:, :w] = ch[h - 1:h, :]
+        pad[:, w:] = pad[:, w - 1:w]
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        q = ql if ci == 0 else qc
+        # per-block dct2 (same op as the baseline encoder): batched
+        # einsum rounds exact-.5 quantization boundaries differently,
+        # which would break the bit-identity pin vs the baseline path
+        x = np.stack([np.round(dct2(blk) / q) for blk in blocks])
+        zz = x.astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    for tq, q in ((0, ql), (1, qc))[:2 if nc == 3 else 1]:
+        seg(0xDB, bytes([tq]) + bytes(
+            q.reshape(-1)[ZIGZAG].astype(np.uint8).tolist()))
+    body = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        body += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC2, body)
+    for tc_th in (0x00, 0x10):  # same flat table as DC 0 and AC 0
+        counts, symbols = _FLAT_HUFF
+        seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+    enc = _enc_huff(_FLAT_HUFF)
+
+    def sos(scomp, ss, se, ah, al):
+        body = bytes([len(scomp)])
+        for cid in scomp:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def put(bw_, sym):
+        ln, c = enc[sym]
+        bw_.write(c, ln)
+
+    # ---- scan 1: DC first pass, interleaved, Al=1, optional restarts
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bwr = _BitWriter()
+    pred = [0] * nc
+    rst = 0
+    for u in range(bh * bw):
+        if restart_interval and u and u % restart_interval == 0:
+            bwr.flush()
+            out.extend(bwr.out)
+            bwr = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            pred = [0] * nc
+        for ci in range(nc):
+            v = int(coefs[ci][u, 0]) >> 1  # DC point transform: >> Al
+            t, code = _mag(v - pred[ci])
+            pred[ci] = v
+            put(bwr, t)
+            if t:
+                bwr.write(code, t)
+    bwr.flush()
+    out.extend(bwr.out)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", 0))  # AC scans run restart-free
+
+    def trunc(v, n):  # AC point transform: toward-zero division
+        return -((-v) >> n) if v < 0 else v >> n
+
+    # ---- AC first passes (Al=1), bands (1,5) and (6,63), per comp
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 0, 1)
+            bwr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                put(bwr, r << 4)
+                if r:
+                    bwr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for u in range(bh * bw):
+                band = [trunc(int(coefs[ci][u, k]), 1)
+                        for k in range(ss, se + 1)]
+                last = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for v in band[:last + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(bwr, 0xF0)
+                        run -= 16
+                    t, code = _mag(v)
+                    put(bwr, (run << 4) | t)
+                    bwr.write(code, t)
+                    run = 0
+                if last < len(band) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            bwr.flush()
+            out.extend(bwr.out)
+
+    # ---- AC refinement passes (Ah=1 -> Al=0), same bands
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 1, 0)
+            bwr = _BitWriter()
+            eobrun = 0
+            pending: list = []
+
+            def flush_eob():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                put(bwr, r << 4)
+                if r:
+                    bwr.write(eobrun - (1 << r), r)
+                for bit in pending:
+                    bwr.write(bit, 1)
+                pending.clear()
+                eobrun = 0
+
+            for u in range(bh * bw):
+                # T.81 figure G.7 flow: absvalues at this level; a
+                # coefficient is history-significant if its magnitude
+                # exceeds 1 here (it was nonzero at the prior level),
+                # newly significant if exactly 1
+                absv = [abs(int(coefs[ci][u, k]))
+                        for k in range(ss, se + 1)]
+                eob_k = -1  # last newly-significant position
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_k = i
+                br_bits: list = []  # correction bits since last symbol
+                run = 0
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    # ZRLs only when not foldable into the EOB run
+                    while run > 15 and i <= eob_k:
+                        flush_eob()
+                        put(bwr, 0xF0)
+                        for bit in br_bits:
+                            bwr.write(bit, 1)
+                        br_bits = []
+                        run -= 16
+                    if a > 1:  # history: just a correction bit
+                        br_bits.append(a & 1)
+                        continue
+                    flush_eob()
+                    put(bwr, (run << 4) | 1)
+                    v = int(coefs[ci][u, ss + i])
+                    bwr.write(1 if v > 0 else 0, 1)
+                    for bit in br_bits:
+                        bwr.write(bit, 1)
+                    br_bits = []
+                    run = 0
+                if run or br_bits:
+                    eobrun += 1
+                    pending.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            bwr.flush()
+            out.extend(bwr.out)
+
+    # ---- DC refinement (Ah=1 -> Al=0), interleaved
+    sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bwr = _BitWriter()
+    for u in range(bh * bw):
+        for ci in range(nc):
+            bwr.write(int(coefs[ci][u, 0]) & 1, 1)
+    bwr.flush()
+    out.extend(bwr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,

@@ -10,10 +10,11 @@ FOR REAL — RIFF/WAVE (integer PCM 8/16/32-bit, IEEE float, G.711
 24/32-bit BMP, binary
 PPM (P6), PNG at 8/16-bit depth incl. Adam7 interlace
 (gray/RGB/palette/alpha; zlib inflate + scanline unfiltering per the
-public spec), baseline JPEG (ITU-T T.81: Huffman + DCT,
+public spec), baseline AND progressive JPEG (ITU-T T.81: Huffman +
+DCT, spectral selection + successive approximation,
 4:4:4/4:2:2/4:2:0 subsampling, restart markers — see ops/jpeg.py),
 and GIF87a/89a (LZW, interlace — see ops/gif.py). Formats whose
-codecs are NOT in this container (MP4/MP3, progressive JPEG,
+codecs are NOT in this container (MP4/MP3,
 1/2/4-bit packed PNG) remain STUBBED: by default the decode raises
 ``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
@@ -461,7 +462,7 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
             _h, _w, _c, px = decode_jpeg(payload)
             img = px.astype(np.float32).mean(axis=2) / 255.0
         except ValueError:
-            img = None  # progressive/arithmetic: stays at the stub
+            img = None  # arithmetic/lossless/12-bit: stays at the stub
     if img is None and payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
 

@@ -54,12 +54,21 @@ class TestMalformed:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"GIF89a not a jpeg")
 
-    def test_progressive_rejected(self):
+    def test_lossless_rejected(self):
+        img = _gradient(8, 8, 1)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_jpeg(bytes(data))
+
+    def test_baseline_stream_mislabeled_progressive_rejected(self):
+        # a baseline SOS (Ss=0, Se=63) is an invalid progressive band
         img = _gradient(8, 8, 1)
         data = bytearray(encode_jpeg(img))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="non-baseline"):
+        with pytest.raises(ValueError, match="scan band"):
             decode_jpeg(bytes(data))
 
     def test_truncated_entropy_stream_still_returns_image(self):
@@ -76,6 +85,89 @@ class TestMalformed:
         i = data.find(b"\xff\xda")
         with pytest.raises(ValueError, match="no SOS"):
             decode_jpeg(data[:i] + b"\xff\xd9")
+
+
+class TestProgressive:
+    """Progressive DCT (T.81 Annex G). The entropy layer is lossless
+    over the same quantized coefficients, so a progressive encoding of
+    the same pixels must decode BIT-IDENTICALLY to the baseline
+    encoding's decode — an exact pin, not a tolerance."""
+
+    @staticmethod
+    def _contents():
+        rng = np.random.default_rng(3)
+        out = {"flat": np.full((40, 40, 3), 77, np.uint8)}
+        imp = np.full((40, 40), 128, np.uint8)
+        imp[::7, ::5] = 255  # isolated impulses: ZRL runs
+        out["impulse"] = imp
+        g = np.linspace(0, 255, 40)
+        out["grad"] = ((g[:, None] + g[None, :])[..., None]
+                       .repeat(3, 2) / 2).astype(np.uint8)
+        out["noise"] = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        x = rng.random((40, 40)) * 20 + 100
+        for _ in range(3):
+            x = (x + np.roll(x, 1, 0) + np.roll(x, -1, 0)
+                 + np.roll(x, 1, 1) + np.roll(x, -1, 1)) / 5
+        out["smooth"] = x.astype(np.uint8)  # sparse coefs: EOB runs
+        return out
+
+    @pytest.mark.parametrize("q", [1, 4, 16])
+    def test_bit_identical_to_baseline(self, q):
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+
+        for name, px in self._contents().items():
+            base = decode_jpeg(encode_jpeg(px, quality_scale=q))
+            prog = decode_jpeg(encode_jpeg_progressive(
+                px, quality_scale=q))
+            assert base[:3] == prog[:3], (name, q)
+            assert np.array_equal(base[3], prog[3]), (name, q)
+
+    @pytest.mark.parametrize("shape", [(9, 9), (8, 8), (31, 17, 3),
+                                       (64, 63, 3)])
+    def test_odd_sizes_with_dc_restarts(self, shape):
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(sum(shape))
+        px = (rng.random(shape) * 255).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            px, restart_interval=2))
+        assert np.array_equal(base[3], prog[3])
+
+    def test_truncated_progressive_returns_partial_image(self):
+        # dropping the tail scans loses refinement detail, never crashes
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+
+        px = _gradient(24, 24, 3)
+        data = bytes(encode_jpeg_progressive(px))
+        # cut cleanly at a later scan boundary: refinement scans lost
+        offs = []
+        i = data.find(b"\xff\xda")
+        while i != -1:
+            offs.append(i)
+            i = data.find(b"\xff\xda", i + 2)
+        assert len(offs) >= 4
+        cut = data[: offs[3]] + b"\xff\xd9"
+        h, w, c, dec = decode_jpeg(cut)
+        assert (h, w, c) == (24, 24, 3)
+        # mid-segment truncation raises ValueError, never IndexError
+        # (the multimodal boundary catches ValueError only)
+        for frac in (0.2, 0.35, 0.6, 0.9):
+            try:
+                decode_jpeg(data[: int(len(data) * frac)])
+            except ValueError:
+                pass
+
+    def test_decode_stub_routes_progressive(self):
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+        from swish_e_spark.ops.multimodal import THUMB, _decode_stub
+
+        px = _gradient(48, 32, 3)
+        thumb = _decode_stub(encode_jpeg_progressive(px), "image",
+                             fake=False)  # must decode FOR REAL
+        assert thumb.shape == (THUMB, THUMB)
+        assert 0.0 <= thumb.min() and thumb.max() <= 1.0
+        assert thumb.std() > 0.01
 
 
 class TestMultimodalIntegration:
