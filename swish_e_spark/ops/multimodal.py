@@ -7,15 +7,14 @@ Arrow-batched ``mapInPandas`` kernels.
 Codecs: formats decodable with stdlib zlib/struct + numpy are decoded
 FOR REAL — RIFF/WAVE (integer PCM 8/16/32-bit, IEEE float, G.711
 μ-law/A-law, IMA/DVI ADPCM, any channel count), uncompressed
-24/32-bit BMP, binary
-PPM (P6), PNG at 8/16-bit depth incl. Adam7 interlace
-(gray/RGB/palette/alpha; zlib inflate + scanline unfiltering per the
-public spec), baseline AND progressive JPEG (ITU-T T.81: Huffman +
-DCT, spectral selection + successive approximation,
-4:4:4/4:2:2/4:2:0 subsampling, restart markers — see ops/jpeg.py),
-and GIF87a/89a (LZW, interlace — see ops/gif.py). Formats whose
-codecs are NOT in this container (MP4/MP3,
-1/2/4-bit packed PNG) remain STUBBED: by default the decode raises
+24/32-bit BMP, binary PPM (P6), PNG at every legal depth/color-type
+combination (1/2/4/8/16-bit, gray/RGB/palette/alpha, Adam7
+interlace; zlib inflate + scanline unfiltering per the public spec),
+baseline AND progressive JPEG (ITU-T T.81: Huffman + DCT, spectral
+selection + successive approximation, 4:4:4/4:2:2/4:2:0 subsampling,
+restart markers — see ops/jpeg.py), and GIF87a/89a (LZW, interlace —
+see ops/gif.py). Formats whose codecs are NOT in this container
+(MP4/MP3) remain STUBBED: by default the decode raises
 ``NotImplementedError``;
 with ``fake=True`` an unrecognized payload gets a deterministic fake
 decode so the Spark-side plumbing (schema, partitioning, UDF
@@ -330,11 +329,11 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 def decode_png(payload: bytes):
     """Dependency-free PNG decode (public spec, RFC 2083): stdlib zlib
-    inflate + numpy scanline unfiltering. Supports 8- and 16-bit
-    depth, color types 0 (gray), 2 (RGB), 3 (palette, 8-bit per spec),
-    4 (gray+alpha), 6 (RGBA), sequential or Adam7-interlaced. Returns
-    float32 grayscale (H, W) in [0,1], or None for anything else
-    (1/2/4-bit packed depths) — those stay at the codec stub."""
+    inflate + numpy scanline unfiltering. Supports every legal PNG
+    depth/color-type combination: 1/2/4/8/16-bit gray, 1/2/4/8-bit
+    palette, 8/16-bit RGB, gray+alpha and RGBA, sequential or
+    Adam7-interlaced. Returns float32 grayscale (H, W) in [0,1], or
+    None for malformed streams."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -362,31 +361,46 @@ def decode_png(payload: bytes):
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth not in (8, 16) or channels is None or comp != 0 \
-            or filt != 0 or interlace not in (0, 1) \
-            or w <= 0 or h <= 0:
+    if channels is None or comp != 0 or filt != 0 \
+            or interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
-    if ctype == 3 and (plte is None or depth != 8):
+    # sub-byte packed depths exist only for gray and palette (spec §11)
+    if depth in (1, 2, 4):
+        if ctype not in (0, 3):
+            return None
+    elif depth not in (8, 16):
+        return None
+    if ctype == 3 and (plte is None or depth == 16):
         return None
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)),
                             dtype=np.uint8)
     except zlib.error:
         return None
-    nb = depth // 8          # bytes per sample
-    bpp = channels * nb      # bytes per pixel (filter distance)
+    # filter distance is in whole BYTES: one byte for packed depths
+    bpp = max(1, channels * depth // 8)
+
+    def row_bytes(pw):
+        return (pw * channels * depth + 7) // 8
 
     def to_samples(bts, ph, pw):
-        """(ph, pw*bpp) bytes -> (ph, pw, ch) uint16 samples."""
-        if nb == 1:
+        """(ph, row_bytes) bytes -> (ph, pw, ch) uint16 samples."""
+        if depth == 8:
             return bts.reshape(ph, pw, channels).astype(np.uint16)
-        b2 = bts.reshape(ph, pw, channels, 2).astype(np.uint16)
-        return (b2[..., 0] << 8) | b2[..., 1]  # network byte order
+        if depth == 16:
+            b2 = bts.reshape(ph, pw, channels, 2).astype(np.uint16)
+            return (b2[..., 0] << 8) | b2[..., 1]  # network order
+        # 1/2/4-bit packed, MSB-first within each byte
+        bits = np.unpackbits(bts, axis=1)
+        vals = bits[:, :bits.shape[1] // depth * depth] \
+            .reshape(ph, -1, depth).astype(np.uint16)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        return (vals * weights).sum(axis=2)[:, :pw, None]
 
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
+        if len(raw) != h * (row_bytes(w) + 1):
             return None
-        bts = _png_unfilter_bytes(raw, h, w * bpp, bpp)
+        bts = _png_unfilter_bytes(raw, h, row_bytes(w), bpp)
         if bts is None:
             return None
         px = to_samples(bts, h, w)
@@ -398,11 +412,11 @@ def decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * bpp + 1)
+            need = ph * (row_bytes(pw) + 1)
             if off + need > len(raw):
                 return None
             bts = _png_unfilter_bytes(raw[off:off + need], ph,
-                                      pw * bpp, bpp)
+                                      row_bytes(pw), bpp)
             if bts is None:
                 return None
             px[y0::dy, x0::dx] = to_samples(bts, ph, pw)

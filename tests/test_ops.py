@@ -195,6 +195,31 @@ class TestMultimodal:
         import numpy as np
 
         h, w, ch = samples.shape
+        if depth < 8:  # packed gray/palette: MSB-first bit packing
+            bpp = 1
+            vals = samples.reshape(h, w).astype(np.uint8)
+            bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1))
+                    & 1).reshape(h, w * depth)
+            rows_bytes = np.packbits(bits, axis=1).astype(np.int32)
+            w_b = rows_bytes.shape[1]
+            raw = bytearray()
+            prev = np.zeros(w_b, dtype=np.int32)
+            for y in range(h):
+                cur = rows_bytes[y]
+                f = y % 5
+                raw.append(f)
+                for x in range(w_b):
+                    a = int(cur[x - 1]) if x >= 1 else 0
+                    b2 = int(prev[x])
+                    c = int(prev[x - 1]) if x >= 1 else 0
+                    pred = [0, a, b2, (a + b2) // 2][f] if f < 4 else (
+                        a if abs(a + b2 - c - a) <= abs(a + b2 - c - b2)
+                        and abs(a + b2 - c - a) <= abs(a + b2 - c - c)
+                        else (b2 if abs(a + b2 - c - b2)
+                              <= abs(a + b2 - c - c) else c))
+                    raw.append((int(cur[x]) - pred) & 0xFF)
+                prev = cur
+            return bytes(raw)
         nb = depth // 8
         bpp = ch * nb
         if nb == 1:
@@ -326,20 +351,47 @@ class TestMultimodal:
         assert np.allclose(
             g, ga[:, :, 0].astype(np.float32) / 65535.0, atol=1e-6)
 
-    def test_png_packed_depths_stay_stubbed(self):
-        """1/2/4-bit packed PNGs fall through to the codec stub."""
+    def test_png_packed_depths_decode(self):
+        """1/2/4-bit packed gray and palette PNGs decode for real,
+        sequential and Adam7, against the independent test encoder."""
         import numpy as np
 
-        from swish_e_spark.ops.multimodal import _decode_stub, decode_png
+        from swish_e_spark.ops.multimodal import decode_png
 
         rng = np.random.default_rng(3)
-        px = rng.integers(0, 2, size=(4, 4, 1), dtype=np.uint8)
-        data = bytearray(self._png_bytes(px, 0))
-        # patch IHDR bit depth to 1 (packed): offset 8+4+4+8 = 24
-        data[24] = 1
+        for depth in (1, 2, 4):
+            for interlace in (0, 1):
+                hi = 1 << depth
+                px = rng.integers(0, hi, size=(11, 13, 1),
+                                  dtype=np.uint8)
+                g = decode_png(self._png_bytes(px, 0, depth=depth,
+                                               interlace=interlace))
+                assert g is not None and g.shape == (11, 13), \
+                    (depth, interlace)
+                want = px[:, :, 0].astype(np.float32) / (hi - 1)
+                assert np.allclose(g, want, atol=1e-6), \
+                    (depth, interlace)
+            # packed palette indices
+            plte = rng.integers(0, 256, size=(hi, 3), dtype=np.uint8)
+            pi = rng.integers(0, hi, size=(6, 9, 1), dtype=np.uint8)
+            g = decode_png(self._png_bytes(pi, 3, plte=plte,
+                                           depth=depth))
+            want = plte[pi[:, :, 0]].astype(np.float32) \
+                .mean(axis=2) / 255.0
+            assert np.allclose(g, want, atol=1e-6), depth
+
+    def test_png_packed_rgb_rejected(self):
+        """Sub-byte depth is illegal for color type 2 (spec §11):
+        decode returns None rather than mis-parsing."""
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_png
+
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        data = bytearray(self._png_bytes(px, 2))
+        data[24] = 4  # IHDR bit depth -> packed, ctype stays RGB
         assert decode_png(bytes(data)) is None
-        with pytest.raises(NotImplementedError):
-            _decode_stub(bytes(data), "image", fake=False)
 
     def test_real_codecs_through_spark_plumbing(self, spark):
         """WAV/BMP/PPM/PNG payloads decode FOR REAL (stdlib+numpy)
