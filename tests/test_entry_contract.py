@@ -74,7 +74,9 @@ def test_query_vs_oracle(name, spark, duck):
     assert sn == on, f"{name}: value mismatch, first diffs: {mism}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_rows_only_queries_run(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Round 3 closed the last no-oracle entries (the two ANN top-k
+    queries): the driver-contract surface is fully DuckDB-checkable.
+    Keep it that way — a new rows-only entry must be a deliberate,
+    documented exception, not an accident."""
+    assert sorted(set(QUERIES) - set(ORACLE)) == []
