@@ -639,8 +639,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
     Scan script: DC all-comps first pass (Al=1); per component AC
     bands 1-5 and 6-63 first pass (Al=1); per component AC refinement
     of both bands (Ah=1, Al=0); DC refinement (Ah=1, Al=0).
-    restart_interval, if set, applies to the DC first scan only (DRI
-    is re-declared as 0 before the AC scans)."""
+    restart_interval, if set, applies to EVERY scan (EOB runs are
+    flushed at each restart boundary, as the spec requires)."""
     h, w = pixels.shape[:2]
     nc = 1 if pixels.ndim == 2 or pixels.shape[2] == 1 else 3
     px = pixels.reshape(h, w, nc).astype(np.float64)
@@ -725,8 +725,6 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
                 bwr.write(code, t)
     bwr.flush()
     out.extend(bwr.out)
-    if restart_interval:
-        seg(0xDD, struct.pack(">H", 0))  # AC scans run restart-free
 
     def trunc(v, n):  # AC point transform: toward-zero division
         return -((-v) >> n) if v < 0 else v >> n
@@ -737,6 +735,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
             sos([ci + 1], ss, se, 0, 1)
             bwr = _BitWriter()
             eobrun = 0
+            rst_n = 0
 
             def flush_eob():
                 nonlocal eobrun
@@ -749,6 +748,14 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
                 eobrun = 0
 
             for u in range(bh * bw):
+                if restart_interval and u \
+                        and u % restart_interval == 0:
+                    flush_eob()  # an EOB run cannot span a restart
+                    bwr.flush()
+                    out.extend(bwr.out)
+                    bwr = _BitWriter()
+                    out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                    rst_n += 1
                 band = [trunc(int(coefs[ci][u, k]), 1)
                         for k in range(ss, se + 1)]
                 last = -1
@@ -787,6 +794,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
             sos([ci + 1], ss, se, 1, 0)
             bwr = _BitWriter()
             eobrun = 0
+            rst_n = 0
             pending: list = []
 
             def flush_eob():
@@ -803,6 +811,14 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
                 eobrun = 0
 
             for u in range(bh * bw):
+                if restart_interval and u \
+                        and u % restart_interval == 0:
+                    flush_eob()
+                    bwr.flush()
+                    out.extend(bwr.out)
+                    bwr = _BitWriter()
+                    out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                    rst_n += 1
                 # T.81 figure G.7 flow: absvalues at this level; a
                 # coefficient is history-significant if its magnitude
                 # exceeds 1 here (it was nonzero at the prior level),
@@ -850,7 +866,14 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
     # ---- DC refinement (Ah=1 -> Al=0), interleaved
     sos(list(range(1, nc + 1)), 0, 0, 1, 0)
     bwr = _BitWriter()
+    rst_n = 0
     for u in range(bh * bw):
+        if restart_interval and u and u % restart_interval == 0:
+            bwr.flush()
+            out.extend(bwr.out)
+            bwr = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+            rst_n += 1
         for ci in range(nc):
             bwr.write(int(coefs[ci][u, 0]) & 1, 1)
     bwr.flush()
