@@ -167,6 +167,7 @@ def _decode_jpeg(payload: bytes):
     huff_ac: dict = {}
     frame = None
     coef: dict = {}
+    scans_decoded = 0
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -246,6 +247,7 @@ def _decode_jpeg(payload: bytes):
                                     ss, se, ahal >> 4, ahal & 15,
                                     huff_dc, huff_ac, restart_interval,
                                     coef)
+            scans_decoded += 1
             # skip to the next true marker (entropy data may contain
             # stuffed FF00 and RSTn bytes the outer loop must not parse)
             p = end
@@ -257,7 +259,7 @@ def _decode_jpeg(payload: bytes):
             pos = p
             continue
         pos += seglen
-    if frame is not None and frame.get("prog") and coef:
+    if frame is not None and frame.get("prog") and scans_decoded:
         return _reconstruct_prog(frame, coef, qt)
     raise ValueError("no SOS in JPEG")
 
@@ -455,12 +457,10 @@ def _decode_prog_scan(data, start, frame, scomp, ss, se, ah, al,
 
     interleaved = len(scomp) > 1
     if ss == 0:  # DC scan (the only multi-component scan kind)
-        units = mcux * mcuy if interleaved \
-            else _comp_blocks(frame, by_id[scomp[0][0]])
         if interleaved:
             n_units = mcux * mcuy
         else:
-            bh, bw = units
+            bh, bw = _comp_blocks(frame, by_id[scomp[0][0]])
             n_units = bh * bw
         for u in range(n_units):
             if restart_interval and u and u % restart_interval == 0:
@@ -631,16 +631,58 @@ def _mag(v: int):
 _FLAT_HUFF = ([0] * 7 + [255, 1] + [0] * 7, bytes(range(256)))
 
 
+class _ScanWriter:
+    """Per-scan entropy writer for the progressive fixture encoder:
+    owns the bit buffer and the restart-marker plumbing shared by
+    every scan kind."""
+
+    def __init__(self, out: bytearray, enc: dict, restart_interval: int):
+        self.out = out
+        self.enc = enc
+        self.ri = restart_interval
+        self.bwr = _BitWriter()
+        self.rst = 0
+
+    def put(self, sym: int):
+        ln, c = self.enc[sym]
+        self.bwr.write(c, ln)
+
+    def bits(self, code: int, n: int):
+        self.bwr.write(code, n)
+
+    def restart_if_needed(self, u: int, before=None) -> bool:
+        """At a restart boundary: run `before` (e.g. an EOB flush —
+        an EOB run cannot span a restart), byte-align, emit RSTn."""
+        if not (self.ri and u and u % self.ri == 0):
+            return False
+        if before is not None:
+            before()
+        self.bwr.flush()
+        self.out.extend(self.bwr.out)
+        self.bwr = _BitWriter()
+        self.out.extend(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+        self.rst += 1
+        return True
+
+    def close(self):
+        self.bwr.flush()
+        self.out.extend(self.bwr.out)
+
+
 def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            subsample: bool = False) -> bytes:
     """Encode HxWx{1,3} uint8 as a progressive JPEG (SOF2) with
     spectral selection AND successive approximation — fixture
-    generation for the progressive decoder. 4:4:4 (no subsampling).
-    Scan script: DC all-comps first pass (Al=1); per component AC
-    bands 1-5 and 6-63 first pass (Al=1); per component AC refinement
-    of both bands (Ah=1, Al=0); DC refinement (Ah=1, Al=0).
-    restart_interval, if set, applies to EVERY scan (EOB runs are
-    flushed at each restart boundary, as the spec requires)."""
+    generation for the progressive decoder. 4:4:4 by default;
+    subsample=True emits 4:2:0 (2x2 luma factors, box-averaged
+    chroma — same plane math as the baseline encoder, so the two
+    encoders quantize identical coefficients and their decodes pin
+    bit-identical). Scan script: DC all-comps first pass (Al=1); per
+    component AC bands 1-5 and 6-63 first pass (Al=1); per component
+    AC refinement of both bands (Ah=1, Al=0); DC refinement (Ah=1,
+    Al=0). restart_interval, if set, applies to EVERY scan (EOB runs
+    are flushed at each restart boundary, as the spec requires)."""
     h, w = pixels.shape[:2]
     nc = 1 if pixels.ndim == 2 or pixels.shape[2] == 1 else 3
     px = pixels.reshape(h, w, nc).astype(np.float64)
@@ -653,24 +695,44 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
         chans = [px[..., 0]]
     ql = np.maximum(STD_LUM_Q // quality_scale, 1)
     qc = np.maximum(STD_CHR_Q // quality_scale, 1)
-    bh, bw = -(-h // 8), -(-w // 8)
+    sub = 2 if (subsample and nc == 3) else 1
+    mcux = -(-w // (8 * sub))
+    mcuy = -(-h // (8 * sub))
 
-    # quantized coefficients per component, zigzag order (nblocks, 64)
-    coefs = []
+    def pad_plane(p, fh, fv):
+        ph, pw = p.shape
+        outp = np.empty((mcuy * fv * 8, mcux * fh * 8))
+        outp[:ph, :pw] = p
+        outp[ph:, :pw] = p[ph - 1:ph, :]
+        outp[:, pw:] = outp[:, pw - 1:pw]
+        return outp
+
+    # per-component geometry + quantized coefficients (zigzag order,
+    # raster over the FULL MCU-padded grid; AC scans later walk only
+    # the ceil(comp/8) sub-grid — MCU-pad blocks are DC-only per spec)
+    comps = []
     for ci, ch in enumerate(chans):
-        pad = np.empty((bh * 8, bw * 8))
-        pad[:h, :w] = ch
-        pad[h:, :w] = ch[h - 1:h, :]
-        pad[:, w:] = pad[:, w - 1:w]
-        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+        fh = fv = sub if (ci == 0 and nc == 3) else 1
+        plane = pad_plane(ch, sub, sub)
+        if fh == 1 and sub == 2:  # chroma under 4:2:0: 2x2 box-average
+            plane = plane.reshape(plane.shape[0] // 2, 2, -1, 2) \
+                .mean((1, 3))
+        bw_f, bh_f = mcux * fh, mcuy * fv
+        blocks = plane.reshape(bh_f, 8, bw_f, 8).transpose(0, 2, 1, 3) \
             .reshape(-1, 8, 8) - 128.0
         q = ql if ci == 0 else qc
         # per-block dct2 (same op as the baseline encoder): batched
         # einsum rounds exact-.5 quantization boundaries differently,
         # which would break the bit-identity pin vs the baseline path
         x = np.stack([np.round(dct2(blk) / q) for blk in blocks])
-        zz = x.astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
-        coefs.append(zz)
+        comps.append({
+            "fh": fh, "fv": fv, "bw_f": bw_f,
+            # non-interleaved AC grid (T.81 A.2.2): ceil of the
+            # component's own scaled dims, NOT the MCU-padded grid
+            "cbh": -(--(-h * fv // sub) // 8),
+            "cbw": -(--(-w * fh // sub) // 8),
+            "zz": x.astype(np.int32).reshape(-1, 64)[:, ZIGZAG],
+        })
 
     out = bytearray(b"\xff\xd8")
 
@@ -682,13 +744,16 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
         seg(0xDB, bytes([tq]) + bytes(
             q.reshape(-1)[ZIGZAG].astype(np.uint8).tolist()))
     body = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        body += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, c in enumerate(comps):
+        body += bytes([ci + 1, (c["fh"] << 4) | c["fv"],
+                       0 if ci == 0 else 1])
     seg(0xC2, body)
     for tc_th in (0x00, 0x10):  # same flat table as DC 0 and AC 0
         counts, symbols = _FLAT_HUFF
         seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
     enc = _enc_huff(_FLAT_HUFF)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos(scomp, ss, se, ah, al):
         body = bytes([len(scomp)])
@@ -697,187 +762,160 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
         body += bytes([ss, se, (ah << 4) | al])
         seg(0xDA, body)
 
-    def put(bw_, sym):
-        ln, c = enc[sym]
-        bw_.write(c, ln)
-
-    # ---- scan 1: DC first pass, interleaved, Al=1, optional restarts
-    if restart_interval:
-        seg(0xDD, struct.pack(">H", restart_interval))
-    sos(list(range(1, nc + 1)), 0, 0, 0, 1)
-    bwr = _BitWriter()
-    pred = [0] * nc
-    rst = 0
-    for u in range(bh * bw):
-        if restart_interval and u and u % restart_interval == 0:
-            bwr.flush()
-            out.extend(bwr.out)
-            bwr = _BitWriter()
-            out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
-            rst += 1
-            pred = [0] * nc
-        for ci in range(nc):
-            v = int(coefs[ci][u, 0]) >> 1  # DC point transform: >> Al
-            t, code = _mag(v - pred[ci])
-            pred[ci] = v
-            put(bwr, t)
-            if t:
-                bwr.write(code, t)
-    bwr.flush()
-    out.extend(bwr.out)
+    def mcu_blocks(u):
+        """Block ids of MCU u in interleaved walk order."""
+        my, mx = divmod(u, mcux)
+        for ci, c in enumerate(comps):
+            for vy in range(c["fv"]):
+                for vx in range(c["fh"]):
+                    yield ci, (my * c["fv"] + vy) * c["bw_f"] \
+                        + (mx * c["fh"] + vx)
 
     def trunc(v, n):  # AC point transform: toward-zero division
         return -((-v) >> n) if v < 0 else v >> n
 
-    # ---- AC first passes (Al=1), bands (1,5) and (6,63), per comp
-    for ci in range(nc):
-        for ss, se in ((1, 5), (6, 63)):
-            sos([ci + 1], ss, se, 0, 1)
-            bwr = _BitWriter()
+    def dc_scan(refine):
+        sos(list(range(1, nc + 1)), 0, 0, int(refine), 1 - int(refine))
+        sw = _ScanWriter(out, enc, restart_interval)
+        pred = [0] * nc
+        for u in range(mcux * mcuy):
+            if sw.restart_if_needed(u):
+                pred = [0] * nc
+            for ci, ub in mcu_blocks(u):
+                dc = int(comps[ci]["zz"][ub, 0])
+                if refine:
+                    sw.bits(dc & 1, 1)
+                else:
+                    v = dc >> 1  # DC point transform: arithmetic >> Al
+                    t, code = _mag(v - pred[ci])
+                    pred[ci] = v
+                    sw.put(t)
+                    if t:
+                        sw.bits(code, t)
+        sw.close()
+
+    def ac_first_scan(ci, ss, se):
+        sos([ci + 1], ss, se, 0, 1)
+        sw = _ScanWriter(out, enc, restart_interval)
+        c = comps[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            sw.put(r << 4)
+            if r:
+                sw.bits(eobrun - (1 << r), r)
             eobrun = 0
-            rst_n = 0
 
-            def flush_eob():
-                nonlocal eobrun
-                if not eobrun:
-                    return
-                r = eobrun.bit_length() - 1
-                put(bwr, r << 4)
-                if r:
-                    bwr.write(eobrun - (1 << r), r)
-                eobrun = 0
+        for u in range(c["cbh"] * c["cbw"]):
+            sw.restart_if_needed(u, before=flush_eob)
+            ub = (u // c["cbw"]) * c["bw_f"] + u % c["cbw"]
+            band = [trunc(int(c["zz"][ub, k]), 1)
+                    for k in range(ss, se + 1)]
+            last = -1
+            for i, v in enumerate(band):
+                if v:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in band[:last + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    sw.put(0xF0)
+                    run -= 16
+                t, code = _mag(v)
+                sw.put((run << 4) | t)
+                sw.bits(code, t)
+                run = 0
+            if last < len(band) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        sw.close()
 
-            for u in range(bh * bw):
-                if restart_interval and u \
-                        and u % restart_interval == 0:
-                    flush_eob()  # an EOB run cannot span a restart
-                    bwr.flush()
-                    out.extend(bwr.out)
-                    bwr = _BitWriter()
-                    out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
-                    rst_n += 1
-                band = [trunc(int(coefs[ci][u, k]), 1)
-                        for k in range(ss, se + 1)]
-                last = -1
-                for i, v in enumerate(band):
-                    if v:
-                        last = i
-                if last < 0:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
+    def ac_refine_scan(ci, ss, se):
+        sos([ci + 1], ss, se, 1, 0)
+        sw = _ScanWriter(out, enc, restart_interval)
+        c = comps[ci]
+        eobrun = 0
+        pending: list = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            sw.put(r << 4)
+            if r:
+                sw.bits(eobrun - (1 << r), r)
+            for bit in pending:
+                sw.bits(bit, 1)
+            pending.clear()
+            eobrun = 0
+
+        for u in range(c["cbh"] * c["cbw"]):
+            sw.restart_if_needed(u, before=flush_eob)
+            ub = (u // c["cbw"]) * c["bw_f"] + u % c["cbw"]
+            # T.81 figure G.7 flow: absvalues at this level; a
+            # coefficient is history-significant if its magnitude
+            # exceeds 1 here (it was nonzero at the prior level),
+            # newly significant if exactly 1
+            absv = [abs(int(c["zz"][ub, k])) for k in range(ss, se + 1)]
+            eob_k = -1  # last newly-significant position
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob_k = i
+            br_bits: list = []  # correction bits since last symbol
+            run = 0
+            for i, a in enumerate(absv):
+                if a == 0:
+                    run += 1
+                    continue
+                # ZRLs only when not foldable into the EOB run
+                while run > 15 and i <= eob_k:
+                    flush_eob()
+                    sw.put(0xF0)
+                    for bit in br_bits:
+                        sw.bits(bit, 1)
+                    br_bits = []
+                    run -= 16
+                if a > 1:  # history: just a correction bit
+                    br_bits.append(a & 1)
                     continue
                 flush_eob()
+                sw.put((run << 4) | 1)
+                sw.bits(1 if int(c["zz"][ub, ss + i]) > 0 else 0, 1)
+                for bit in br_bits:
+                    sw.bits(bit, 1)
+                br_bits = []
                 run = 0
-                for v in band[:last + 1]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        put(bwr, 0xF0)
-                        run -= 16
-                    t, code = _mag(v)
-                    put(bwr, (run << 4) | t)
-                    bwr.write(code, t)
-                    run = 0
-                if last < len(band) - 1:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
-            flush_eob()
-            bwr.flush()
-            out.extend(bwr.out)
+            if run or br_bits:
+                eobrun += 1
+                pending.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        sw.close()
 
-    # ---- AC refinement passes (Ah=1 -> Al=0), same bands
+    dc_scan(refine=False)
     for ci in range(nc):
         for ss, se in ((1, 5), (6, 63)):
-            sos([ci + 1], ss, se, 1, 0)
-            bwr = _BitWriter()
-            eobrun = 0
-            rst_n = 0
-            pending: list = []
-
-            def flush_eob():
-                nonlocal eobrun
-                if not eobrun:
-                    return
-                r = eobrun.bit_length() - 1
-                put(bwr, r << 4)
-                if r:
-                    bwr.write(eobrun - (1 << r), r)
-                for bit in pending:
-                    bwr.write(bit, 1)
-                pending.clear()
-                eobrun = 0
-
-            for u in range(bh * bw):
-                if restart_interval and u \
-                        and u % restart_interval == 0:
-                    flush_eob()
-                    bwr.flush()
-                    out.extend(bwr.out)
-                    bwr = _BitWriter()
-                    out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
-                    rst_n += 1
-                # T.81 figure G.7 flow: absvalues at this level; a
-                # coefficient is history-significant if its magnitude
-                # exceeds 1 here (it was nonzero at the prior level),
-                # newly significant if exactly 1
-                absv = [abs(int(coefs[ci][u, k]))
-                        for k in range(ss, se + 1)]
-                eob_k = -1  # last newly-significant position
-                for i, a in enumerate(absv):
-                    if a == 1:
-                        eob_k = i
-                br_bits: list = []  # correction bits since last symbol
-                run = 0
-                for i, a in enumerate(absv):
-                    if a == 0:
-                        run += 1
-                        continue
-                    # ZRLs only when not foldable into the EOB run
-                    while run > 15 and i <= eob_k:
-                        flush_eob()
-                        put(bwr, 0xF0)
-                        for bit in br_bits:
-                            bwr.write(bit, 1)
-                        br_bits = []
-                        run -= 16
-                    if a > 1:  # history: just a correction bit
-                        br_bits.append(a & 1)
-                        continue
-                    flush_eob()
-                    put(bwr, (run << 4) | 1)
-                    v = int(coefs[ci][u, ss + i])
-                    bwr.write(1 if v > 0 else 0, 1)
-                    for bit in br_bits:
-                        bwr.write(bit, 1)
-                    br_bits = []
-                    run = 0
-                if run or br_bits:
-                    eobrun += 1
-                    pending.extend(br_bits)
-                    if eobrun == 0x7FFF:
-                        flush_eob()
-            flush_eob()
-            bwr.flush()
-            out.extend(bwr.out)
-
-    # ---- DC refinement (Ah=1 -> Al=0), interleaved
-    sos(list(range(1, nc + 1)), 0, 0, 1, 0)
-    bwr = _BitWriter()
-    rst_n = 0
-    for u in range(bh * bw):
-        if restart_interval and u and u % restart_interval == 0:
-            bwr.flush()
-            out.extend(bwr.out)
-            bwr = _BitWriter()
-            out.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
-            rst_n += 1
-        for ci in range(nc):
-            bwr.write(int(coefs[ci][u, 0]) & 1, 1)
-    bwr.flush()
-    out.extend(bwr.out)
+            ac_first_scan(ci, ss, se)
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            ac_refine_scan(ci, ss, se)
+    dc_scan(refine=True)
     out.extend(b"\xff\xd9")
     return bytes(out)
 

@@ -167,6 +167,8 @@ def decode_wav(payload: bytes):
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                return None  # truncated fmt chunk
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             fmt_body = body
         elif cid == b"data":
@@ -351,6 +353,8 @@ def decode_png(payload: bytes):
         if cid == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif cid == b"PLTE":
+            if len(body) % 3 or not body:
+                return None  # malformed palette
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat.append(body)
@@ -429,8 +433,10 @@ def decode_png(payload: bytes):
     elif ctype == 2:
         gray = px.astype(np.float32).mean(axis=2)
     elif ctype == 3:
-        rgb = plte[px[:, :, 0].astype(np.int64)]
-        gray = rgb.astype(np.float32).mean(axis=2)
+        idx = px[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= len(plte):
+            return None  # index beyond the palette: malformed
+        gray = plte[idx].astype(np.float32).mean(axis=2)
         maxval = 255.0  # palette entries are 8-bit
     elif ctype == 4:
         gray = px[:, :, 0].astype(np.float32)  # alpha ignored

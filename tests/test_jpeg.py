@@ -124,7 +124,7 @@ class TestProgressive:
 
     @pytest.mark.parametrize("shape", [(9, 9), (8, 8), (31, 17, 3),
                                        (64, 63, 3)])
-    def test_odd_sizes_with_dc_restarts(self, shape):
+    def test_odd_sizes_with_restarts_every_scan(self, shape):
         from swish_e_spark.ops.jpeg import encode_jpeg_progressive
 
         rng = np.random.default_rng(sum(shape))
@@ -133,6 +133,34 @@ class TestProgressive:
         prog = decode_jpeg(encode_jpeg_progressive(
             px, restart_interval=2))
         assert np.array_equal(base[3], prog[3])
+
+    @pytest.mark.parametrize("shape", [(16, 16, 3), (31, 17, 3),
+                                       (13, 21, 3), (64, 63, 3)])
+    @pytest.mark.parametrize("ri", [0, 2])
+    def test_subsampled_420_bit_identical(self, shape, ri):
+        # 4:2:0 exercises the v*h>1 interleaved DC walk and the
+        # non-MCU-padded component AC grid — the geometry most
+        # real-world progressive JPEGs use
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(sum(shape) + ri)
+        px = (rng.random(shape) * 255).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px, subsample=True))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            px, subsample=True, restart_interval=ri))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+    def test_headers_only_progressive_raises(self):
+        # SOF2 parsed but zero scans decoded must NOT reconstruct a
+        # bogus flat-gray image
+        from swish_e_spark.ops.jpeg import encode_jpeg_progressive
+
+        px = _gradient(24, 24, 3)
+        data = bytes(encode_jpeg_progressive(px))
+        cut = data[: data.find(b"\xff\xda")] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="no SOS"):
+            decode_jpeg(cut)
 
     def test_truncated_progressive_returns_partial_image(self):
         # dropping the tail scans loses refinement detail, never crashes

@@ -380,6 +380,27 @@ class TestMultimodal:
                 .mean(axis=2) / 255.0
             assert np.allclose(g, want, atol=1e-6), depth
 
+    def test_png_malformed_palette_returns_none(self):
+        """An index beyond the palette, or a PLTE whose length is not
+        a multiple of 3, is malformed: None, never IndexError out of
+        the Spark kernel."""
+        import numpy as np
+
+        from swish_e_spark.ops.multimodal import decode_png
+
+        rng = np.random.default_rng(5)
+        plte = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+        pi = np.full((4, 4, 1), 3, dtype=np.uint8)  # index 3, 2 entries
+        assert decode_png(self._png_bytes(pi, 3, plte=plte,
+                                          depth=2)) is None
+        # PLTE length not a multiple of 3
+        ok = bytearray(self._png_bytes(
+            np.zeros((4, 4, 1), np.uint8), 3, plte=plte, depth=2))
+        i = bytes(ok).find(b"PLTE")
+        bad = ok[:i - 4] + b"\x00\x00\x00\x05PLTE" + b"\x01" * 5 \
+            + ok[i + 4 + 6 + 4:]
+        assert decode_png(bytes(bad)) is None
+
     def test_png_packed_rgb_rejected(self):
         """Sub-byte depth is illegal for color type 2 (spec §11):
         decode returns None rather than mis-parsing."""
@@ -505,6 +526,19 @@ class TestWavEncodings:
         from swish_e_spark.ops.multimodal import decode_wav
 
         assert decode_wav(self._wav(0x55, 8, b"\x00" * 64)) is None
+
+    def test_truncated_fmt_chunk_returns_none(self):
+        # a fmt chunk under 16 bytes must return None, not raise
+        # struct.error through the Spark kernel
+        import struct
+
+        from swish_e_spark.ops.multimodal import decode_wav
+
+        fmt = struct.pack("<HH", 1, 1)  # 4-byte fmt body
+        wav = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+        assert decode_wav(wav) is None
 
     @staticmethod
     def _ima_encode(sig_i16, block_align, channels=1):

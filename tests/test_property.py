@@ -166,10 +166,10 @@ class TestCodecProperty:
 
     @settings(max_examples=30, deadline=None)
     @given(st.integers(1, 40), st.integers(1, 40),
-           st.sampled_from([1, 3]), st.integers(0, 3),
+           st.sampled_from([1, 3]), st.booleans(), st.integers(0, 3),
            st.sampled_from([1, 4, 16]), st.integers(0, 2 ** 31))
-    def test_progressive_bit_identical_to_baseline(self, h, w, c, ri,
-                                                   q, seed):
+    def test_progressive_bit_identical_to_baseline(self, h, w, c, sub,
+                                                   ri, q, seed):
         # the progressive entropy layer is lossless over the same
         # quantized coefficients: decodes must be EQUAL, not close
         from swish_e_spark.ops.jpeg import (
@@ -178,8 +178,9 @@ class TestCodecProperty:
 
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
-        base = decode_jpeg(encode_jpeg(img, quality_scale=q))
+        base = decode_jpeg(encode_jpeg(img, quality_scale=q,
+                                       subsample=sub))
         prog = decode_jpeg(encode_jpeg_progressive(
-            img, quality_scale=q, restart_interval=ri))
+            img, quality_scale=q, restart_interval=ri, subsample=sub))
         assert base[:3] == prog[:3]
         assert np.array_equal(base[3], prog[3])
