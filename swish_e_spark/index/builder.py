@@ -669,12 +669,33 @@ class IndexHandle:
     def __init__(self, spark, out_dir: str):
         self.spark = spark
         self.out_dir = out_dir
-        self.meta = json.load(open(os.path.join(_manifest_dir(out_dir),
-                                                "index.json")))
+        self._manifest_path = os.path.join(_manifest_dir(out_dir),
+                                           "index.json")
+        self.meta = json.load(open(self._manifest_path))
         if not self.meta.get("complete"):
             raise ValueError(f"index at {out_dir} is incomplete")
         self.cfg = IndexConfig(**self.meta["config"])
         self._stats = None
+        st = os.stat(self._manifest_path)
+        self._manifest_sig = (st.st_mtime_ns, st.st_size)
+
+    def ensure_current(self):
+        """Fail loudly if the index was mutated after this handle was
+        opened. Every in-place maintenance op (update/remove/compact/
+        IgnoreLimit) atomically rewrites index.json, and the query
+        engine keeps lossless per-handle caches (dictionary, θ, rare
+        docs) that would silently serve stale results otherwise —
+        one os.stat per query buys a hard error instead."""
+        try:
+            st = os.stat(self._manifest_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if sig != self._manifest_sig:
+            raise RuntimeError(
+                f"index at {self.out_dir} changed since this handle "
+                "was opened; build a new IndexHandle/SparkQueryEngine "
+                "(engine caches are per-handle)")
 
     def docs(self):
         # explicit schemas throughout: empty shards write no data files

@@ -356,6 +356,14 @@ def remove_documents(spark, index_dir: str, urls: list[str]):
     n = hit.count()
     if n:
         _append_removed(spark, index_dir, hit)
+        # every mutation commits a manifest update (Iceberg snapshot
+        # analogue) — it carries removal lineage AND invalidates open
+        # handles, whose cached stats/θ would otherwise skew BM25
+        meta = handle.meta
+        meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
+        meta["removed_total"] = int(meta.get("removed_total", 0)) + n
+        _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                        "index.json"), meta)
     return n
 
 

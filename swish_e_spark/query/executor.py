@@ -1445,6 +1445,7 @@ class SparkQueryEngine:
         """
         from pyspark.sql import functions as F
 
+        self.handle.ensure_current()  # stale caches must error, not lie
         node = parse_query(q, self.cfg)
         if structure_mask is None and wand in ("auto", "force"):
             pruned = self._search_wand(node, k, limits,
@@ -1510,6 +1511,7 @@ class SparkQueryEngine:
         queries where top-k pruning is not wanted."""
         from pyspark.sql import functions as F
 
+        self.handle.ensure_current()  # stale caches must error, not lie
         node = parse_query(q, self.cfg)
         single = isinstance(node, (Term, Prefix, Pattern)) \
             and structure_mask is None \

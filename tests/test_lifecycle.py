@@ -159,6 +159,27 @@ class TestMergeUpdateRemove:
             # (dense over N-10): compare by url, tie-robust
             _assert_rank_identity_by_url(eng, q, oracle)
 
+    def test_stale_engine_errors_after_maintenance(self, spark,
+                                                   tmp_path, corpus300):
+        """The engine's lossless per-handle caches (dictionary, θ,
+        rare docs) are only valid for the index state the handle was
+        opened on. An in-place maintenance op must turn the old engine
+        into a loud RuntimeError, never silently stale results."""
+        out = str(tmp_path / "stale")
+        pages = generate_pages_df(spark, N, partitions=6)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.search("pigs", k=5)  # warm the caches
+        victims = sorted(r["url"] for r in corpus300)[:3]
+        assert remove_documents(spark, out, victims) == 3
+        with pytest.raises(RuntimeError, match="changed since"):
+            eng.search("pigs", k=5)
+        with pytest.raises(RuntimeError, match="changed since"):
+            eng.match_df("pigs")
+        # a fresh handle+engine over the mutated index works
+        eng2 = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng2.search("pigs", k=5)
+
 
 def _urls_of(engine, doc_ids):
     ddf = engine.handle.docs()
