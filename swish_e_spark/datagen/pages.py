@@ -115,7 +115,7 @@ def segment_is_farm(doc_index: int) -> bool:
     return bool(srng.random() < FARM_FRAC)
 
 
-def _probe_terms(doc_index: int, rng) -> list:
+def _probe_terms(doc_index: int, rng, farm: bool) -> list:
     """Planted probe terms: head term + tails + midterms (FIXTURES.md
     §2).
 
@@ -133,7 +133,7 @@ def _probe_terms(doc_index: int, rng) -> list:
     pays hardest."""
     out = []
     if doc_index % 5 < 2:          # ~40% of docs carry the head term
-        if segment_is_farm(doc_index):
+        if farm:
             tf = 1 + min(63, int(rng.pareto(1.1) * 6))
         else:
             tf = int(rng.integers(1, 3))
@@ -190,8 +190,8 @@ def render_page(doc_index: int):
     """Generate one page row: (url, warc_ts, html bytes, lang)."""
     rng = np.random.default_rng((SEED, doc_index))
     tmpl = template_of(doc_index)
-    probes = _probe_terms(doc_index, rng)
     farm = segment_is_farm(doc_index)
+    probes = _probe_terms(doc_index, rng, farm)
     title_words = " ".join(_sample_words(rng, int(rng.integers(2, 6))))
     lang_u = rng.random()
     lang = "en" if lang_u < 0.95 else ("es", "fr", "de")[int(lang_u * 1000) % 3]

@@ -173,6 +173,9 @@ def _decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # any number of 0xFF fill bytes may precede a marker (B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         if pos + 1 >= len(payload):
             break  # lone trailing FF on a truncated stream
         marker = payload[pos + 1]

@@ -82,9 +82,12 @@ def _g711_ulaw_table() -> np.ndarray:
 
 
 def _g711_alaw_table() -> np.ndarray:
-    """ITU-T G.711 A-law codeword → linear float32 in [-1,1]."""
+    """ITU-T G.711 A-law codeword → linear float32 in [-1,1]. NB the
+    A-law sign convention is the opposite of μ-law's: after undoing
+    the even-bit inversion, bit 7 SET means POSITIVE (CCITT reference
+    alaw2linear returns +t for a_val & 0x80; codeword 0xD5 is +8)."""
     b = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
-    sign = np.where(b & 0x80, -1.0, 1.0)
+    sign = np.where(b & 0x80, 1.0, -1.0)
     e = (b >> 4) & 7
     m = b & 0xF
     mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
@@ -463,30 +466,42 @@ def audio_thumb(samples: np.ndarray, thumb: int = THUMB) -> np.ndarray:
     return x.reshape(thumb, thumb)
 
 
+def _guarded(fn, payload):
+    """One contract for every decoder: a malformed payload is
+    UNDECODABLE (None), never an exception out of the Arrow kernel —
+    a single corrupt web file must not fail a whole Spark task."""
+    try:
+        return fn(payload)
+    except (ValueError, KeyError, IndexError, OverflowError,
+            struct.error):
+        return None
+
+
 def _decode_stub(payload: bytes, kind: str, fake: bool):
     """The codec boundary: real stdlib decoders first (WAV/BMP/PPM),
     then the stub for formats needing external codecs (PIL/ffmpeg plug
     in here in real deployments)."""
-    wav = decode_wav(payload)
+    wav = _guarded(decode_wav, payload)
     if wav is not None:
         return audio_thumb(wav[0])
-    img = decode_bmp(payload)
+    img = _guarded(decode_bmp, payload)
     if img is None:
-        img = decode_ppm(payload)
+        img = _guarded(decode_ppm, payload)
     if img is None:
-        img = decode_png(payload)
+        img = _guarded(decode_png, payload)
     if img is None and payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
-        try:
-            _h, _w, _c, px = decode_jpeg(payload)
-            img = px.astype(np.float32).mean(axis=2) / 255.0
-        except ValueError:
-            img = None  # arithmetic/lossless/12-bit: stays at the stub
+        def _jpeg_gray(p):
+            _h, _w, _c, px = decode_jpeg(p)
+            return px.astype(np.float32).mean(axis=2) / 255.0
+
+        # arithmetic/lossless/12-bit and corrupt streams: stay stubbed
+        img = _guarded(_jpeg_gray, payload)
     if img is None and payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
 
-        img = decode_gif(payload)
+        img = _guarded(decode_gif, payload)
     if img is not None:
         return resize_thumb(img)
     if not fake:

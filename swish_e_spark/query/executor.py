@@ -553,9 +553,6 @@ class SparkQueryEngine:
         doc-range pruning cannot help here — a scattered df-64 term's
         single chunk spans the whole doc space. Returns None when no
         qualifying leaf exists."""
-        import numpy as np
-
-        from ..codec.postings import unpack_posting_list
         from pyspark.sql import functions as F
 
         required = _required_leaves(node)
@@ -572,18 +569,28 @@ class SparkQueryEngine:
         else:
             # head leaves over the dictionary-cache chunk cap (a
             # 10^12-doc term is millions of chunks): one per-leaf df
-            # aggregate — no chunk list ever reaches the driver
-            cond = None
-            for field, term in required:
-                c = ((F.col("term_bucket")
-                      == term_bucket(term, self.n_buckets))
-                     & (F.col("term") == term)
-                     & (F.col("field") == field))
-                cond = c if cond is None else cond | c
-            rows = (self.handle.segments().filter(cond)
-                    .groupBy("field", "term")
-                    .agg(F.sum("df").alias("df")).collect())
-            df_by = {(r["field"], r["term"]): r["df"] for r in rows}
+            # aggregate, only for leaves the cross-query df cache
+            # doesn't already hold — no chunk list reaches the driver,
+            # and a warm positional query pays zero extra jobs
+            missing = [kk for kk in required
+                       if kk not in self._df_cache]
+            if missing:
+                cond = None
+                for field, term in missing:
+                    c = ((F.col("term_bucket")
+                          == term_bucket(term, self.n_buckets))
+                         & (F.col("term") == term)
+                         & (F.col("field") == field))
+                    cond = c if cond is None else cond | c
+                rows = (self.handle.segments().filter(cond)
+                        .groupBy("field", "term")
+                        .agg(F.sum("df").alias("df")).collect())
+                found = {(r["field"], r["term"]): r["df"]
+                         for r in rows}
+                for kk in missing:  # absent leaves cache as df 0 too
+                    self._df_cache[kk] = found.get(kk, 0)
+            df_by = {kk: self._df_cache[kk] for kk in required
+                     if self._df_cache.get(kk, 0) > 0}
         if not df_by or len(df_by) < len(required):
             return None  # an absent required leaf: no matches anyway
         rare = min(df_by, key=df_by.get)
@@ -628,6 +635,12 @@ class SparkQueryEngine:
         if not parts:
             return None
         ids = np.sort(np.concatenate(parts))
+        # bounded like the dictionary cache: a long-lived engine
+        # serving many distinct rare leaves must not grow without
+        # limit (each entry is up to EXH_ALLOW_MAX_DF int64 ids)
+        held = sum(len(v) for v in self._rare_docs_cache.values())
+        if held + len(ids) > self._RARE_DOCS_CACHE_IDS:
+            self._rare_docs_cache.clear()
         self._rare_docs_cache[(field, term)] = ids
         return ids
 
@@ -766,8 +779,14 @@ class SparkQueryEngine:
                                   []).append(r.asDict())
             if self._chunk_meta_chunks + len(rows) \
                     > self._CHUNK_META_CACHE_CAP:
-                self._chunk_meta_cache.clear()
-                self._chunk_meta_chunks = 0
+                # evict, but KEEP this query's already-cached leaves —
+                # the assembly loop below reads every leaf_key
+                keep = {kk: self._chunk_meta_cache[kk]
+                        for kk in leaf_keys
+                        if kk in self._chunk_meta_cache}
+                self._chunk_meta_cache = keep
+                self._chunk_meta_chunks = sum(
+                    len(v) for v in keep.values())
             for kk in missing:
                 rl = by_key.get(kk, [])
                 self._chunk_meta_cache[kk] = rl
@@ -1054,14 +1073,21 @@ class SparkQueryEngine:
             # lossless θ for the next identical query
             rows = out.collect()
             if len(rows) == k:
-                kth = rows[-1]["score"]
-                # back off by a relative ulp margin: block bounds are
-                # computed in numpy while true scores come from the
-                # Spark float64 expression — a tie doc whose bound
-                # lands 1 ulp under its score must not be pruned
-                self._theta_cache[theta_key] = \
-                    kth - max(1e-9, 1e-9 * abs(kth))
+                self._remember_theta(theta_key, rows[-1]["score"])
         return out
+
+    _THETA_CACHE_CAP = 65_536    # distinct (query, k) thresholds held
+    _RARE_DOCS_CACHE_IDS = 8 << 20  # total cached rare-leaf doc ids
+
+    def _remember_theta(self, theta_key, kth):
+        """Record a completed top-k's true k-th score as the lossless
+        θ for the same query later, backed off by a relative ulp
+        margin: block bounds are computed in numpy while true scores
+        come from the Spark float64 expression — a tie doc whose bound
+        lands 1 ulp under its score must not be pruned."""
+        if len(self._theta_cache) >= self._THETA_CACHE_CAP:
+            self._theta_cache.clear()
+        self._theta_cache[theta_key] = kth - max(1e-9, 1e-9 * abs(kth))
 
     WAND_BLOCK_PLAN_CHUNKS = 8192  # block-bound planning cap: block
                              # arrays are ~256 entries/chunk, so this
@@ -1428,9 +1454,7 @@ class SparkQueryEngine:
         if theta_key is not None:
             rows = out.collect()
             if len(rows) == k:
-                kth = rows[-1]["score"]
-                self._theta_cache[theta_key] = \
-                    kth - max(1e-9, 1e-9 * abs(kth))
+                self._remember_theta(theta_key, rows[-1]["score"])
         return out
 
     # ---- evaluation ----

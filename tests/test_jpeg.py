@@ -79,6 +79,20 @@ class TestMalformed:
         h, w, c, dec = decode_jpeg(data[: len(data) - 20])
         assert (h, w, c) == (16, 16, 1)
 
+    def test_fill_bytes_before_markers(self):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; real encoders emit them for alignment
+        img = _gradient(16, 16, 3)
+        data = encode_jpeg(img)
+        want = decode_jpeg(data)
+        i = data.find(b"\xff\xdb")  # before DQT
+        j = data.find(b"\xff\xda")  # before SOS
+        padded = (data[:i] + b"\xff\xff\xff" + data[i:j]
+                  + b"\xff" + data[j:])
+        got = decode_jpeg(padded)
+        assert want[:3] == got[:3]
+        assert np.array_equal(want[3], got[3])
+
     def test_missing_sos(self):
         img = _gradient(8, 8, 1)
         data = encode_jpeg(img)

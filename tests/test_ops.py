@@ -527,6 +527,25 @@ class TestWavEncodings:
 
         assert decode_wav(self._wav(0x55, 8, b"\x00" * 64)) is None
 
+    def test_g711_sign_conventions(self):
+        """Absolute sign pins against the CCITT reference tables —
+        the round-trip test derives its fixture from our own table,
+        so it cannot catch a globally flipped sign. A-law: bit 7
+        (after even-bit uninversion) SET means POSITIVE (0xD5 = +8);
+        μ-law: the complemented byte's bit 7 SET means NEGATIVE
+        (0xFE = +8, 0x7E = -8)."""
+        from swish_e_spark.ops.multimodal import (
+            _g711_alaw_table, _g711_ulaw_table,
+        )
+
+        alaw = _g711_alaw_table()
+        assert alaw[0xD5] == pytest.approx(8 / 32768.0)
+        assert alaw[0x55] == pytest.approx(-8 / 32768.0)
+        ulaw = _g711_ulaw_table()
+        assert ulaw[0xFE] == pytest.approx(8 / 32768.0)
+        assert ulaw[0x7E] == pytest.approx(-8 / 32768.0)
+        assert ulaw[0xFF] == pytest.approx(0.0)
+
     def test_truncated_fmt_chunk_returns_none(self):
         # a fmt chunk under 16 bytes must return None, not raise
         # struct.error through the Spark kernel

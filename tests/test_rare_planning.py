@@ -29,6 +29,34 @@ def engine(spark, tmp_path_factory):
     return SparkQueryEngine(spark, IndexHandle(spark, out))
 
 
+class TestDictionaryCacheEviction:
+    def test_cap_eviction_keeps_current_query_leaves(self, engine):
+        """When inserting a new leaf trips the dictionary-cache cap,
+        eviction must keep THIS query's already-cached leaves — the
+        plan assembly reads every leaf of the query (regression: a
+        blanket clear() left previously-cached leaves missing and the
+        assembly raised KeyError)."""
+        exact = engine.search_df("pigs OR wolf", 10,
+                                 wand="off").collect()
+        engine._chunk_meta_cache.clear()
+        engine._chunk_meta_chunks = 0
+        engine.search_df("pigs OR sugar", 10, wand="force").collect()
+        assert engine._chunk_meta_cache  # warm: pigs + sugar
+        engine._CHUNK_META_CACHE_CAP = 1  # next insert must evict
+        try:
+            got = engine.search_df("pigs OR wolf", 10,
+                                   wand="force").collect()
+        finally:
+            del engine._CHUNK_META_CACHE_CAP
+        key = [(r["doc_id"], round(r["score"], 9)) for r in exact]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == key
+        # the evicted-down cache still holds the query's own leaves
+        assert ("swishdefault", "pigs") in engine._chunk_meta_cache
+        assert ("swishdefault", "wolf") in engine._chunk_meta_cache
+        engine._chunk_meta_cache.clear()
+        engine._chunk_meta_chunks = 0
+
+
 class TestThetaCache:
     @pytest.mark.parametrize("q", [
         "common0 OR wolf", "common0 OR tailterm0",
