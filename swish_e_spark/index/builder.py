@@ -34,6 +34,7 @@ row-at-a-time Python UDF and no driver-side collect of data rows.
 
 from __future__ import annotations
 
+import glob
 import json
 import math
 import os
@@ -414,13 +415,17 @@ def _atomic_write_json(path: str, obj) -> None:
 
 
 def shard_boundaries(pages_df, n_shards: int):
-    """Url-range shard boundaries from a seeded sample (driver-side,
-    tiny). Returns sorted list of n_shards-1 boundary urls."""
+    """Url-range shard boundaries from a seeded UNIFORM sample
+    (driver-side, tiny). Returns sorted list of n_shards-1 boundary
+    urls. The fraction targets ~400k rows; sample().limit() would take
+    a partition-order prefix instead (url-sorted inputs would collapse
+    every boundary into the first partitions' url range)."""
     if n_shards <= 1:
         return []
+    n = pages_df.count()  # parquet: metadata-only
+    frac = min(1.0, 400_000 / max(n, 1))
     sample = [r.url for r in
-              pages_df.select("url").sample(0.1, seed=42).limit(200000)
-              .collect()]
+              pages_df.select("url").sample(frac, seed=42).collect()]
     if len(sample) < n_shards:
         sample = [r.url for r in pages_df.select("url").collect()]
     sample.sort()
@@ -451,14 +456,28 @@ def build_index(spark, pages_df, out_dir: str,
         if meta.get("complete"):
             return meta
         bounds = meta["shard_bounds"]
+        # the manifest wins over caller args on resume: shards already
+        # on disk were cut at ITS bounds with ITS config — honoring a
+        # different retry n_shards would silently drop shard ranges
+        n_shards = int(meta.get("n_shards", n_shards))
+        cfg = IndexConfig(**meta["config"])
     else:
         bounds = shard_boundaries(pages_df, n_shards)
         meta = {"config": asdict(cfg), "n_shards": n_shards,
                 "shard_bounds": bounds, "complete": False}
+        # a fresh build invalidates any prior run's shard manifests —
+        # left behind, a later resume would "skip" shards whose data
+        # belongs to the OLD input under the NEW bounds
+        for p in glob.glob(os.path.join(_manifest_dir(out_dir),
+                                        "shard_*.json")):
+            os.remove(p)
         _atomic_write_json(index_meta_path, meta)
 
     doc_base = 0
     total = {"docs": 0, "tokens": 0, "postings": 0}
+    # plan once: the partition count is invariant across the shard loop
+    # (for non-file sources each call is a full count() job)
+    n_parts = _plan_partitions(pages_df, cfg, n_shards)
     for shard_id in range(n_shards):
         shard_path = os.path.join(_manifest_dir(out_dir),
                                   f"shard_{shard_id}.json")
@@ -477,8 +496,7 @@ def build_index(spark, pages_df, out_dir: str,
         if hi is not None:
             shard_df = shard_df.filter(F.col("url") < hi)
         sm = _build_shard(spark, shard_df, out_dir, cfg, shard_id,
-                          doc_base,
-                          _plan_partitions(pages_df, cfg, n_shards))
+                          doc_base, n_parts)
         _atomic_write_json(shard_path, sm)
         doc_base += sm["doc_count"]
         total["docs"] += sm["doc_count"]

@@ -70,7 +70,34 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
     for m, d in zip(metas, src_dirs):
         if not m.get("complete"):
             raise ValueError(f"source index {d} is incomplete")
+    # semantic config compatibility: segments are copied verbatim, so
+    # sources hashed/tokenized differently would be silently
+    # unsearchable under the merged manifest's single config (bucket
+    # pruning filters on term_bucket(term, n_buckets); stem/stopword/
+    # translate differences corrupt term matching the same way).
+    # Build-tuning knobs may differ freely.
+    _TUNING = {"bytes_per_partition", "flush_docs", "salt_threshold",
+               "chunk_docs"}
+    sem0 = {k: v for k, v in metas[0]["config"].items()
+            if k not in _TUNING}
+    for m, d in zip(metas[1:], src_dirs[1:]):
+        sem = {k: v for k, v in m["config"].items() if k not in _TUNING}
+        if sem != sem0:
+            diff = sorted(k for k in set(sem) | set(sem0)
+                          if sem.get(k) != sem0.get(k))
+            raise ValueError(
+                f"cannot merge {d}: IndexConfig differs from "
+                f"{src_dirs[0]} on {diff}")
 
+    # build into a temp dir and rename at the end: a failed merge must
+    # leave no partially-populated out_dir behind (the _commit_dir
+    # discipline of build_index, at whole-index granularity)
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"merge target {out_dir} already exists")
+    final_dir = out_dir
+    out_dir = out_dir.rstrip("/") + "._tmp_merge"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     shard_bases: dict[str, int] = {}
     base = 0
@@ -127,6 +154,8 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
     os.makedirs(os.path.dirname(final), exist_ok=True)
     os.replace(tmp, final)
 
+    auto_stop = sorted(set().union(
+        *(m.get("auto_stopwords", []) for m in metas)))
     meta = {
         "config": metas[-1]["config"],
         "n_shards": out_shard,
@@ -138,8 +167,16 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
         "shard_bases": shard_bases,
         "merged_from": [os.path.abspath(d) for d in src_dirs],
     }
+    if auto_stop:
+        # IgnoreLimit-stopped terms' postings are still on disk in the
+        # copied segments (metadata-only op until compaction) — losing
+        # the list here would resurrect them in the merged index
+        meta["auto_stopwords"] = auto_stop
     _atomic_write_json(os.path.join(_manifest_dir(out_dir), "index.json"),
                        meta)
+    if os.path.isdir(final_dir):  # pre-created empty target
+        os.rmdir(final_dir)
+    os.rename(out_dir, final_dir)
     return meta
 
 
@@ -330,13 +367,51 @@ def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
     from pyspark.sql import functions as F
 
     handle = IndexHandle(spark, index_dir)
-    n_docs = handle.stats["n_docs"]
-    rows = (handle.terms().groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .filter((F.col("df") >= flimit)
-                    & (F.col("df") * 100.0 >= plimit * n_docs))
-            .select("term").collect())
-    stopped = sorted(r["term"] for r in rows)
+    # thresholds compare against INDEXED files (the reference counts
+    # tfrequency over the index as built; tombstones don't exist there)
+    n_docs = int(handle.meta.get("doc_count", handle.stats["n_docs"]))
+    # phase 1 — candidates by upper bound: Σ df over fields counts a
+    # file once PER FIELD the word occurs in, so it can only overcount
+    # the reference's distinct-file tfrequency (no false negatives)
+    cand = [r["term"] for r in
+            (handle.terms().groupBy("term")
+             .agg(F.sum("df").alias("df"))
+             .filter((F.col("df") >= flimit)
+                     & (F.col("df") * 100.0 >= plimit * n_docs))
+             .select("term").collect())]
+    stopped = []
+    if cand:
+        # phase 2 — exact distinct-file count per candidate: decode
+        # candidate doc-id arrays per (term, shard) (shards hold
+        # disjoint docs, fields within a shard overlap) and unique
+        # them. Candidates are by definition few head terms, so the
+        # decode touches a handful of terms' postings only.
+        import pandas as pd
+
+        def distinct_docs(key, pdf):
+            import numpy as np
+
+            from ..codec.postings import unpack_posting_list
+
+            parts = [unpack_posting_list(r.docs_bin, r.tfs_bin, None,
+                                         None, r.dls_bin)[0]
+                     for r in pdf.itertuples(index=False)]
+            n = int(len(np.unique(np.concatenate(parts)))) \
+                if parts else 0
+            return pd.DataFrame({"term": [key[0]], "n": [n]})
+
+        per_shard = (handle.segments()
+                     .filter(F.col("term").isin(cand))
+                     .select("term", "shard", "docs_bin", "tfs_bin",
+                             "dls_bin")
+                     .groupBy("term", "shard")
+                     .applyInPandas(distinct_docs,
+                                    "term string, n long"))
+        rows = (per_shard.groupBy("term").agg(F.sum("n").alias("df"))
+                .filter((F.col("df") >= flimit)
+                        & (F.col("df") * 100.0 >= plimit * n_docs))
+                .select("term").collect())
+        stopped = sorted(r["term"] for r in rows)
     meta = _load_meta(index_dir)
     meta["auto_stopwords"] = sorted(
         set(meta.get("auto_stopwords", [])) | set(stopped))
@@ -351,7 +426,10 @@ def remove_documents(spark, index_dir: str, urls: list[str]):
     from pyspark.sql import functions as F
 
     handle = IndexHandle(spark, index_dir)
-    hit = (handle.docs().filter(F.col("url").isin(list(urls)))
+    # live_docs, not docs: an url superseded by update_documents is
+    # already tombstoned — matching it again would double-count the
+    # removal and write duplicate tombstone rows
+    hit = (handle.live_docs().filter(F.col("url").isin(list(urls)))
            .select("doc_id", "url"))
     n = hit.count()
     if n:
@@ -386,6 +464,15 @@ def update_documents(spark, pages_df, index_dir: str):
 
     shard_id = meta["n_shards"]
     doc_base = meta["doc_count"]
+    # open the update window BEFORE committing any new-shard data: a
+    # crash mid-update must leave the index refusing to open (loud),
+    # never serving the new docs alongside their un-tombstoned old
+    # versions as if both were live
+    meta["complete"] = False
+    meta["updating_shard"] = shard_id
+    index_meta_path = os.path.join(_manifest_dir(index_dir),
+                                   "index.json")
+    _atomic_write_json(index_meta_path, meta)
     sm = _build_shard(spark, pages_df, index_dir, cfg, shard_id, doc_base,
                       _plan_partitions(pages_df, cfg))
     _atomic_write_json(
@@ -400,6 +487,8 @@ def update_documents(spark, pages_df, index_dir: str):
     meta["token_count"] = meta.get("token_count", 0) + sm["token_count"]
     meta["posting_count"] = (meta.get("posting_count", 0)
                              + sm["posting_count"])
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+    meta["complete"] = True
+    meta.pop("updating_shard", None)
+    meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
+    _atomic_write_json(index_meta_path, meta)
     return {"shard": sm, "replaced": n_replaced}

@@ -93,6 +93,40 @@ class TestIgnoreLimit:
             for (_, es), (_, osc) in zip(got, want):
                 assert es == pytest.approx(osc, rel=1e-6)
 
+    def test_multi_field_docs_do_not_overcount(self, spark, tmp_path):
+        """IgnoreLimit counts DISTINCT files (the reference's
+        tfrequency), not field-fanned df sums: a word indexed under
+        several XML metanames of the same doc is still one file. At
+        the reference's 'off' default (plimit=101) nothing can ever
+        be stopped — a field-summed count used to push multi-field
+        words past 100% of files."""
+        import datetime
+
+        rows = []
+        for i in range(20):
+            xml = ("<?xml version='1.0'?><root><a><b>dupfield "
+                   f"filler{i}</b></a></root>")
+            rows.append((f"https://x.example/d/{i:05d}.xml",
+                         datetime.datetime(2020, 1, 1), xml.encode(),
+                         "", "en"))
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+        out = str(tmp_path / "mf")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=4,
+                                xml_nested_metanames=True),
+                    n_shards=1)
+        # every doc fans dupfield into multiple XML metanames
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        fanned = (eng.handle.terms()
+                  .filter("term = 'dupfield'").count())
+        assert fanned > 1  # the overcount hazard is real in this index
+        assert apply_ignore_limit(spark, out, plimit=101,
+                                  flimit=1) == []
+        stopped = apply_ignore_limit(spark, out, plimit=90, flimit=1)
+        assert "dupfield" in stopped
+
     def test_position_gap_divergence_pinned(self, spark, tmp_path):
         """Intentional divergence from the reference, kept under review
         (rationale: maintenance.py apply_ignore_limit docstring).

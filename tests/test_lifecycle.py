@@ -159,6 +159,112 @@ class TestMergeUpdateRemove:
             # (dense over N-10): compare by url, tie-robust
             _assert_rank_identity_by_url(eng, q, oracle)
 
+    def test_resume_honors_manifest_shard_count(self, spark, tmp_path):
+        """A retry with a DIFFERENT n_shards must not drop shard
+        ranges: the manifest's shard plan wins on resume (regression:
+        resuming a failed 2-shard build with the default n_shards=1
+        marked the index complete with half the corpus missing)."""
+        out = str(tmp_path / "resume_ns")
+        ref = str(tmp_path / "resume_ref")
+        pages = generate_pages_df(spark, 120, partitions=4)
+        cfg = IndexConfig(n_buckets=4)
+        # reference: clean 2-shard build (robots-noindex pages make
+        # doc_count < 120, so compare against a full build, not 120)
+        want = build_index(spark, pages, ref, cfg, n_shards=2,
+                           resume=False)["doc_count"]
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(spark, pages, out, cfg, n_shards=2,
+                        resume=False, fail_after_shard=0)
+        meta = build_index(spark, pages, out, cfg)  # default n_shards=1
+        assert meta["n_shards"] == 2
+        assert meta["doc_count"] == want
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert eng.handle.stats["n_docs"] == want
+
+    def test_fresh_build_invalidates_stale_shard_manifests(
+            self, spark, tmp_path):
+        """resume=False starts a new build epoch: shard manifests of
+        the PREVIOUS build must not let a later resume skip shards
+        whose data belongs to the old input under the new bounds."""
+        out = str(tmp_path / "fresh")
+        pages = generate_pages_df(spark, 120, partitions=4)
+        cfg = IndexConfig(n_buckets=4)
+        want = build_index(spark, pages, out, cfg, n_shards=2,
+                           resume=False)["doc_count"]
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(spark, pages, out, cfg, n_shards=2,
+                        resume=False, fail_after_shard=0)
+        meta = build_index(spark, pages, out, cfg, n_shards=2)
+        assert meta["complete"] and meta["doc_count"] == want
+
+    def test_merge_rejects_incompatible_configs(self, spark, tmp_path):
+        a, b, out = (str(tmp_path / d) for d in ("ca", "cb", "cm"))
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, a, IndexConfig(n_buckets=4),
+                    n_shards=1)
+        build_index(spark, pages, b, IndexConfig(n_buckets=8),
+                    n_shards=1)
+        with pytest.raises(ValueError, match="n_buckets"):
+            merge_indexes(spark, [a, b], out)
+
+    def test_merge_carries_auto_stopwords(self, spark, tmp_path):
+        from swish_e_spark.index.maintenance import apply_ignore_limit
+
+        a, b, out = (str(tmp_path / d) for d in ("sa", "sb", "sm"))
+        pages = generate_pages_df(spark, 120, partitions=4)
+        build_index(spark, pages, a, IndexConfig(**CFG), n_shards=1)
+        build_index(spark, pages, b, IndexConfig(**CFG), n_shards=1)
+        stopped = apply_ignore_limit(spark, a, plimit=30, flimit=5)
+        assert "common0" in stopped
+        meta = merge_indexes(spark, [a, b], out)
+        # the stopped terms' postings were copied verbatim; dropping
+        # the list would resurrect them in the merged index
+        assert set(stopped) <= set(meta["auto_stopwords"])
+
+    def test_merge_target_must_not_exist(self, spark, tmp_path):
+        a, out = str(tmp_path / "ta"), str(tmp_path / "tout")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, a, IndexConfig(n_buckets=4),
+                    n_shards=1)
+        import os
+        os.makedirs(out)
+        open(os.path.join(out, "junk"), "w").close()
+        with pytest.raises(ValueError, match="already exists"):
+            merge_indexes(spark, [a], out)
+
+    def test_crashed_update_leaves_index_refusing_to_open(
+            self, spark, tmp_path, monkeypatch):
+        """A crash mid-update must never serve the new shard's docs
+        alongside their un-tombstoned old versions: the update window
+        marks the manifest incomplete before any data commits."""
+        import swish_e_spark.index.maintenance as M
+
+        out = str(tmp_path / "crashupd")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected update crash")
+
+        monkeypatch.setattr(M, "_build_shard", boom)
+        with pytest.raises(RuntimeError, match="injected update"):
+            update_documents(spark, pages.limit(5), out)
+        with pytest.raises(ValueError, match="incomplete"):
+            IndexHandle(spark, out)
+
+    def test_remove_after_update_counts_live_docs_only(
+            self, spark, tmp_path, corpus300):
+        out = str(tmp_path / "rmu")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        url = sorted(r["url"] for r in corpus300[:60])[0]
+        upd = pages.filter(pages.url == url)
+        res = update_documents(spark, upd, out)
+        assert res["replaced"] == 1
+        # one live doc carries the url now; the superseded version is
+        # already tombstoned and must not be re-counted
+        assert remove_documents(spark, out, [url]) == 1
+
     def test_stale_engine_errors_after_maintenance(self, spark,
                                                    tmp_path, corpus300):
         """The engine's lossless per-handle caches (dictionary, θ,
