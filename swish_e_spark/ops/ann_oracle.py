@@ -38,15 +38,31 @@ def _lit_list(vals) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
 
 
+def _embedding_dim(sf_dir: str = ORACLE_SF_DIR) -> int:
+    """Embedding dimensionality read from the gate's own table — the
+    Spark side (similarity.lsh_buckets) derives dim from the data, so
+    a hardcoded dim here would silently diverge the hyperplane draw if
+    the table ever changes shape."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+        return len(t.column("embedding")[0])
+    except Exception:
+        return 64
+
+
 def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10,
                      n_planes: int = N_PLANES, seed: int = 7,
                      n_tables: int = N_TABLES) -> str:
     """SQL reproducing similarity.ann_lsh_topk exactly."""
     bucket_ctes = []
     cand_ctes = []
+    dim = _embedding_dim()
     for t in range(n_tables):
         rng = np.random.default_rng(seed + 101 * t)
-        planes = rng.standard_normal((n_planes, 64))
+        planes = rng.standard_normal((n_planes, dim))
         bits = " + ".join(
             f"(case when list_dot_product(v, {_lit_list(planes[j])}) > 0"
             f" then {1 << j} else 0 end)"

@@ -32,6 +32,25 @@ import re
 
 from .corpus import TOKEN_SPLIT, documents, tokens
 
+_PERSISTED: dict = {}  # tag -> the last persisted frame per pipeline
+
+
+def _persist(tag: str, df):
+    """Persist ``df``, releasing the PREVIOUS persisted frame of the
+    same pipeline. The entry functions return lazy plans, so a persist
+    can only be dropped when the next call supersedes it — this bounds
+    executor-storage growth to one generation per pipeline instead of
+    leaking a cached shingle table per invocation."""
+    old = _PERSISTED.get(tag)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PERSISTED[tag] = df
+    return df
+
 # production-shaped LSH parameters: 128 hashes in 16 bands of 8 rows
 # give P(candidate) = 1-(1-j^8)^16 — ~0.95 at jaccard 0.8, ~0.001 at
 # 0.3 — so banding is a real filter, not ~all pairs (round-1 verdict:
@@ -114,7 +133,7 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold=0.8,
         freq = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                 .filter(F.col("df") > max_df).select("sh"))
         sh = sh.join(F.broadcast(freq), "sh", "left_anti")
-    sh = sh.persist()
+    sh = _persist("ngram_shingles", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     shared = (x.join(y, (F.col("x.sh") == F.col("y.sh"))
@@ -232,7 +251,7 @@ def lsh_near_duplicates(spark, sf_dir, threshold=0.8,
     from pyspark.sql import functions as F
 
     cand = lsh_candidate_pairs(spark, sf_dir, n_hashes, n_bands)
-    dt = _capped_shingles(spark, sf_dir).persist()
+    dt = _persist("lsh_verify_shingles", _capped_shingles(spark, sf_dir))
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     xa = dt.select(F.col("doc_id").alias("a"), "sh")
     xb = dt.select(F.col("doc_id").alias("b"), "sh")

@@ -218,15 +218,23 @@ def _decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            # validate BEFORE any allocation sized from these fields: a
+            # corrupt 200-byte payload must not allocate gigabytes or
+            # divide by a zero sampling factor
+            if h <= 0 or w <= 0 or not 1 <= nc <= 4:
+                raise ValueError("bad SOF dimensions")
+            if h * w > MAX_PIXELS:
+                raise ValueError("image exceeds decoder pixel cap")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    raise ValueError("bad sampling factors")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
                      "prog": marker == 0xC2}
-            if frame["prog"]:
-                coef = _alloc_coefs(frame)
+            coef = _alloc_coefs(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG (lossless/arith/12-bit)")
@@ -242,14 +250,15 @@ def _decode_jpeg(payload: bytes):
                 scomp.append((cs, tt >> 4, tt & 15))
             data_start = pos + seglen
             if not frame["prog"]:
-                return _decode_scan(payload, data_start, frame, scomp,
-                                    qt, huff_dc, huff_ac,
-                                    restart_interval)
-            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
-            end = _decode_prog_scan(payload, data_start, frame, scomp,
-                                    ss, se, ahal >> 4, ahal & 15,
-                                    huff_dc, huff_ac, restart_interval,
-                                    coef)
+                end = _decode_base_scan(payload, data_start, frame,
+                                        scomp, huff_dc, huff_ac,
+                                        restart_interval, coef)
+            else:
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                end = _decode_prog_scan(payload, data_start, frame,
+                                        scomp, ss, se, ahal >> 4,
+                                        ahal & 15, huff_dc, huff_ac,
+                                        restart_interval, coef)
             scans_decoded += 1
             # skip to the next true marker (entropy data may contain
             # stuffed FF00 and RSTn bytes the outer loop must not parse)
@@ -262,65 +271,73 @@ def _decode_jpeg(payload: bytes):
             pos = p
             continue
         pos += seglen
-    if frame is not None and frame.get("prog") and scans_decoded:
+    if frame is not None and scans_decoded:
         return _reconstruct_prog(frame, coef, qt)
     raise ValueError("no SOS in JPEG")
 
 
-def _decode_scan(data, start, frame, scomp, qt, huff_dc, huff_ac,
-                 restart_interval):
-    h, w = frame["h"], frame["w"]
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scomp:
-        c = by_id[cs]
-        order.append((c, td, ta))
-    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                                np.float64) for c in comps}
-    pred = {c["id"]: 0 for c in comps}
+MAX_PIXELS = 1 << 26  # 67M px (~8K x 8K): a corrupt header must not
+                      # size an allocation; real pipeline media is far
+                      # smaller and a legit larger image should be
+                      # downscaled before the feature kernel anyway
+
+
+def _decode_base_scan(data, start, frame, scomp, huff_dc, huff_ac,
+                      restart_interval, coef):
+    """One baseline sequential scan decoded into the coefficient
+    store: interleaved MCU walk when ns > 1, else the single
+    component's OWN block raster (T.81 A.2.2 — non-interleaved scans
+    are not MCU-padded). Accumulating scans like the progressive path
+    makes multi-scan baseline files (one SOS per component, a legal
+    and extant encoder output) decode correctly instead of returning
+    after the first scan with the other components' planes empty."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    _hmax, _vmax, mcux, mcuy = _geometry(frame)
     br = _BitReader(data, start)
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.align_restart()
-                for k in pred:
-                    pred[k] = 0
-            for c, td, ta in order:
+    pred = {cs: 0 for cs, _, _ in scomp}
+
+    def block(blk, td, ta, cid):
+        t = _huff_decode(br, huff_dc[td])
+        pred[cid] += _extend(br.read(t), t)
+        blk[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, huff_ac[ta])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                break
+            blk[ZIGZAG[k]] = _extend(br.read(s), s)
+            k += 1
+
+    interleaved = len(scomp) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        bh, bw = _comp_blocks(frame, by_id[scomp[0][0]])
+        n_units = bh * bw
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.align_restart()
+            for kk in pred:
+                pred[kk] = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for cid, td, ta in scomp:
+                c = by_id[cid]
                 for vy in range(c["v"]):
                     for vx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = _huff_decode(br, huff_dc[td])
-                        diff = _extend(br.read(t), t)
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, huff_ac[ta])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            blk[ZIGZAG[k]] = _extend(br.read(s), s)
-                            k += 1
-                        q = qt[c["tq"]]
-                        px = idct2((blk.reshape(8, 8) * q)
-                                   .astype(np.float64)) + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
-            mcu += 1
-    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
+                        block(coef[cid][my * c["v"] + vy,
+                                        mx * c["h"] + vx], td, ta, cid)
+        else:
+            cid, td, ta = scomp[0]
+            block(coef[cid][u // bw, u % bw], td, ta, cid)
+    return br.pos
 
 
 def _planes_to_pixels(planes, comps, hmax, vmax, h, w):
@@ -925,9 +942,13 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality_scale: int = 1,
 
 def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                separate_scans: bool = False) -> bytes:
     """Encode HxWx{1,3} uint8 to baseline JPEG (fixtures only).
-    quality_scale divides the Annex K tables (1 = default)."""
+    quality_scale divides the Annex K tables (1 = default).
+    separate_scans emits one non-interleaved SOS per component
+    (4:4:4 only) — the multi-scan baseline form real encoders also
+    produce, which the decoder must accumulate across scans."""
     h, w = pixels.shape[:2]
     nc = 1 if pixels.ndim == 2 or pixels.shape[2] == 1 else 3
     px = pixels.reshape(h, w, nc).astype(np.float64)
@@ -965,11 +986,6 @@ def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,
         seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    body = bytes([nc])
-    for ci in range(nc):
-        body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    body += bytes([0, 63, 0])
-    seg(0xDA, body)
 
     dc_lum, ac_lum = _enc_huff(K3_DC_LUM), _enc_huff(K3_AC_LUM)
     dc_chr, ac_chr = _enc_huff(K3_DC_CHR), _enc_huff(K3_AC_CHR)
@@ -1006,6 +1022,64 @@ def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,
             at = ac_lum if ci == 0 else ac_chr
             comp_planes.append((pad_plane(ch, 1, 1), 1, 1, q, dt, at))
 
+    def enc_block(bw_, p, y0, x0, q, dt, at, pred_v):
+        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+        co = np.round(dct2(blk) / q).astype(np.int32)
+        zz = co.reshape(-1)[ZIGZAG]
+        diff = int(zz[0]) - pred_v
+        t, code = _mag(diff)
+        ln, c = dt[t]
+        bw_.write(c, ln)
+        if t:
+            bw_.write(code, t)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, c = at[0xF0]
+                bw_.write(c, ln)
+                run -= 16
+            t, code = _mag(v)
+            ln, c = at[(run << 4) | t]
+            bw_.write(c, ln)
+            bw_.write(code, t)
+            run = 0
+        if last < 63:
+            ln, c = at[0x00]
+            bw_.write(c, ln)
+        return int(zz[0])
+
+    if separate_scans:
+        # one SOS per component (legal baseline, T.81 B.2.3): each
+        # scan walks the component's own block raster non-interleaved.
+        # Fixture mode restricted to the geometry where the component
+        # raster equals its padded grid (no subsampling, no restarts).
+        assert not subsample and not restart_interval
+        for ci, (p, fh, fv, q, dt, at) in enumerate(comp_planes):
+            seg(0xDA, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11,
+                             0, 63, 0]))
+            bw = _BitWriter()
+            pred_c = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    pred_c = enc_block(bw, p, my * 8, mx * 8, q, dt,
+                                       at, pred_c)
+            bw.flush()
+            out.extend(bw.out)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    body = bytes([nc])
+    for ci in range(nc):
+        body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    body += bytes([0, 63, 0])
+    seg(0xDA, body)
     pred = [0] * nc
     mcu = 0
     rst = 0
@@ -1022,39 +1096,9 @@ def encode_jpeg(pixels: np.ndarray, quality_scale: int = 1,
             for ci, (p, fh, fv, q, dt, at) in enumerate(comp_planes):
                 for vy in range(fv):
                     for vx in range(fh):
-                        y0 = (my * fv + vy) * 8
-                        x0 = (mx * fh + vx) * 8
-                        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        co = np.round(dct2(blk) / q).astype(np.int32)
-                        zz = co.reshape(-1)[ZIGZAG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        t, code = _mag(diff)
-                        ln, c = dt[t]
-                        bw.write(c, ln)
-                        if t:
-                            bw.write(code, t)
-                        run = 0
-                        last = 63
-                        while last > 0 and zz[last] == 0:
-                            last -= 1
-                        for k in range(1, last + 1):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                ln, c = at[0xF0]
-                                bw.write(c, ln)
-                                run -= 16
-                            t, code = _mag(v)
-                            ln, c = at[(run << 4) | t]
-                            bw.write(c, ln)
-                            bw.write(code, t)
-                            run = 0
-                        if last < 63:
-                            ln, c = at[0x00]
-                            bw.write(c, ln)
+                        pred[ci] = enc_block(
+                            bw, p, (my * fv + vy) * 8,
+                            (mx * fh + vx) * 8, q, dt, at, pred[ci])
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")

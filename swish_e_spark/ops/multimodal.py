@@ -369,7 +369,8 @@ def decode_png(payload: bytes):
     w, h, depth, ctype, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None or comp != 0 or filt != 0 \
-            or interlace not in (0, 1) or w <= 0 or h <= 0:
+            or interlace not in (0, 1) or w <= 0 or h <= 0 \
+            or w * h > (1 << 26):  # a corrupt IHDR must not size RAM
         return None
     # sub-byte packed depths exist only for gray and palette (spec §11)
     if depth in (1, 2, 4):
@@ -412,24 +413,29 @@ def decode_png(payload: bytes):
             return None
         px = to_samples(bts, h, w)
     else:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, channels), dtype=np.uint16)
-        off = 0
+        # validate the whole pass layout against the decompressed size
+        # BEFORE allocating the output — IHDR dims are untrusted input
+        passes = []
+        total = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
             need = ph * (row_bytes(pw) + 1)
-            if off + need > len(raw):
-                return None
+            passes.append((x0, y0, dx, dy, pw, ph, need))
+            total += need
+        if total != len(raw):
+            return None
+        px = np.zeros((h, w, channels), dtype=np.uint16)
+        off = 0
+        for x0, y0, dx, dy, pw, ph, need in passes:
             bts = _png_unfilter_bytes(raw[off:off + need], ph,
                                       row_bytes(pw), bpp)
             if bts is None:
                 return None
             px[y0::dy, x0::dx] = to_samples(bts, ph, pw)
             off += need
-        if off != len(raw):
-            return None
     maxval = float((1 << depth) - 1)
     if ctype == 0:
         gray = px[:, :, 0].astype(np.float32)
@@ -473,7 +479,9 @@ def _guarded(fn, payload):
     try:
         return fn(payload)
     except (ValueError, KeyError, IndexError, OverflowError,
-            struct.error):
+            ZeroDivisionError, MemoryError, struct.error):
+        # MemoryError backstop: dimension caps reject absurd headers
+        # before allocation, but any slip must degrade, not kill tasks
         return None
 
 
@@ -502,8 +510,10 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
         from .gif import decode_gif
 
         img = _guarded(decode_gif, payload)
-    if img is not None:
-        return resize_thumb(img)
+    if img is not None and img.size:
+        thumb = _guarded(lambda _p: resize_thumb(img), payload)
+        if thumb is not None:
+            return thumb
     if not fake:
         raise NotImplementedError(
             "compressed-media codecs not available in this "

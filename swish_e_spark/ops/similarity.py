@@ -86,10 +86,11 @@ def _train_centroids(vectors: np.ndarray, n_centroids: int,
     n = len(vectors)
     cents = vectors[rng.choice(n, size=min(n_centroids, n),
                                replace=False)].astype(np.float64)
+    # cosine assignment ≈ dot on normalized vectors; the sample matrix
+    # never changes, so normalize it once outside the Lloyd loop
+    vn = vectors / np.maximum(
+        np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        # cosine assignment ≈ dot on normalized vectors
-        vn = vectors / np.maximum(
-            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
         cn = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(vn @ cn.T, axis=1)

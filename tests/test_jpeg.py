@@ -39,6 +39,20 @@ class TestRoundTrip:
         # seam of the %200 ramp dominates on the larger images
         assert err < 12.0
 
+    @pytest.mark.parametrize("shape", [(24, 40, 3), (17, 23, 3),
+                                       (8, 8, 3)])
+    def test_multi_scan_baseline_equals_interleaved(self, shape):
+        """A legal baseline file with one non-interleaved SOS per
+        component (T.81 B.2.3) must decode identically to the
+        interleaved form — the decoder accumulates scans rather than
+        returning after the first (which left chroma planes empty)."""
+        rng = np.random.default_rng(sum(shape))
+        px = (rng.random(shape) * 255).astype(np.uint8)
+        inter = decode_jpeg(encode_jpeg(px))
+        multi = decode_jpeg(encode_jpeg(px, separate_scans=True))
+        assert inter[:3] == multi[:3]
+        assert np.array_equal(inter[3], multi[3])
+
     def test_flat_image_near_exact(self):
         img = np.full((24, 24, 3), 128, np.uint8)
         _, _, _, dec = decode_jpeg(encode_jpeg(img))
@@ -78,6 +92,28 @@ class TestMalformed:
         data = encode_jpeg(img)
         h, w, c, dec = decode_jpeg(data[: len(data) - 20])
         assert (h, w, c) == (16, 16, 1)
+
+    def test_corrupt_sof_fields_raise_valueerror(self):
+        """Zero sampling factors, zero dimensions, and absurd
+        dimensions must all raise ValueError BEFORE any allocation
+        sized from the untrusted header (no ZeroDivisionError, no
+        multi-GB numpy allocs from a 200-byte payload)."""
+        img = _gradient(16, 16, 3)
+        base = bytearray(encode_jpeg(img))
+        i = bytes(base).find(b"\xff\xc0")
+        hv0 = bytearray(base)
+        hv0[i + 11] = 0x00  # first component sampling factors -> 0
+        with pytest.raises(ValueError, match="sampling"):
+            decode_jpeg(bytes(hv0))
+        h0 = bytearray(base)
+        h0[i + 5:i + 7] = (0).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_jpeg(bytes(h0))
+        huge = bytearray(base)
+        huge[i + 5:i + 7] = (60000).to_bytes(2, "big")
+        huge[i + 7:i + 9] = (60000).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="pixel cap"):
+            decode_jpeg(bytes(huge))
 
     def test_fill_bytes_before_markers(self):
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
