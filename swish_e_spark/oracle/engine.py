@@ -197,13 +197,18 @@ class OracleIndex:
         if isinstance(node, Or):
             left = self._eval(node.left, mask)
             right = self._eval(node.right, mask)
-            out = dict(left)
+            # OR posdata is a PLAIN sorted merge: drop NEAR series
+            # separators (sorting 0s to the front would make an
+            # enclosing NEAR reject every doc via an empty series)
+            out = {d: (sc, sorted(x for x in pos if x))
+                   for d, (sc, pos) in left.items()}
             for d, (sc, pos) in right.items():
+                flat = sorted(x for x in pos if x)
                 if d in out:
                     s0, p0 = out[d]
-                    out[d] = (s0 + sc, sorted(p0 + pos))
+                    out[d] = (s0 + sc, sorted(p0 + flat))
                 else:
-                    out[d] = (sc, pos)
+                    out[d] = (sc, flat)
             return out
         if isinstance(node, AndNot):
             left = self._eval(node.left, mask)

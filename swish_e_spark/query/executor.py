@@ -976,19 +976,31 @@ class SparkQueryEngine:
         theta_key = (repr(node), k) if not limits else None
         cached_theta = self._theta_cache.get(theta_key) \
             if theta_key is not None else None
-        if cached_theta is not None \
-                and all(kk in self._rare_docs_cache
-                        for kk in rare_exact):
+        if cached_theta is not None:
             # warm repeat: the previous run's true k-th score is the
-            # tightest lossless θ — no seed job at all
+            # tightest lossless θ — no seed job at all. Rare-leaf doc
+            # sets not yet cached (the Spark-seed first run doesn't
+            # fetch them) come from the bounded driver-side _leaf_docs
+            # fetch, so conjunction repeats warm up too, not only
+            # pure-OR shapes.
             theta = cached_theta
-            exact_docs = {kk: self._rare_docs_cache[kk]
-                          for kk in rare_exact}
+            for kk in rare_exact:
+                if kk not in self._rare_docs_cache:
+                    ids = self._leaf_docs(*kk)
+                    if ids is None:
+                        continue
+                exact_docs[kk] = self._rare_docs_cache[kk]
         elif not required and not aux and not limits \
                 and len(seed) <= 64:
             theta, exact_docs = self._seed_theta_driver(
                 scan_for(seed), idf_by_leaf, avgdl, k, bases,
                 want_docs=rare_exact)
+            # same bound as _leaf_docs: the exact-doc cache must not
+            # grow without limit on a long-lived engine
+            held = sum(len(v) for v in self._rare_docs_cache.values())
+            add = sum(len(v) for v in exact_docs.values())
+            if held + add > self._RARE_DOCS_CACHE_IDS:
+                self._rare_docs_cache.clear()
             self._rare_docs_cache.update(exact_docs)
         else:
             seed_scan = scan_for(seed)
@@ -1522,10 +1534,12 @@ class SparkQueryEngine:
             # match_df directly)
             from pyspark.sql import functions as F
 
+            from itertools import islice
+
             df = (self.match_df(q, structure_mask, limits)
                   .orderBy(F.desc("score"), F.asc("doc_id")))
             return [(r["doc_id"], r["score"])
-                    for r in df.toLocalIterator()][:k]
+                    for r in islice(df.toLocalIterator(), k)]
         rows = self.search_df(q, k, structure_mask, limits).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -1592,8 +1606,10 @@ class SparkQueryEngine:
         from pyspark.sql import functions as F
 
         if isinstance(node, Term):
+            # positions always travel on the exhaustive path: the
+            # result surface (output.py) reads them for match display
             return self._leaf_term(decoded, node.field, node.term, dfs,
-                                   stats, _needs_positions(node) or True)
+                                   stats, True)
         if isinstance(node, (Prefix, Pattern)):
             if isinstance(node, Prefix):
                 matching = [(f, t) for (f, t) in dfs
@@ -1648,9 +1664,14 @@ class SparkQueryEngine:
         if isinstance(node, Or):
             left = self._eval(node.left, decoded, dfs, stats)
             right = self._eval(node.right, decoded, dfs, stats)
+            # an OR result is a PLAIN merged position list (the
+            # reference has no series concept for OR): NEAR-operand
+            # separators must be dropped, not sorted to the front
+            # where an enclosing NEAR would see an empty first series
             return (left.unionByName(right).groupBy("doc_id")
                     .agg(F.sum("score").alias("score"),
-                         F.array_sort(F.flatten(F.collect_list("positions")))
+                         F.array_sort(F.array_remove(
+                             F.flatten(F.collect_list("positions")), 0))
                          .alias("positions")))
         if isinstance(node, AndNot):
             left = self._eval(node.left, decoded, dfs, stats)

@@ -108,10 +108,12 @@ def format_results(rows: list[dict], fmt: str = '%r %p "%t" %l',
     fmt = fmt.replace("\\n", "\n").replace("\\t", "\t")
     if delimiter is not None:
         # -d replaces the separators BETWEEN output fields, never
-        # spaces inside property values (printResultOutput,
-        # /root/reference/src/result_output.c): substitute in the
-        # template before interpolation
-        fmt = fmt.replace(" ", delimiter)
+        # spaces inside property values or inside <prop fmt=/.../>
+        # controls (whose tag syntax REQUIRES whitespace): substitute
+        # only outside <...> spans of the template
+        parts = re.split(r"(<[^>]*>)", fmt)
+        fmt = "".join(p if p.startswith("<")
+                      else p.replace(" ", delimiter) for p in parts)
     out = []
     for row in rows:
         def sub(m):
@@ -173,10 +175,17 @@ def search_info(engine, q: str, k: int = 10, **kw) -> dict:
     _node, pinfo = parse_query_info(q, engine.cfg)
     t0 = time.time()
     results = engine.search(q, k=k, **kw)
+    # the reference's "Number of hits" header is the TOTAL match
+    # count, not the page size (display_result_headers,
+    # /root/reference/src/swish.c:1769-1800) — only pay the count job
+    # when the page came back full (otherwise len(results) IS it)
+    n_hits = len(results)
+    if n_hits == k:
+        n_hits = int(engine.match_df(q, **kw).count())
     elapsed = time.time() - t0
     return {
         **pinfo,
-        "number_of_hits": len(results),
+        "number_of_hits": n_hits,
         "run_time_s": round(elapsed, 3),
         "results": results,
     }

@@ -277,9 +277,24 @@ class _Parser:
                 raise QueryError(f"bad wildcard token: {tok!r}")
             self.kept_terms += 1
             return Pattern(field, pat)
-        wildcard = tok.endswith("*")
-        body = tok[:-1] if wildcard else tok
-        words = [w for w in tokenize_query_text(body, self.cfg)]
+        if tok.endswith("*"):
+            # trailing-* prefix: like in-word wildcards, the body
+            # bypasses stemming AND stopword removal — the reference
+            # expands wildcards against the index's sorted word list
+            # verbatim (/root/reference/src/search.c:1662-1728), so
+            # `the*` matches theory/them and a stemmed index is probed
+            # with the raw prefix, not its stem
+            from ..textproc.tokenizer import DEFAULT_TRANSLATE
+
+            trans = (self.cfg.translate
+                     if self.cfg.translate is not None
+                     else DEFAULT_TRANSLATE)
+            body = tok[:-1].lower().translate(trans)
+            if not re.fullmatch(r"[a-z0-9]+", body):
+                raise QueryError(f"bad wildcard token: {tok!r}")
+            self.kept_terms += 1
+            return Prefix(field, body)
+        words = [w for w in tokenize_query_text(tok, self.cfg)]
         if not words:
             return None
         if all(w is None for w in words):
@@ -287,12 +302,6 @@ class _Parser:
             return None
         words = [w for w in words if w is not None]
         self.kept_terms += len(words)
-        if wildcard:
-            if len(words) != 1:
-                raise QueryError(f"bad wildcard token: {tok!r}")
-            w0 = words[0]
-            return Prefix(field, w0[0] if isinstance(w0, tuple)
-                          else w0)
         if len(words) == 1:
             w0 = words[0]
             if isinstance(w0, tuple):

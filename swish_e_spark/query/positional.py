@@ -71,7 +71,10 @@ def near_chain(lpos, rpos, dist):
     series = split_series(lpos)
     if any(not s for s in series):
         return None  # degenerate (empty series can never detect)
-    rp = sorted(set(rpos))
+    # a right-nested NEAR result (via parens) carries 0 separators in
+    # ITS posdata; 0 is never a token position (positions start at 1)
+    # and the reference treats an operand's positions as a flat list
+    rp = sorted(set(rpos) - {0})
     valid2 = [p2 for p2 in rp
               if all(any(abs(p1 - p2) <= dist for p1 in s)
                      for s in series)]
@@ -155,6 +158,10 @@ def near_batch(pl_series, pr_series, dist):
                for a in pl_series]
     rp_list = [np.asarray(a if a is not None else [], dtype=np.int64)
                for a in pr_series]
+    # strip series separators from the RIGHT operand (right-nested
+    # NEAR via parens): 0 is a separator, never a real position, and
+    # the flat kernel would otherwise match |p1 - 0| <= dist
+    rp_list = [a[a != 0] for a in rp_list]
     n = len(lp_list)
     chain = np.fromiter(
         (a.size > 0 and bool((a == 0).any()) for a in lp_list),

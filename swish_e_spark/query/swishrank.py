@@ -282,12 +282,15 @@ def _o_eval(oidx, node, scheme: int, _level: int = 1):
     if isinstance(node, Or):
         left = _o_eval(oidx, node.left, scheme)
         right = _o_eval(oidx, node.right, scheme)
-        out = dict(left)
+        # plain sorted merge, NEAR separators dropped (see oracle Or)
+        out = {d: (r, sorted(x for x in p if x))
+               for d, (r, p) in left.items()}
         for d, (r, p) in right.items():
+            flat = sorted(x for x in p if x)
             if d in out:
-                out[d] = (out[d][0] + r, sorted(out[d][1] + p))
+                out[d] = (out[d][0] + r, sorted(out[d][1] + flat))
             else:
-                out[d] = (r, p)
+                out[d] = (r, flat)
         return out
     if isinstance(node, AndNot):
         left = _o_eval(oidx, node.left, scheme)
@@ -354,6 +357,7 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
     the execution is distributed. ``rank_biases`` defaults to the
     index config's persisted per-metaname biases. Returns
     [(doc_id, rank)]."""
+    engine.handle.ensure_current()  # stale caches must error, not lie
     node = parse_query(q, engine.cfg)
     decoded = engine._decoded(node, None, need_structs=True)
     if decoded is None:
@@ -490,7 +494,8 @@ def _s_eval(engine, node, decoded, dfs, stats, total_positions, scheme,
         right = rec(node.right)
         return (left.unionByName(right).groupBy("doc_id")
                 .agg(F.sum("rank").alias("rank"),
-                     F.array_sort(F.flatten(F.collect_list("positions")))
+                     F.array_sort(F.array_remove(
+                         F.flatten(F.collect_list("positions")), 0))
                      .alias("positions")))
     if isinstance(node, AndNot):
         left = rec(node.left)

@@ -282,6 +282,8 @@ class TestMergeUpdateRemove:
             eng.search("pigs", k=5)
         with pytest.raises(RuntimeError, match="changed since"):
             eng.match_df("pigs")
+        with pytest.raises(RuntimeError, match="changed since"):
+            spark_swish_search(eng, "pigs", k=5)
         # a fresh handle+engine over the mutated index works
         eng2 = SparkQueryEngine(spark, IndexHandle(spark, out))
         assert eng2.search("pigs", k=5)

@@ -99,6 +99,62 @@ class TestNearChainEndToEnd:
                 assert es == pytest.approx(osc, rel=1e-6)
 
 
+class TestNearComposition:
+    """NEAR composed with parenthesized NEAR and with OR: the posdata
+    series separators (0s) must never be read as token positions.
+    These are ABSOLUTE assertions, not engine==oracle identity — both
+    sides share the kernels, so identity alone cannot catch a shared
+    separator bug."""
+
+    ROWS = [
+        # doc 0: alpha near the start, bravo/charlie cluster far away
+        ("r0.txt", "alpha " + "x " * 90 + "bravo charlie end"),
+        # doc 1: alpha adjacent to the bravo/charlie cluster
+        ("r1.txt", "filler " * 5 + "alpha bravo charlie end"),
+        # doc 2: matches bravo near2 charlie; delta right next to it
+        ("r2.txt", "pad pad bravo charlie delta tail words here"),
+        # doc 3: matches via echo (the OR's other branch) next to delta
+        ("r3.txt", "pad echo delta tail words here pad pad"),
+        # doc 4: bravo/charlie pair but delta FAR away
+        ("r4.txt", "bravo charlie " + "y " * 60 + "delta"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("nearcomp"))
+        build_index(spark, _pages(spark, self.ROWS), out,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        return SparkQueryEngine(spark, IndexHandle(spark, out))
+
+    def test_right_nested_near(self, engine):
+        # alpha near5 (bravo near5 charlie): doc 0's alpha is 90+
+        # words from the pair — a 0 separator in the right operand's
+        # posdata must not be accepted as a matchable position
+        oracle = _oracle(self.ROWS)
+        q = "alpha near5 (bravo near5 charlie)"
+        want = {d for d, _ in oracle.query(q, k=10)}
+        got = {d for d, _ in engine.search(q, k=10)}
+        assert want == {1}
+        assert got == {1}
+
+    def test_near_over_or(self, engine):
+        # (bravo near2 charlie or echo) near3 delta: doc 2 matches via
+        # the NEAR branch — its separator-carrying posdata must not be
+        # sorted into an empty leading series; doc 3 via echo; doc 4's
+        # delta is far from its pair
+        oracle = _oracle(self.ROWS)
+        q = "(bravo near2 charlie or echo) near3 delta"
+        want = {d for d, _ in oracle.query(q, k=10)}
+        got = {d for d, _ in engine.search(q, k=10)}
+        assert want == {2, 3}
+        assert got == {2, 3}
+
+    def test_unit_right_separator_not_a_position(self):
+        # |3 - 0| <= 5 must not match: 0 is a separator, not a token
+        assert near_chain([3], [100, 0, 102], 5) is None
+        assert near_chain([99], [100, 0, 102], 5) is not None
+
+
 class TestTokenizerConfigRoundTrip:
     ROWS = [
         ("c0.txt", "naive cafe facade jalapeno supercalifragilistic"),

@@ -49,6 +49,48 @@ class TestPattern:
         assert [d for d, _ in got] == \
             [d for d, _ in oracle300.query("p?gs", k=10)]
 
+    def test_prefix_bypasses_stopwords_and_stemming(self, engine,
+                                                    oracle300):
+        """Trailing-* bodies expand against the word list verbatim
+        (/root/reference/src/search.c:1662-1728): `the*` is NOT a
+        stopword query, and a stemmed index is probed with the raw
+        prefix, never its stem."""
+        from swish_e_spark.query.parser import Prefix as PrefixNode
+
+        node = parse_query("the*")  # default stopwords include 'the'
+        assert isinstance(node, PrefixNode)
+        assert node.prefix == "the"
+        got = engine.search("the*", k=10)
+        want = oracle300.query("the*", k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        # stemming must not rewrite the prefix body
+        from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+        stem_cfg = TokenizerConfig(fuzzy="porter")
+        node = parse_query("running*", stem_cfg)
+        assert isinstance(node, PrefixNode)
+        assert node.prefix == "running"  # not the stem 'run'
+
+    def test_number_of_hits_is_total_not_page(self, engine, oracle300):
+        from swish_e_spark.query.output import search_info
+
+        info = search_info(engine, "common0", k=5)
+        assert len(info["results"]) == 5
+        total = len(oracle300.query("common0", k=10 ** 6))
+        assert info["number_of_hits"] == total > 5
+
+    def test_delimiter_preserves_fmt_controls(self):
+        from swish_e_spark.query.output import format_results
+
+        import datetime
+
+        rows = [{"rank": 1000, "url": "u", "title": "t",
+                 "doc_len": 9,
+                 "warc_ts": datetime.datetime(2024, 3, 1)}]
+        out = format_results(rows, fmt="%r <warc_ts fmt=/%Y %m/>",
+                             delimiter="|")
+        assert out == ["1000|2024 03"]
+
 
 class TestMultiIndexAndAlt:
     @pytest.fixture(scope="class")
