@@ -475,20 +475,76 @@ def update_documents(spark, pages_df, index_dir: str):
     _atomic_write_json(index_meta_path, meta)
     sm = _build_shard(spark, pages_df, index_dir, cfg, shard_id, doc_base,
                       _plan_partitions(pages_df, cfg))
+    # tombstones go to a STAGING dir first: repair_incomplete_update
+    # can then roll a crashed update back (drop shard + staging) or
+    # forward (merge staging, finalize manifest) without ever having
+    # to delete rows out of the append-only removed/ table
+    staging = os.path.join(index_dir, f"_removed_staging_{shard_id}")
+    n_replaced = superseded.count()
+    if n_replaced:
+        (superseded.select("doc_id", "url")
+         .write.mode("overwrite").parquet(staging))
     _atomic_write_json(
         os.path.join(_manifest_dir(index_dir), f"shard_{shard_id}.json"),
         sm)
-    n_replaced = superseded.count()
-    if n_replaced:
-        _append_removed(spark, index_dir, superseded)
+    _finish_update(spark, index_dir, meta, sm, staging)
+    return {"shard": sm, "replaced": n_replaced}
 
+
+def _finish_update(spark, index_dir, meta, sm, staging):
+    """Merge staged tombstones and finalize the manifest — the shared
+    tail of update_documents and the roll-forward repair path."""
+    if os.path.isdir(staging):
+        _append_removed(spark, index_dir, spark.read.parquet(staging))
+        shutil.rmtree(staging, ignore_errors=True)
+    shard_id = meta["updating_shard"]
     meta["n_shards"] = shard_id + 1
-    meta["doc_count"] = doc_base + sm["doc_count"]
+    meta["doc_count"] = meta["doc_count"] + sm["doc_count"]
     meta["token_count"] = meta.get("token_count", 0) + sm["token_count"]
     meta["posting_count"] = (meta.get("posting_count", 0)
                              + sm["posting_count"])
     meta["complete"] = True
     meta.pop("updating_shard", None)
     meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
-    _atomic_write_json(index_meta_path, meta)
-    return {"shard": sm, "replaced": n_replaced}
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+
+
+def repair_incomplete_update(spark, index_dir: str) -> str | None:
+    """Recover an index whose update_documents crashed mid-flight
+    (manifest left with complete=False + updating_shard). Returns
+    \"forward\" / \"rollback\" / None (nothing to repair).
+
+    Roll FORWARD when the new shard fully committed (its manifest and
+    all three data dirs exist): merge any staged tombstones and
+    finalize — equivalent to the update having succeeded. Otherwise
+    roll BACK: drop the partial shard artifacts and staged tombstones
+    (removed/ was never touched — tombstones merge only after the
+    shard commit), restoring the pre-update index. Either way the
+    index opens again and a replayed batch (streaming at-least-once)
+    converges to the same final state."""
+    meta = _load_meta(index_dir)
+    if meta.get("complete") or "updating_shard" not in meta:
+        return None
+    sid = int(meta["updating_shard"])
+    staging = os.path.join(index_dir, f"_removed_staging_{sid}")
+    shard_manifest = os.path.join(_manifest_dir(index_dir),
+                                  f"shard_{sid}.json")
+    data_dirs = [os.path.join(index_dir, part, f"shard={sid}")
+                 for part in ("docs", "segments", "terms")]
+    if os.path.exists(shard_manifest) \
+            and all(os.path.isdir(d) for d in data_dirs):
+        sm = json.load(open(shard_manifest))
+        _finish_update(spark, index_dir, meta, sm, staging)
+        return "forward"
+    for d in data_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(shard_manifest):
+        os.remove(shard_manifest)
+    meta["complete"] = True
+    meta.pop("updating_shard", None)
+    meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+    return "rollback"

@@ -14,7 +14,14 @@ failure (at-least-once). Replays are ABSORBED, not duplicated: each
 shard commit is atomic (temp dir + rename + manifest swap), and
 re-indexing the same urls tombstones the previous copies, so a
 replayed batch converges to the same visible index state — query
-results are effectively exactly-once. A later compact_index folds the
+results are effectively exactly-once. A crash INSIDE an update leaves
+the manifest incomplete; every batch therefore first runs
+maintenance.repair_incomplete_update, which rolls the interrupted
+update forward (shard fully committed: finalize) or back (partial:
+drop the artifacts) before applying its own data. Within-batch url
+duplicates dedupe deterministically (newest warc_ts, content hash as
+the tiebreaker), so a replay indexes the same rows the original
+attempt did. A later compact_index folds the
 accumulated shards/tombstones down (the maintenance story is shared
 with batch mode).
 
@@ -45,22 +52,35 @@ def stream_index(pages_stream_df, index_dir: str, checkpoint_dir: str,
     Returns the ``StreamingQuery``.
     """
     from .. import index  # noqa: F401  (package import side locality)
-    from ..index.maintenance import update_documents
+    from ..index.maintenance import (
+        repair_incomplete_update, update_documents,
+    )
 
     def _batch(df, batch_id: int):
         spark = df.sparkSession
-        # an empty micro-batch (trigger fired, nothing new) is a no-op
-        if not df.take(1):
-            return
-        # within-batch duplicates would race in one shard: keep the
-        # newest row per url (across batches, replace semantics handle
-        # ordering)
-        from pyspark.sql import Window, functions as F
+        # a crash mid-update (at-least-once delivery means this batch
+        # may BE the redelivery of the one that crashed) leaves the
+        # manifest incomplete — repair first (roll the interrupted
+        # update forward or back), then apply this batch normally
+        repair_incomplete_update(spark, index_dir)
+        batch = df.persist()  # read once: probe + replace-join + build
+        try:
+            # an empty micro-batch (trigger fired, nothing new): no-op
+            if not batch.take(1):
+                return
+            # within-batch duplicates would race in one shard: keep
+            # the newest row per url, content hash as a DETERMINISTIC
+            # tiebreaker on equal timestamps so a replayed batch
+            # indexes the same row the original attempt did
+            from pyspark.sql import Window, functions as F
 
-        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        df = (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
-        update_documents(spark, df, index_dir)
+            w = Window.partitionBy("url").orderBy(
+                F.desc("warc_ts"), F.desc(F.xxhash64("html")))
+            deduped = (batch.withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") == 1).drop("_rn"))
+            update_documents(spark, deduped, index_dir)
+        finally:
+            batch.unpersist()
 
     writer = (pages_stream_df.writeStream
               .foreachBatch(_batch)

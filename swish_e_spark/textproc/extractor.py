@@ -163,7 +163,6 @@ class _SwishHTMLParser(HTMLParser):
         self._emph_depth = 0
         self._ignore_depth = 0
         self._noindex_toggle = False
-        self._meta_field: str | None = None
         self._pending_break = True  # document start is a boundary
         self._buf: list[str] = []
         self._buf_bits = 0
@@ -184,8 +183,6 @@ class _SwishHTMLParser(HTMLParser):
             b |= IN_HEAD | IN_HEADER
         if self._emph_depth:
             b |= IN_EMPHASIZED
-        if self._meta_field:
-            b |= IN_META
         return b
 
     def _flush(self) -> None:
@@ -206,8 +203,6 @@ class _SwishHTMLParser(HTMLParser):
             self._buf_bits = 0
 
     def _field_now(self) -> str:
-        if self._meta_field:
-            return self._meta_field
         if self._in_title:
             return TITLE_FIELD
         if self.xml_mode and self._xml_stack:
@@ -258,9 +253,13 @@ class _SwishHTMLParser(HTMLParser):
             name = (d.get("name") or "").lower()
             content = d.get("content") or ""
             if name == "robots" and "noindex" in (content or "").lower():
-                self.doc.noindex = True
-            elif name and content:
-                # meta content is its own positional island
+                self.doc.noindex = True  # doc-level abort: always acts
+            elif name and content and not self._ignore_depth \
+                    and not self._noindex_toggle:
+                # meta content is its own positional island; inside a
+                # <!-- noindex --> section or ignored scope it is
+                # suppressed like body text (and the a-href / img-alt
+                # branches below)
                 self._flush()
                 self.doc.events.append(
                     Event(name, to_latin1_text(content), IN_FILE | IN_META, True)
@@ -351,6 +350,12 @@ class _SwishHTMLParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs) -> None:
         self.handle_starttag(tag, attrs)
+        if tag in _IGNORE_CONTENT_TAGS or self.xml_mode:
+            # an empty <script/>/<style/> opens no content scope (the
+            # start above incremented _ignore_depth — without this end
+            # every later text node in the doc would be dropped); XML
+            # self-closing tags likewise pop their metaname scope
+            self.handle_endtag(tag)
 
     def handle_comment(self, data: str) -> None:
         directive = data.strip().lower()
@@ -485,15 +490,24 @@ def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
                 # a quoted value containing '>' would have been split
                 # wrongly above — quote imbalance detects it
                 return False
+            if m[8] and attrs_s and not attrs_s[-1].isspace() \
+                    and attrs_s[-1] not in "\"'":
+                # '<a href=foo/>': html.parser folds the '/' into the
+                # unquoted value and sees a plain start tag — the
+                # regex already split it as self-close; bail so the
+                # html.parser path keeps byte-identity
+                return False
             tag = m[6].lower()
             attrs = _fast_attrs(attrs_s) \
                 if (tag in _ATTR_TAGS and attrs_s.strip()) else []
             handle_start(tag, attrs)
-            # self-closing: handle_startendtag above calls starttag
-            # ONLY (no synthetic end), so '<b/>' opens emphasis just
-            # like the html.parser path
+            # self-closing: mirror handle_startendtag — no synthetic
+            # end for structure tags ('<b/>' opens emphasis like the
+            # html.parser path), but ignore-content scopes and XML
+            # metaname scopes close immediately
             if m[8]:
-                pass
+                if tag in _IGNORE_CONTENT_TAGS or p.xml_mode:
+                    handle_end(tag)
             elif tag in _CDATA_CLOSE:
                 # html.parser CDATA content mode: raw until the close
                 # tag, no charref conversion

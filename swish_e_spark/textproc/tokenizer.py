@@ -50,9 +50,18 @@ def _sanity_re(max_consec: int, max_repeat: int):
     rx = _SANITY_CACHE.get(key)
     if rx is None:
         n = max_consec
+        # runs reject at > IGNOREROW chars; same-char runs reject at
+        # > IGNORESAME+1 (the reference counts REPEATS: check.c:90-96
+        # increments `same` from the second identical char). Vowel/
+        # consonant/digit row counters treat punctuation as
+        # TRANSPARENT (check.c's else-if chain never resets rows on
+        # ispunct), hence the [^a-z0-9]* gaps; the same-char rule uses
+        # plain adjacency (lastchar updates on every char).
         rx = _SANITY_CACHE[key] = re.compile(
-            "[aeiou]{%d,}|[bcdfghjklmnpqrstvwxyz]{%d,}|[0-9]{%d,}"
-            r"|(.)\1{%d,}" % (n + 1, n + 1, n + 1, max_repeat))
+            "(?:[aeiou][^a-z0-9]*){%d,}"
+            "|(?:[bcdfghjklmnpqrstvwxyz][^a-z0-9]*){%d,}"
+            "|(?:[0-9][^a-z0-9]*){%d,}"
+            r"|(.)\1{%d,}" % (n + 1, n + 1, n + 1, max_repeat + 1))
     return rx
 
 # Default TranslateCharacters map: fold Latin-1 accented letters to
@@ -243,6 +252,9 @@ class Posting:
 def normalize_token(tok: str, cfg: TokenizerConfig) -> str | None:
     """Stages 6-8 for one already-split subword: length checks, stopword
     check, stemming. Returns None if the token is dropped."""
+    if tok in cfg.buzzwords:
+        return tok  # buzzwords index verbatim, bypassing every check
+                    # (/root/reference/src/index.c:2611-2625)
     if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
         return None
     if not cfg.char_checks_ok(tok):
@@ -266,9 +278,18 @@ def split_words(text: str, cfg: TokenizerConfig):
         if not word:
             continue
         low = word.lower()
-        if low in cfg.buzzwords:
-            yield low
-            continue
+        if cfg.buzzwords:
+            # the reference strips Ignore{Last,First}Chars BEFORE the
+            # buzzword comparison (index.c:2611-2620): 'c++.' with
+            # IgnoreLastChar '.' matches buzzword 'c++'
+            sw = low
+            if strip_l:
+                sw = sw.rstrip(strip_l)
+            if strip_f:
+                sw = sw.lstrip(strip_f)
+            if sw in cfg.buzzwords:
+                yield sw
+                continue
         low = low.translate(cfg.translate if cfg.translate is not None
                             else DEFAULT_TRANSLATE)
         for tok in word_re.findall(low):
@@ -284,16 +305,25 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
     """Tokenize a query word through the same pipeline; stopwords return
     None placeholders so phrase matching can keep positional gaps
     (parse_swish_words, /root/reference/src/swish_words.c:296-362)."""
+    if cfg.use_words is not None:
+        # UseWords is whole-word + verbatim (index.c:2598-2607): the
+        # lowercased whitespace word is checked against the allowlist
+        # directly — no translate, sub-split, or stemming; non-listed
+        # words are positional gaps
+        return [w.lower() if w.lower() in cfg.use_words else None
+                for w in _WS_RE.split(text) if w]
     out = []
     fn = cfg.fuzzy_fn()
     multi = cfg.fuzzy_multi_fn()
     for tok in split_words(text, cfg):
+        if tok in cfg.buzzwords:
+            out.append(tok)  # verbatim, bypassing every check
+            continue
         if not (cfg.min_word_len <= len(tok) <= cfg.max_word_len):
             continue
         if not cfg.char_checks_ok(tok):
             continue
-        if tok in cfg.stopwords or (cfg.use_words is not None
-                                    and tok not in cfg.use_words):
+        if tok in cfg.stopwords:
             out.append(None)
             continue
         if multi is not None:
@@ -322,6 +352,33 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     """
     by_field: dict = {}
     pos = 0
+    if cfg.use_words is not None:
+        # UseWords mode (index.c:2598-2607): whole whitespace words,
+        # lowercased and checked verbatim against the allowlist —
+        # translate, sub-split, stemming, and every other check are
+        # bypassed; non-listed words still consume a position
+        for ev in doc.events:
+            if ev.hard_break and pos:
+                pos += 1
+            fan = ev.fields if ev.fields else (ev.field_name,)
+            for word in _WS_RE.split(ev.text):
+                if not word:
+                    continue
+                pos += 1
+                low = word.lower()
+                if low not in cfg.use_words:
+                    continue
+                for f2 in fan:
+                    fd = by_field.setdefault(f2, {})
+                    p = fd.get(low)
+                    if p is None:
+                        fd[low] = Posting(f2, low, [pos],
+                                          [ev.structure])
+                    else:
+                        p.positions.append(pos)
+                        p.structures.append(ev.structure)
+        return ({(f, t): p for f, fd in by_field.items()
+                 for t, p in fd.items()}, pos)
     stop = cfg.stopwords
     fuzzy_fn = cfg.fuzzy_fn()
     multi_fn = cfg.fuzzy_multi_fn()
@@ -334,13 +391,11 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                        or cfg.end_chars)
     sanity_len = min(cfg.max_consec, cfg.max_repeat)  # tokens longer
                                  # than this get the isokword sanity regex
-    use_words = cfg.use_words
     findall = cfg.word_re().findall
     # hot-path eligibility: no dual-emission, no allowlist, no
     # per-token char checks — the inner loop then has no per-token
     # branching beyond length/stopword (build throughput path)
-    plain = (multi_fn is None and use_words is None
-             and not char_checks)
+    plain = (multi_fn is None and not char_checks)
     for ev in doc.events:
         if ev.hard_break and pos:
             pos += 1  # adjacency break across structure
@@ -358,6 +413,18 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                 fdict = by_field[field] = {}
             fget = fdict.get
             for raw in toks:
+                if buzz and raw in buzz:
+                    # verbatim, bypassing length/sanity/stopword/stem
+                    # (/root/reference/src/index.c:2611-2625)
+                    pos += 1
+                    p = fget(raw)
+                    if p is None:
+                        fdict[raw] = Posting(field, raw, [pos],
+                                             [structure])
+                    else:
+                        p.positions.append(pos)
+                        p.structures.append(structure)
+                    continue
                 lr = len(raw)
                 if lr < minl or lr > maxl:
                     continue
@@ -377,6 +444,19 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             continue
         fdict = None
         for raw in toks:
+            if buzz and raw in buzz:
+                # verbatim buzzword: bypasses every check and stem
+                pos += 1
+                for f2 in ((field,) if fan_fields is None
+                           else fan_fields):
+                    fd = by_field.setdefault(f2, {})
+                    p = fd.get(raw)
+                    if p is None:
+                        fd[raw] = Posting(f2, raw, [pos], [structure])
+                    else:
+                        p.positions.append(pos)
+                        p.structures.append(structure)
+                continue
             if not minl <= len(raw) <= maxl:
                 continue
             if (char_checks or len(raw) > sanity_len) \
@@ -384,8 +464,6 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                 continue
             pos += 1
             if raw in stop:
-                continue
-            if use_words is not None and raw not in use_words:
                 continue
             # DoubleMetaphone dual-emission: every code indexes at the
             # SAME position (the reference decrements the position

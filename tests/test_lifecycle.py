@@ -601,7 +601,11 @@ class TestSearchInfo:
         assert hdr["search_words"] == 'pigs AND "the wolf"'
         assert set(hdr["parsed_words"]) == {"pigs", "wolf"}
         assert hdr["removed_stopwords"] == 1  # "the"
-        assert hdr["number_of_hits"] == len(hdr["results"]) <= 5
+        # the reference's "Number of hits" is the TOTAL match count,
+        # not the page size (display_result_headers)
+        assert len(hdr["results"]) <= 5
+        total = eng.match_df('pigs AND "the wolf"').count()
+        assert hdr["number_of_hits"] == total >= len(hdr["results"])
         assert hdr["run_time_s"] >= 0
 
 

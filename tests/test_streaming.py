@@ -2,6 +2,7 @@
 into an existing index; final state matches an oracle built on the
 union, with replace semantics for re-crawled urls."""
 
+import pytest
 import os
 
 import pandas as pd
@@ -98,6 +99,64 @@ class TestStreamingIngest:
         assert [round(s, 9) for _, s in replay] == \
             [round(s, 9) for _, s in first]
         assert eng.search("foxtrot", k=10) == []
+
+    def test_crashed_update_repairs_and_replays(self, spark, tmp_path,
+                                                monkeypatch):
+        """A crash mid-update leaves the manifest incomplete; the
+        repair path must roll it BACK (partial shard: artifacts
+        dropped) or FORWARD (shard fully committed: finalized), after
+        which the replayed batch converges to the same final state."""
+        import swish_e_spark.index.maintenance as M
+        from swish_e_spark.index.maintenance import (
+            repair_incomplete_update, update_documents,
+        )
+
+        # --- rollback: crash INSIDE the shard build
+        idx = str(tmp_path / "cidx")
+        build_index(spark, _pages_df(spark, BASE, "2024-01-01"), idx,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        want = SparkQueryEngine(
+            spark, IndexHandle(spark, idx)).search("alpha", k=10)
+        drop = _pages_df(spark, DROP2, "2024-01-03")
+        real_build = M._build_shard
+        monkeypatch.setattr(M, "_build_shard",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash in build")))
+        with pytest.raises(RuntimeError, match="crash in build"):
+            update_documents(spark, drop, idx)
+        with pytest.raises(ValueError, match="incomplete"):
+            IndexHandle(spark, idx)
+        assert repair_incomplete_update(spark, idx) == "rollback"
+        eng = SparkQueryEngine(spark, IndexHandle(spark, idx))
+        assert [round(s, 9) for _, s in eng.search("alpha", k=10)] == \
+            [round(s, 9) for _, s in want]
+        monkeypatch.setattr(M, "_build_shard", real_build)
+
+        # --- roll forward: crash AFTER the shard committed, before
+        # the manifest finalize
+        real_finish = M._finish_update
+        monkeypatch.setattr(M, "_finish_update",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash at finalize")))
+        with pytest.raises(RuntimeError, match="crash at finalize"):
+            update_documents(spark, drop, idx)
+        monkeypatch.setattr(M, "_finish_update", real_finish)
+        assert repair_incomplete_update(spark, idx) == "forward"
+        handle = IndexHandle(spark, idx)
+        eng = SparkQueryEngine(spark, handle)
+        # the forward-rolled state equals a clean update's state
+        ref = str(tmp_path / "refidx")
+        build_index(spark, _pages_df(spark, BASE, "2024-01-01"), ref,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        update_documents(spark, drop, ref)
+        ref_eng = SparkQueryEngine(spark, IndexHandle(spark, ref))
+        assert handle.stats["n_docs"] == \
+            ref_eng.handle.stats["n_docs"]
+        for q in ("alpha", "delta"):
+            assert [round(s, 9) for _, s in eng.search(q, k=10)] == \
+                [round(s, 9) for _, s in ref_eng.search(q, k=10)], q
+        # nothing left to repair
+        assert repair_incomplete_update(spark, idx) is None
 
     @staticmethod
     def _urls(handle, results):

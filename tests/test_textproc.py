@@ -107,6 +107,36 @@ class TestExtractor:
                       b"visible</body>")
         assert doc.body_text() == "visible"
 
+    def test_self_closing_script_opens_no_scope(self):
+        # XHTML-style <script src=.../> must not swallow the rest of
+        # the document (regression: the start incremented the ignore
+        # depth and no end ever closed it)
+        doc = extract(b'<html><head><script src="app.js"/></head>'
+                      b"<body><p>before</p><p>after</p></body></html>")
+        assert "before" in doc.body_text()
+        assert "after" in doc.body_text()
+
+    def test_meta_inside_noindex_suppressed(self):
+        # meta content inside a <!-- noindex --> section is dropped
+        # like body text; robots-noindex still acts document-wide
+        doc = extract(b'<body><!-- noindex -->'
+                      b'<meta name="author" content="secret">'
+                      b"<p>hidden</p><!-- index --><p>shown</p></body>")
+        texts = {ev.text for ev in doc.events}
+        assert not any("secret" in t for t in texts)
+        assert any("shown" in t for t in texts)
+
+    def test_unquoted_attr_trailing_slash(self):
+        # '<a href=foo/>' is a START tag with value 'foo/' per
+        # html.parser (HTML5 unquoted-value rules): both lexer paths
+        # must agree — the fast path bails to html.parser here
+        doc = extract(b"<body><a href=foo/>x</a> tail</body>",
+                      index_links=True)
+        links = [ev.text for ev in doc.events
+                 if ev.field_name == "links"]
+        assert links == ["foo/"]
+        assert "x" in doc.body_text()
+
     def test_xml_tags_are_fields(self):
         doc = extract(b"<all><meta3>metatest3 word</meta3>"
                       b"<desc>descword</desc></all>", doctype="xml")
@@ -175,6 +205,66 @@ class TestTokenizer:
         assert pt < pb and doc_len >= 2
 
 
+class TestBuzzAndUseWordSemantics:
+    """BuzzWords and UseWords follow the reference's whole-word
+    bypass semantics (/root/reference/src/index.c:2590-2625): matched
+    words index VERBATIM, skipping stopwords, stemming, length and
+    sanity checks; buzzword comparison happens after the
+    Ignore{Last,First}Chars strip; UseWords checks the lowercased
+    whitespace word before any sub-split."""
+
+    def test_buzzwords_bypass_stopwords_and_stemming(self):
+        from swish_e_spark.textproc.extractor import extract
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_doc, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(
+            buzzwords=frozenset({"the", "running", "c++"}),
+            fuzzy="porter")
+        doc = extract(b"the running order c++ works", doctype="txt")
+        postings, doc_len = tokenize_doc(doc, cfg)
+        terms = {t for (_f, t) in postings}
+        assert {"the", "running", "c++", "order", "work"} <= terms
+        assert "run" not in terms  # buzzword escaped the stemmer
+        assert doc_len == 5
+        assert tokenize_query_text("the running", cfg) == \
+            ["the", "running"]
+
+    def test_buzzword_matches_after_ignore_char_strip(self):
+        from swish_e_spark.textproc.extractor import extract
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_doc,
+        )
+
+        cfg = TokenizerConfig(buzzwords=frozenset({"c++"}),
+                              ignore_last_chars=".,")
+        doc = extract(b"see c++. now", doctype="txt")
+        postings, _ = tokenize_doc(doc, cfg)
+        assert "c++" in {t for (_f, t) in postings}
+
+    def test_use_words_whole_word_verbatim(self):
+        from swish_e_spark.textproc.extractor import extract
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_doc, tokenize_query_text,
+        )
+
+        # 'foo-bar' is in the allowlist: the reference checks the
+        # whole whitespace word, so it must index as one verbatim
+        # term, never sub-split into foo/bar; 'running' stays
+        # unstemmed even with a stemmer configured
+        cfg = TokenizerConfig(
+            use_words=frozenset({"foo-bar", "running"}),
+            fuzzy="porter")
+        doc = extract(b"foo-bar and running daily", doctype="txt")
+        postings, doc_len = tokenize_doc(doc, cfg)
+        got = {t: p.positions for (_f, t), p in postings.items()}
+        assert got == {"foo-bar": [1], "running": [3]}
+        assert doc_len == 4
+        assert tokenize_query_text("foo-bar running", cfg) == \
+            ["foo-bar", "running"]
+
+
 class TestTokenFilters:
     def test_use_words_allowlist(self):
         from swish_e_spark.textproc.tokenizer import (
@@ -238,6 +328,29 @@ class TestTokenFilters:
         d = TokenizerConfig(stopwords=frozenset())
         assert tokenize_query_text("supercalifragilistic", d) == \
             ["supercalifragilistic"]
+
+    def test_isokword_reference_edges(self):
+        """check.c:90-130 edge parity: a run of exactly
+        IGNORESAME+1 identical chars is ACCEPTED (the counter counts
+        repeats and rejects only > IGNORESAME); punctuation is
+        TRANSPARENT to the vowel/consonant/digit row counters but not
+        to the same-char counter."""
+        from swish_e_spark.textproc.tokenizer import (
+            TokenizerConfig, tokenize_query_text,
+        )
+
+        cfg = TokenizerConfig(stopwords=frozenset(), max_word_len=500,
+                              word_chars="abcdefghijklmnopqrstuvwxyz.-",
+                              max_consec=10, max_repeat=5)
+        # run of 6 (same-counter 5 = IGNORESAME): accepted;
+        # run of 7 (counter 6 > IGNORESAME): rejected
+        assert tokenize_query_text("koffffff kofffffff",
+                                   cfg) == ["koffffff"]
+        # 8 vowels split by '.' still counts as one 8-vowel row > 10?
+        # no: 8 <= 10, accepted; 12 vowels with '.' gaps: rejected
+        assert tokenize_query_text("baaaa.aaaab", cfg) == \
+            ["baaaa.aaaab"]
+        assert tokenize_query_text("baaaaaa.aaaaaab", cfg) == []
 
     def test_dont_bump_tags(self):
         from swish_e_spark.textproc.extractor import extract
