@@ -2,9 +2,8 @@
 
 Queries map SURVEY.md §2's operator inventory plus the training-data
 pipeline ops (dedup / similarity / text analysis) onto the driver's
-testdata tables. Each entry has an exactly-equivalent DuckDB oracle
-unless marked rows-only (engine-internal hashing or LSH probing that
-SQL cannot reproduce line-for-line).
+testdata tables. Every entry has an exactly-equivalent DuckDB oracle
+(rows + schema + value hash).
 
 The ``engine_*`` entries exercise the REAL segment-backed engine
 (index build via swish_e_spark.index.builder + distributed executor via
@@ -60,15 +59,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wand_warm_topk": engineq.engine_wand_warm_topk,
         "engine_rare_and": engineq.engine_rare_and,
         "engine_keyword_dump": engineq.engine_keyword_dump,
-        "engine_swishrank0_topk": engineq.engine_swishrank0_topk,  # rows-only
-        "engine_swishrank1_topk": engineq.engine_swishrank1_topk,  # rows-only
+        "engine_swishrank0_topk": engineq.engine_swishrank0_topk,
+        "engine_swishrank1_topk": engineq.engine_swishrank1_topk,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "lsh_near_duplicates": dedup.lsh_near_duplicates,
-        "simhash64": dedup.simhash64,               # rows-only
+        "simhash64": dedup.simhash64,
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,

@@ -182,7 +182,8 @@ def _minhash_hex(shingles, n_hashes: int) -> list:
     return out
 
 
-def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
+def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES,
+                       shingles=None):
     """Per-doc MinHash signature rows (doc_id, i, sig): sig = min over
     the doc's capped 3-gram shingles of md5(i || ':' || shingle) —
     shingle→minhash, so the signature approximates the same 3-gram
@@ -196,7 +197,8 @@ def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
     import pandas as pd
     from pyspark.sql import functions as F
 
-    sh = _capped_shingles(spark, sf_dir)
+    sh = shingles if shingles is not None \
+        else _capped_shingles(spark, sf_dir)
 
     def sig_rows(pdf):
         doc_id = pdf["doc_id"].iloc[0]
@@ -213,14 +215,14 @@ def minhash_signatures(spark, sf_dir, n_hashes=N_HASHES):
 
 
 def lsh_candidate_pairs(spark, sf_dir, n_hashes=N_HASHES,
-                        n_bands=N_BANDS):
+                        n_bands=N_BANDS, shingles=None):
     """MinHash-LSH banding: docs sharing any full band signature are
     candidate pairs (shingle→minhash→band→bucket-join). Deterministic,
     so the DuckDB oracle reproduces it exactly."""
     from pyspark.sql import functions as F
 
     rows = n_hashes // n_bands
-    sig = minhash_signatures(spark, sf_dir, n_hashes)
+    sig = minhash_signatures(spark, sf_dir, n_hashes, shingles)
     # ordered band signature via per-row conditional mins (collect_list
     # order would be nondeterministic)
     aggs = [F.min(F.when(F.col("i") % rows == k, F.col("sig")))
@@ -247,11 +249,14 @@ def lsh_near_duplicates(spark, sf_dir, threshold=0.8,
     exact-Jaccard verify over the capped 3-gram shingle sets the
     MinHash signatures approximate. Only candidate pairs pay the verify join —
     the 100 TB shape (banding = groupBy + bucket join, verify =
-    candidate-restricted intersection, never all-pairs)."""
+    candidate-restricted intersection, never all-pairs). ONE persisted
+    capped-shingle generation feeds both the signature path and the
+    verify join — the kernel pass runs once, not twice."""
     from pyspark.sql import functions as F
 
-    cand = lsh_candidate_pairs(spark, sf_dir, n_hashes, n_bands)
     dt = _persist("lsh_verify_shingles", _capped_shingles(spark, sf_dir))
+    cand = lsh_candidate_pairs(spark, sf_dir, n_hashes, n_bands,
+                               shingles=dt)
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     xa = dt.select(F.col("doc_id").alias("a"), "sh")
     xb = dt.select(F.col("doc_id").alias("b"), "sh")

@@ -145,14 +145,26 @@ def limit_by_property(spark, sf_dir, term="join"):
 
 def property_sort_rank(spark, sf_dir):
     """Presorted-property table analogue: dense_rank over n_chars
-    (sortFileProperties, /root/reference/src/pre_sort.c:415)."""
+    (sortFileProperties, /root/reference/src/pre_sort.c:415).
+
+    dense_rank over a single global window would funnel the whole docs
+    table through ONE partition — the classic 100 TB scale-killer.
+    Instead the rank is a pure function of the DISTINCT value set,
+    which is bounded by the value domain (doc sizes), not the row
+    count: distinct the values (a normal shuffle), rank them on the
+    driver, broadcast-join the (value, rank) map back. No global
+    Exchange(singlePartition) anywhere in the plan."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     docs = documents(spark, sf_dir)
-    w = Window.orderBy(F.desc("n_chars"))
-    return (docs.select("doc_id", "n_chars",
-                        F.dense_rank().over(w).cast("long").alias("size_rank"))
+    vals = sorted(r[0] for r in
+                  docs.select("n_chars").distinct().collect())
+    rank_map = spark.createDataFrame(
+        [(v, len(vals) - i) for i, v in enumerate(vals)],
+        "n_chars long, size_rank long")
+    return (docs.select("doc_id", "n_chars")
+            .join(F.broadcast(rank_map), "n_chars")
+            .select("doc_id", "n_chars", "size_rank")
             .orderBy("doc_id"))
 
 

@@ -178,36 +178,120 @@ def ann_ivf_topk(spark, sf_dir, query_vec_id=0, k=10, nprobe=4,
 N_TABLES = 8
 
 
+def _fold_dot(vec, plane) -> float:
+    """Strict left-to-right float64 fold — bit-identical to the JVM's
+    ``F.aggregate(zip_with(x*y), 0.0, acc+v)`` (and to DuckDB's
+    list_dot_product on the same data), so a bucket sign computed on
+    the driver equals the one the executors compute."""
+    acc = 0.0
+    for x, y in zip(vec, plane):
+        acc += float(x) * float(y)
+    return acc
+
+
+class LshAnnIndex:
+    """Build-once multi-table LSH ANN index over the embeddings table.
+
+    An ANN index is built once and probed many times; at 100 TB the
+    bucket table IS the index. Build = ONE scan computing every
+    table's sign-pattern bucket column (vec_id, embedding,
+    bucket_0..bucket_{T-1}), persisted (production: written out
+    bucketed/partitioned by bucket for partition-pruned probes).
+    Probe = the query's bucket per table computed DRIVER-SIDE in
+    numpy (the hyperplanes already live on the driver — zero Spark
+    jobs), then one filter over the cached index: ≤2 jobs per query
+    (one bounded query-vector fetch + one candidate scan)."""
+
+    def __init__(self, spark, sf_dir, n_planes=N_PLANES, seed=7,
+                 n_tables=N_TABLES):
+        from pyspark.sql import functions as F
+
+        from .corpus import embeddings
+
+        self.n_planes = n_planes
+        emb = embeddings(spark, sf_dir)
+        dim = len(emb.select("embedding").first()[0])
+        self.planes = [
+            np.random.default_rng(seed + 101 * t)
+            .standard_normal((n_planes, dim))
+            for t in range(n_tables)]
+        cols = []
+        for t, planes in enumerate(self.planes):
+            bucket = F.lit(0)
+            for j in range(n_planes):
+                plane_lit = F.array(*[F.lit(float(v))
+                                      for v in planes[j]])
+                dot = F.aggregate(
+                    F.zip_with("embedding", plane_lit,
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                bucket = bucket + F.when(dot > 0,
+                                         F.lit(1 << j)).otherwise(0)
+            cols.append(bucket.alias(f"bucket_{t}"))
+        self.table = emb.select("vec_id", "embedding", *cols).persist()
+
+    def probe_sets(self, qvec):
+        """Per-table probe bucket list (own bucket + Hamming-1) for a
+        query vector — pure driver-side numpy, no Spark jobs."""
+        out = []
+        for planes in self.planes:
+            qb = sum(1 << j for j in range(self.n_planes)
+                     if _fold_dot(qvec, planes[j]) > 0)
+            out.append([qb] + [qb ^ (1 << j)
+                               for j in range(self.n_planes)])
+        return out
+
+    def topk(self, query_vec_id, k=10):
+        """Exact cosine rerank over the multi-table candidate union.
+        A vector is a candidate if ANY table buckets it near the
+        query; with per-table bucket columns that union is a single
+        OR filter over the cached index — one job."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        q = (self.table.filter(F.col("vec_id") == query_vec_id)
+             .select("embedding").collect()[0][0])
+        probes = self.probe_sets(q)
+        cond = reduce(lambda a, b: a | b,
+                      (F.col(f"bucket_{t}").isin(p)
+                       for t, p in enumerate(probes)))
+        vec_lit = F.array(*[F.lit(float(v)) for v in q])
+        cand = (self.table
+                .filter(cond & (F.col("vec_id") != query_vec_id))
+                .withColumn("embedding",
+                            F.col("embedding").cast("array<double>")))
+        return (cand.select(
+                    "vec_id",
+                    F.round(_cosine_expr(vec_lit), 4).alias("cos"))
+                .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+    def unpersist(self):
+        self.table.unpersist()
+
+
+_LSH_INDEX_CACHE: dict = {}
+
+
+def lsh_ann_index(spark, sf_dir, n_planes=N_PLANES, seed=7,
+                  n_tables=N_TABLES) -> LshAnnIndex:
+    """Memoized index per (sf_dir, params) — queries reuse the one
+    persisted bucket table instead of rebuilding it per call."""
+    key = (sf_dir, n_planes, seed, n_tables)
+    idx = _LSH_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = LshAnnIndex(spark, sf_dir, n_planes, seed, n_tables)
+        _LSH_INDEX_CACHE[key] = idx
+    return idx
+
+
 def ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10,
                  n_planes=N_PLANES, seed=7, n_tables=N_TABLES):
     """ANN: restrict the cosine scan to the query's LSH bucket (plus
     Hamming-1 neighbour buckets) in each of ``n_tables`` independent
     hash tables, then exact rerank over the candidate union — the
-    standard multi-table recall lever (a vector is a candidate if ANY
-    table buckets it near the query). Each table is one bucket
-    groupBy-join; candidates stay distributed."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
-    from .corpus import embeddings
-
-    cands = []
-    for t in range(n_tables):
-        buckets = lsh_buckets(spark, sf_dir, n_planes, seed + 101 * t)
-        qb = buckets.filter(F.col("vec_id") == query_vec_id) \
-            .select("bucket").collect()[0][0]
-        probe = [qb] + [qb ^ (1 << j) for j in range(n_planes)]
-        cands.append(buckets.filter(F.col("bucket").isin(probe))
-                     .select("vec_id"))
-    cand = reduce(lambda a, b: a.union(b), cands).distinct()
-    emb = embeddings(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == query_vec_id) \
-        .select("embedding").collect()[0][0]
-    vec_lit = F.array(*[F.lit(float(v)) for v in q])
-    emb_d = emb.join(cand, "vec_id") \
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return (emb_d.filter(F.col("vec_id") != query_vec_id)
-            .select("vec_id",
-                    F.round(_cosine_expr(vec_lit), 4).alias("cos"))
-            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+    standard multi-table recall lever. Index-shaped: the bucket
+    tables are built once and reused across queries (LshAnnIndex);
+    a probe costs ≤2 jobs."""
+    return lsh_ann_index(spark, sf_dir, n_planes, seed,
+                         n_tables).topk(query_vec_id, k)
