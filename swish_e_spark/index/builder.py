@@ -607,8 +607,22 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
                            schema=CHUNK_SCHEMA))
     seg_tmp = os.path.join(out_dir, f"_tmp_segments_{shard_id}")
 
-    # both writes consume the materialized cache — run them as
-    # concurrent jobs so their driver-side commit latencies overlap
+    # terms summary table — the sorted word-list analogue
+    # (/root/reference/src/index.c:1965-1992): per-(term, field) df/cf;
+    # the query compiler prunes prefix scans to exact buckets with it.
+    # Summed over the staged PARTIAL chunks (each (doc, term, field)
+    # lives in exactly one partial, so Σdf/Σcf equal the merged
+    # totals), via a column-pruned scan of 5 tiny columns — which lets
+    # the terms job run CONCURRENTLY with the docs/segments writes
+    # instead of serially after the segment commit.
+    terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
+    terms_df = (staged.filter(F.col("kind") == 1)
+                .groupBy("term_bucket", "term", "field")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .sortWithinPartitions("term"))
+
+    # all three outputs consume the staged checkpoint — run them as
+    # concurrent jobs so their stage and commit latencies overlap
     import threading
 
     errs: list = []
@@ -622,40 +636,32 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
             errs.append(e)
         wtimes[name] = round(time.time() - t, 2)
 
-    t_docs = threading.Thread(target=_w, args=(
-        lambda: docs.write.mode("overwrite").parquet(docs_tmp), "docs"))
-    t_segs = threading.Thread(target=_w, args=(
-        lambda: (merged.write.mode("overwrite")
-                 .partitionBy("term_bucket").parquet(seg_tmp)), "segs"))
-    t_docs.start()
-    t_segs.start()
-    t_docs.join()
-    t_segs.join()
+    threads = [
+        threading.Thread(target=_w, args=(
+            lambda: docs.write.mode("overwrite").parquet(docs_tmp),
+            "docs")),
+        threading.Thread(target=_w, args=(
+            lambda: (merged.write.mode("overwrite")
+                     .partitionBy("term_bucket").parquet(seg_tmp)),
+            "segs")),
+        threading.Thread(target=_w, args=(
+            lambda: terms_df.write.mode("overwrite").parquet(terms_tmp),
+            "terms")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     if errs:
         raise errs[0]
     _commit_dir(docs_tmp, os.path.join(out_dir, "docs",
                                        f"shard={shard_id}"))
     _commit_dir(seg_tmp,
                 os.path.join(out_dir, "segments", f"shard={shard_id}"))
-    shutil.rmtree(stage_tmp, ignore_errors=True)
-    mark("writes")
-
-    # terms summary table — the sorted word-list analogue
-    # (/root/reference/src/index.c:1965-1992): per-(term, field) df/cf;
-    # the query compiler prunes prefix scans to exact buckets with it.
-    # Derived from the just-written segments via a COLUMN-PRUNED parquet
-    # read (5 tiny columns, no posting binaries) — cheaper than a third
-    # full pass over the staged cache.
-    terms_tmp = os.path.join(out_dir, f"_tmp_terms_{shard_id}")
-    seg_final = os.path.join(out_dir, "segments", f"shard={shard_id}")
-    (spark.read.schema(CHUNK_SCHEMA).parquet(seg_final)
-     .groupBy("term_bucket", "term", "field")
-     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-     .sortWithinPartitions("term")
-     .write.mode("overwrite").parquet(terms_tmp))
     _commit_dir(terms_tmp,
                 os.path.join(out_dir, "terms", f"shard={shard_id}"))
-    mark("terms")
+    shutil.rmtree(stage_tmp, ignore_errors=True)
+    mark("writes")
     if prof:
         import sys as _sys
         steps = {marks[i][0]: round(marks[i][1] - marks[i-1][1], 2)
