@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_wand_warm_topk": engineq.engine_wand_warm_topk,
         "engine_rare_and": engineq.engine_rare_and,
         "engine_keyword_dump": engineq.engine_keyword_dump,
+        "engine_batch_topk": engineq.engine_batch_topk,
         "engine_swishrank0_topk": engineq.engine_swishrank0_topk,
         "engine_swishrank1_topk": engineq.engine_swishrank1_topk,
         # training-data pipeline: dedup
@@ -106,6 +107,89 @@ raw as (
   group by tf.doc_id {both}
   order by s desc, tf.doc_id asc limit {k})
 select doc_id, cast(round(s, 4) as double) as score from raw"""
+
+
+def _batch_sql(k: int = 10) -> str:
+    """DuckDB oracle for engine_batch_topk: one shared BM25 leaf-score
+    CTE, then every battery query derived independently from it (the
+    structural spec lives in engineq.BATCH_BATTERY — same source the
+    engine battery runs). Every scored query has ≤2 leaves, so the SQL
+    float sum is order-free (commutative)."""
+    from swish_e_spark.ops.engineq import BATCH_BATTERY
+
+    all_terms = sorted({t for spec in BATCH_BATTERY
+                        for t in spec[3]})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    ctes = []
+    selects = []
+    for spec in BATCH_BATTERY:
+        qid, _, kind, terms = spec[0], spec[1], spec[2], spec[3]
+        tl = ", ".join(f"'{t}'" for t in terms)
+        if kind == "term":
+            body = (f"select '{qid}' as query_id, doc_id, "
+                    f"sum(s) as score from sc where t in ({tl}) "
+                    f"group by doc_id")
+        elif kind == "and":
+            body = (f"select '{qid}' as query_id, doc_id, "
+                    f"sum(s) as score from sc where t in ({tl}) "
+                    f"group by doc_id having count(distinct t) = 2")
+        elif kind == "or":
+            body = (f"select '{qid}' as query_id, doc_id, "
+                    f"sum(s) as score from sc where t in ({tl}) "
+                    f"group by doc_id")
+        elif kind == "andnot":
+            body = (f"select '{qid}' as query_id, doc_id, "
+                    f"sum(s) as score from sc where t = '{terms[0]}' "
+                    f"and doc_id not in (select doc_id from toks "
+                    f"where t = '{terms[1]}') group by doc_id")
+        elif kind == "phrase":
+            ctes.append(
+                f"m{qid} as (select distinct a.doc_id from toks a "
+                f"join toks b on a.doc_id = b.doc_id "
+                f"and b.p = a.p + 1 "
+                f"where a.t = '{terms[0]}' and b.t = '{terms[1]}')")
+            body = (f"select '{qid}' as query_id, sc.doc_id, "
+                    f"sum(s) as score from sc join m{qid} "
+                    f"using (doc_id) where sc.t in ({tl}) "
+                    f"group by sc.doc_id")
+        elif kind == "near":
+            dist = spec[4]
+            ctes.append(
+                f"m{qid} as (select distinct a.doc_id from toks a "
+                f"join toks b on a.doc_id = b.doc_id "
+                f"and abs(a.p - b.p) <= {dist} "
+                f"where a.t = '{terms[0]}' and b.t = '{terms[1]}')")
+            body = (f"select '{qid}' as query_id, sc.doc_id, "
+                    f"sum(s) as score from sc join m{qid} "
+                    f"using (doc_id) where sc.t in ({tl}) "
+                    f"group by sc.doc_id")
+        else:
+            raise ValueError(kind)
+        ctes.append(
+            f"{qid} as (select query_id, doc_id, "
+            f"cast(round(score, 4) as double) as score from ({body}) "
+            f"order by score desc, doc_id asc limit {k})")
+        selects.append(f"select * from {qid}")
+    union = " union all ".join(selects)
+    extra = ",\n".join(ctes)
+    return f"""
+with {DUCK_TOKS},
+dl as (select doc_id, count(*) as dl from toks where t <> ''
+       group by doc_id),
+st as (select (select count(*) from documents) as nd,
+              (select avg(dl) from dl) as avgdl),
+tf as (select doc_id, t, count(*) as tf from toks
+       where t in ({in_list}) group by doc_id, t),
+idf as (select t, count(*) as df from tf group by t),
+sc as (select tf.doc_id, tf.t,
+              ln((st.nd - idf.df + 0.5)/(idf.df + 0.5) + 1.0)
+              * tf.tf * ({_K1} + 1.0)
+              / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / st.avgdl))
+                as s
+       from tf join idf using (t) join dl using (doc_id) cross join st),
+{extra}
+{union}
+order by query_id, score desc, doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -209,6 +293,7 @@ with {toks}
 select distinct doc_id from toks where t like 'sc%' order by doc_id""",
         "engine_wand_topk": _bm25_sql("'hash','join'", 2),
         "engine_wand_warm_topk": _bm25_sql("'hash','join'", 2),
+        "engine_batch_topk": _batch_sql(),
         "engine_rare_and": f"""
 with {toks}
 select doc_id from toks where t = 'dup'

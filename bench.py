@@ -148,6 +148,34 @@ def main():
                     / max(s.get("chunks_total", 0), 1), 4)
                 times[f"{name}_allow_docs"] = s.get("allow_docs", 0)
 
+        # batch query API: 100-query battery through ONE shared
+        # pipeline (query/batch.py) vs the same shapes sequentially.
+        # Sequential cost is measured on a 10-query sample (one per
+        # family) — at ~0.5-1 s/job the full 100 would dominate bench
+        # wall for no extra information; the derived per-query numbers
+        # are what the speedup compares.
+        batch100 = {}
+        for i in range(10):
+            batch100[f"t{i}"] = f"midterm{i}"
+            batch100[f"a{i}"] = f"common0 AND midterm{i}"
+            batch100[f"o{i}"] = f"midterm{i} OR tailterm{i}"
+            batch100[f"n{i}"] = f"midterm{i} NEAR7 common0"
+            batch100[f"x{i}"] = f"common1 AND midterm{i}"
+            batch100[f"p{i}"] = f"tailterm{i} OR common1"
+            batch100[f"w{i}"] = f"midterm{i} wolf"
+            batch100[f"s{i}"] = f"midterm{i} AND pigs"
+            batch100[f"d{i}"] = f"midterm{i} NOT common0"
+            batch100[f"r{i}"] = f"tailterm{i} AND common0"
+        seq_sample = [batch100[f"{fam}0"] for fam in
+                      "t a o n x p w s d r".split()]
+        timed("q_batch100",
+              lambda: engine.search_batch(batch100, k=10).collect())
+        timed("q_seq10_sample",
+              lambda: [engine.search(q, k=10) for q in seq_sample])
+        times["batch_speedup_per_query"] = round(
+            (times["q_seq10_sample"] / 10)
+            / (times["q_batch100"] / 100), 2)
+
         # block-max WAND path (auto-gated to big indexes; force here so
         # the pruned plan is exercised and timed at bench scale), with
         # the SAME query run exhaustively for a like-for-like contrast

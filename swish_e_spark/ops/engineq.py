@@ -167,6 +167,54 @@ def engine_wand_warm_topk(spark, sf_dir, q="hash join", k=10):
         .orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+# one structural spec drives BOTH the engine battery and the DuckDB
+# oracle SQL (__spark_entry__._batch_sql): (qid, query string, kind,
+# terms..., [distance]) — kinds term/and/or/andnot/phrase/near, every
+# scored query ≤2 leaves so the oracle's float sum is commutative
+BATCH_BATTERY = [
+    ("q00", "hash", "term", ("hash",)),
+    ("q01", "join", "term", ("join",)),
+    ("q02", "vector", "term", ("vector",)),
+    ("q03", "dup", "term", ("dup",)),
+    ("q04", "scan", "term", ("scan",)),
+    ("q05", "window", "term", ("window",)),
+    ("q06", "spark", "term", ("spark",)),
+    ("q07", "filter", "term", ("filter",)),
+    ("q08", "hash AND join", "and", ("hash", "join")),
+    ("q09", "merge AND batch", "and", ("merge", "batch")),
+    ("q10", "dup AND hash", "and", ("dup", "hash")),
+    ("q11", "sort AND window", "and", ("sort", "window")),
+    ("q12", "group AND query", "and", ("group", "query")),
+    ("q13", "big AND slow", "and", ("big", "slow")),
+    ("q14", "vector OR stream", "or", ("vector", "stream")),
+    ("q15", "dup OR key", "or", ("dup", "key")),
+    ("q16", "fast OR line", "or", ("fast", "line")),
+    ("q17", "column OR value", "or", ("column", "value")),
+    ("q18", "hash NOT join", "andnot", ("hash", "join")),
+    ("q19", "scan NOT dup", "andnot", ("scan", "dup")),
+    ("q20", '"hash join"', "phrase", ("hash", "join")),
+    ("q21", '"stream table"', "phrase", ("stream", "table")),
+    ("q22", "merge NEAR4 batch", "near", ("merge", "batch"), 4),
+    ("q23", "data NEAR6 row", "near", ("data", "row"), 6),
+]
+
+
+def engine_batch_topk(spark, sf_dir, k=10):
+    """24-query battery scored in ONE shared pipeline
+    (query/batch.py): one pruned segment scan + one decode + one
+    doc_id shuffle for the whole battery, vs 24 separate jobs
+    sequentially. Results are rank-identical to per-query search_df;
+    the DuckDB oracle re-derives every query independently."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    queries = {qid: q for qid, q, *_ in BATCH_BATTERY}
+    df = eng.search_batch(queries, k=k)
+    return (df.select("query_id", "doc_id",
+                      F.round("score", 4).alias("score"))
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
 def engine_swishrank0_topk(spark, sf_dir, q="hash join", k=10):
     """Swish-e scheme-0 (structure-weighted TF) ranked top-k — engine
     path; rows-only driver check (the integer rank formula over per-

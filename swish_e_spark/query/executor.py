@@ -1543,6 +1543,15 @@ class SparkQueryEngine:
         rows = self.search_df(q, k, structure_mask, limits).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    def search_batch(self, queries, k: int = 10):
+        """Top-k of N queries in ONE shared pipeline (query/batch.py):
+        one pruned segment scan + one decode + one doc_id shuffle for
+        the whole battery. Returns DataFrame (query_id, doc_id, score)
+        rank-identical to per-query search_df."""
+        from .batch import search_batch
+
+        return search_batch(self, queries, k)
+
     def match_df(self, q: str, structure_mask=None,
                  limits: dict | None = None):
         """All matching (doc_id, score) rows, unranked — for match-set
