@@ -92,6 +92,15 @@ class IndexConfig:
     xml_attributes: bool = False       # <foo bar=v> -> foo.bar metaname
     xml_class_attributes: bool = False  # <foo class=c> content -> foo.c
     xml_nested_metanames: bool = False  # token indexes under EVERY open tag
+    metanames: tuple | None = None      # MetaNames declaration; None =
+                                        # auto (every meta/xml tag is a
+                                        # searchable field — the
+                                        # UndefinedMetaTags=auto
+                                        # analogue). Explicit tuple =
+                                        # reference semantics: only
+                                        # declared names become fields,
+                                        # everything else indexes as
+                                        # plain swishdefault text
     dont_bump_tags: tuple = ()          # DontBumpPositionOnMetaTags
     buzzwords: tuple = ()
     stopwords: tuple | None = None  # None = DEFAULT_STOPWORDS
@@ -103,8 +112,9 @@ class IndexConfig:
     begin_chars: str = ""           # BeginCharacters
     end_chars: str = ""             # EndCharacters
     translate_from: str = ""  # TranslateCharacters source chars; with
-    translate_to: str = ""    # the parallel targets ("" = the default
-                              # Latin-1 fold — directive
+    translate_to: str = ""    # the parallel targets ("" = no fold,
+                              # the reference default; ":ascii7:" =
+                              # the accent-fold table — directive
                               # /root/reference/src/index.c:2632,
                               # table /root/reference/src/swish.h:580)
     min_word_len: int | None = None  # MinWordLimit / MaxWordLimit
@@ -128,7 +138,11 @@ class IndexConfig:
         from ..textproc.stopwords import DEFAULT_STOPWORDS
 
         extra = {}
-        if self.translate_from:
+        if self.translate_from == ":ascii7:":
+            from ..textproc.tokenizer import ASCII7_TRANSLATE
+
+            extra["translate"] = ASCII7_TRANSLATE
+        elif self.translate_from:
             extra["translate"] = str.maketrans(self.translate_from,
                                                self.translate_to)
         for knob in ("min_word_len", "max_word_len", "max_consec",
@@ -242,7 +256,9 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                           xml_attributes=cfg.xml_attributes,
                           xml_class_attributes=cfg.xml_class_attributes,
                           xml_nested_metanames=cfg.xml_nested_metanames,
-                          dont_bump_tags=frozenset(cfg.dont_bump_tags))
+                          dont_bump_tags=frozenset(cfg.dont_bump_tags),
+                          metanames=(None if cfg.metanames is None
+                                     else frozenset(cfg.metanames)))
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)

@@ -224,7 +224,46 @@ def compact_index(spark, index_dir: str):
         decoded = decoded.join(removed.select("doc_id"), "doc_id",
                                "left_anti")
     if stopped:
-        decoded = decoded.filter(~F.col("term").isin(list(stopped)))
+        # reference parity (adjustWordPositions,
+        # /root/reference/src/index.c:1824-1924): removing the stopped
+        # words RENUMBERS surviving positions so the gaps collapse —
+        # post-compaction the index is identical to one built with the
+        # stopped words as index-time stopwords (which never consume
+        # positions). Per-doc removed-position arrays join back on
+        # doc_id (one extra shuffle — fine for the heavyweight op),
+        # then p -> p - |removed < p| and dl -> dl - |removed|.
+        stop_list = list(stopped)
+        rpos = (decoded.filter(F.col("term").isin(stop_list))
+                .select("doc_id", "positions")
+                .groupBy("doc_id")
+                # distinct: a token fanned into several fields (title,
+                # metanames) repeats the SAME position — it is one
+                # removed slot, not several
+                .agg(F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list("positions")))).alias("rpos")))
+        survivors = (decoded.filter(~F.col("term").isin(stop_list))
+                     .join(rpos, "doc_id", "left"))
+
+        def renumber(batches):
+            for pdf in batches:
+                pos_out = []
+                dl = pdf["dl"].to_numpy().copy()
+                for i, (p, rp) in enumerate(zip(pdf["positions"],
+                                                pdf["rpos"])):
+                    if rp is None or not len(rp):
+                        pos_out.append(p)
+                        continue
+                    rp = np.asarray(rp, dtype=np.int64)
+                    p64 = np.asarray(p, dtype=np.int64)
+                    pos_out.append(
+                        (p64 - np.searchsorted(rp, p64)).astype("int32"))
+                    dl[i] -= len(rp)
+                pdf = pdf.drop(columns=["rpos"])
+                pdf["positions"] = pos_out
+                pdf["dl"] = dl
+                yield pdf
+
+        decoded = survivors.mapInPandas(renumber, schema=DECODED_SCHEMA)
 
     n_buckets = cfg.n_buckets
     chunk_docs = cfg.chunk_docs
@@ -316,6 +355,15 @@ def compact_index(spark, index_dir: str):
     live = handle.live_docs()
     if "shard" in live.columns:
         live = live.drop("shard")
+    if stopped:
+        # doc_len (BM25 dl / TotalWordsPerFile) shrinks by the number
+        # of removed tokens, matching the renumbered positions
+        rcnt = rpos.select("doc_id", F.size("rpos").alias("rm"))
+        live = (live.join(rcnt, "doc_id", "left")
+                .withColumn("doc_len",
+                            F.col("doc_len")
+                            - F.coalesce(F.col("rm"), F.lit(0)))
+                .drop("rm"))
     live.write.mode("overwrite").parquet(docs_tmp)
 
     terms_tmp = os.path.join(index_dir, "_tmp_compact_terms")
@@ -356,13 +404,17 @@ def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
     /root/reference/src/index.c:1614-1820; defaults OFF — PLIMIT=101,
     FLIMIT=10000, /root/reference/src/config.h:160-163).
 
-    Spark-first: a METADATA-ONLY pass. The stopped words are recorded in
-    the manifest; the query compiler treats them as stopwords (so they
-    leave positional gaps in phrases — consistent with this engine's
-    index-time stopword semantics, which consume positions; the
-    reference's position renumbering exists only because ITS index-time
-    stopwords consume none). Posting data stays on disk untouched and
-    is dropped at the next compaction. Returns the stopped word list.
+    Spark-first: a METADATA-ONLY pass. The stopped words are recorded
+    in the manifest; the query compiler treats them as stopwords from
+    then on. Posting data stays on disk untouched until the next
+    compact_index, which drops the stopped postings AND renumbers
+    surviving positions (adjustWordPositions parity,
+    /root/reference/src/index.c:1824-1924) — post-compaction the index
+    is identical to one built with the stopped words as index-time
+    stopwords. In the transitional window between this call and
+    compaction, phrases spanning a stopped word do not match (the
+    index still carries the gap the query no longer spells).
+    Returns the stopped word list.
     """
     from pyspark.sql import functions as F
 

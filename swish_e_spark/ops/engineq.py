@@ -235,7 +235,10 @@ def engine_swishrank1_topk(spark, sf_dir, q="hash join", k=10):
     from ..query.swishrank import spark_swish_search
 
     eng = _engine(spark, sf_dir)
-    rows = spark_swish_search(eng, q, k=k, scheme=1)
+    # scheme 1 requires stored word counts (the reference refuses -R 1
+    # with IgnoreTotalWordCountWhenRanking 1); this index stores them
+    rows = spark_swish_search(eng, q, k=k, scheme=1,
+                              ignore_total_word_count=False)
     return spark.createDataFrame(
         [(int(d), int(r)) for d, r in rows] or [(None, None)],
         "doc_id long, rank long").where("doc_id is not null")

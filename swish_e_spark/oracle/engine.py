@@ -47,7 +47,8 @@ class OracleIndex:
                  xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
-                 dont_bump_tags: frozenset = frozenset()):
+                 dont_bump_tags: frozenset = frozenset(),
+                 metanames: frozenset | None = None):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
         self.index_links = index_links
@@ -56,6 +57,7 @@ class OracleIndex:
         self.xml_class_attributes = xml_class_attributes
         self.xml_nested_metanames = xml_nested_metanames
         self.dont_bump_tags = dont_bump_tags
+        self.metanames = metanames
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -81,7 +83,8 @@ class OracleIndex:
                           xml_attributes=self.xml_attributes,
                           xml_class_attributes=self.xml_class_attributes,
                           xml_nested_metanames=self.xml_nested_metanames,
-                          dont_bump_tags=self.dont_bump_tags)
+                          dont_bump_tags=self.dont_bump_tags,
+                          metanames=self.metanames)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)
@@ -277,9 +280,11 @@ class OracleIndex:
         node = parse_query(q, self.cfg)
         results = self._eval(node, structure_mask)
         if limits:
+            from ..query.proplimit import limit_value_ok
+
             results = {
                 d: v for d, v in results.items()
-                if all(lo <= self.docs[d].get(p) <= hi
+                if all(limit_value_ok(p, self.docs[d].get(p), lo, hi)
                        for p, (lo, hi) in limits.items())
             }
         ranked = sorted(results.items(), key=lambda kv: (-kv[1][0], kv[0]))

@@ -46,6 +46,7 @@ import pandas as pd
 from ..codec.postings import B, K1
 from ..index.builder import IndexHandle, term_bucket
 from ..oracle.engine import bm25_idf
+from .proplimit import limit_cond
 from .parser import (
     And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
     parse_query,
@@ -53,6 +54,7 @@ from .parser import (
 
 DECODED_SCHEMA = ("field string, term string, doc_id long, tf long, "
                   "dl long, positions array<int>, structs binary")
+
 
 
 def _decode_kernel(batches, need_positions: bool, structure_mask,
@@ -1318,7 +1320,7 @@ class SparkQueryEngine:
             docs = self.handle.live_docs()
             lcond = None
             for prop, (lo2, hi2) in limits.items():
-                c = F.col(prop).between(lo2, hi2)
+                c = limit_cond(prop, lo2, hi2)
                 lcond = c if lcond is None else lcond & c
             result = result.join(
                 docs.filter(lcond).select("doc_id"),
@@ -1509,7 +1511,7 @@ class SparkQueryEngine:
                 docs = self.handle.live_docs()
                 cond = None
                 for prop, (lo, hi) in limits.items():
-                    c = F.col(prop).between(lo, hi)
+                    c = limit_cond(prop, lo, hi)
                     cond = c if cond is None else cond & c
                 result = result.join(docs.filter(cond).select("doc_id"),
                                      "doc_id", "left_semi")
@@ -1575,7 +1577,7 @@ class SparkQueryEngine:
                 docs = self.handle.live_docs()
                 cond = None
                 for prop, (lo, hi) in limits.items():
-                    c = F.col(prop).between(lo, hi)
+                    c = limit_cond(prop, lo, hi)
                     cond = c if cond is None else cond & c
                 result = result.join(docs.filter(cond).select("doc_id"),
                                      "doc_id", "left_semi")

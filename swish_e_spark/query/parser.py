@@ -19,7 +19,8 @@ Semantics preserved from the reference:
   /root/reference/src/swish_words.c:1184-1229),
 - query words run through the SAME tokenizer/stemmer as indexing
   (parse_swish_words, /root/reference/src/swish_words.c:296-362);
-  stopwords inside phrases become positional gaps,
+  stopwords inside phrases are dropped with no positional gap
+  (stopwords are positionally transparent in the index too),
 - stopword-only queries raise WORDS_TOO_COMMON
   (/root/reference/src/swish_words.c:809-1004),
 - leading wildcard rejected (/root/reference/src/search.c:1552-1561),
@@ -37,6 +38,12 @@ from dataclasses import dataclass
 
 from ..textproc.extractor import DEFAULT_FIELD
 from ..textproc.tokenizer import TokenizerConfig, tokenize_query_text
+
+
+# wildcard token charset: the default WordCharacters incl. Latin-1
+# letters (tokenizer._WORD_RE) plus the wildcard metachars
+_WILD_CHARS = "[a-z0-9\xaa\xb5\xba\xc0-\xd6\xd8-\xf6\xf8-\xff?*]"
+_PREFIX_CHARS = "[a-z0-9\xaa\xb5\xba\xc0-\xd6\xd8-\xf6\xf8-\xff]"
 
 
 class QueryError(ValueError):
@@ -86,7 +93,7 @@ class Pattern:
 @dataclass(frozen=True)
 class Phrase:
     field: str
-    terms: tuple  # tuple of str-or-None (None = stopword gap)
+    terms: tuple  # query terms in order (stopwords already dropped)
 
 
 @dataclass(frozen=True)
@@ -124,6 +131,11 @@ _NEAR_RE = re.compile(r"^near(\d*)$", re.IGNORECASE)
 
 
 def _lex(q: str):
+    if q.count('"') % 2:
+        # the reference refuses unterminated phrase quotes
+        # (parse_swish_query syntax error; pinned against the compiled
+        # binary: err "missing end quote or unbalanced parenthesis")
+        raise QueryError("syntax error: missing end quote")
     return _TOKEN_RE.findall(q)
 
 
@@ -219,8 +231,10 @@ class _Parser:
         self.next()
         if t == "(":
             node = self.parse_expr(field)
-            if self.peek() == ")":
-                self.next()
+            if self.peek() != ")":
+                # the binary errors on unbalanced parens (pinned)
+                raise QueryError("syntax error: unbalanced parenthesis")
+            self.next()
             return node
         if t == "=":
             raise QueryError("syntax error: dangling '='")
@@ -232,8 +246,10 @@ class _Parser:
             if nxt == "(":
                 self.next()
                 node = self.parse_expr(fname)
-                if self.peek() == ")":
-                    self.next()
+                if self.peek() != ")":
+                    raise QueryError(
+                        "syntax error: unbalanced parenthesis")
+                self.next()
                 return node
             if nxt is None:
                 raise QueryError("syntax error: field= with no term")
@@ -250,11 +266,11 @@ class _Parser:
             # expansion has no reference semantics to mirror
             words = [w[0] if isinstance(w, tuple) else w
                      for w in words]
-            # trim leading/trailing gaps
-            while words and words[0] is None:
-                words.pop(0)
-            while words and words[-1] is None:
-                words.pop()
+            # stopwords DROP from phrases with no positional gap —
+            # index positions are transparent across stopwords, so
+            # "alpha the beta" matches adjacent alpha/beta (verified
+            # against the compiled reference binary)
+            words = [w for w in words if w is not None]
             if not words:
                 return None
             self.kept_terms += sum(1 for w in words if w is not None)
@@ -268,12 +284,10 @@ class _Parser:
             # lowercase+translate stages, keep ?/* verbatim; wildcard
             # words bypass stemming/stopwords like the reference's
             # sorted-word scan (/root/reference/src/search.c:1662-1728)
-            from ..textproc.tokenizer import DEFAULT_TRANSLATE
-
-            trans = (self.cfg.translate if self.cfg.translate is not None
-                     else DEFAULT_TRANSLATE)
-            pat = tok.lower().translate(trans)
-            if not re.fullmatch(r"[a-z0-9?*]+", pat):
+            pat = tok.lower()
+            if self.cfg.translate is not None:
+                pat = pat.translate(self.cfg.translate)
+            if not re.fullmatch(_WILD_CHARS + r"+", pat):
                 raise QueryError(f"bad wildcard token: {tok!r}")
             self.kept_terms += 1
             return Pattern(field, pat)
@@ -284,13 +298,10 @@ class _Parser:
             # verbatim (/root/reference/src/search.c:1662-1728), so
             # `the*` matches theory/them and a stemmed index is probed
             # with the raw prefix, not its stem
-            from ..textproc.tokenizer import DEFAULT_TRANSLATE
-
-            trans = (self.cfg.translate
-                     if self.cfg.translate is not None
-                     else DEFAULT_TRANSLATE)
-            body = tok[:-1].lower().translate(trans)
-            if not re.fullmatch(r"[a-z0-9]+", body):
+            body = tok[:-1].lower()
+            if self.cfg.translate is not None:
+                body = body.translate(self.cfg.translate)
+            if not re.fullmatch(_PREFIX_CHARS + r"+", body):
                 raise QueryError(f"bad wildcard token: {tok!r}")
             self.kept_terms += 1
             return Prefix(field, body)
@@ -334,6 +345,10 @@ def parse_query_info(q: str, cfg: TokenizerConfig | None = None,
         raise QueryError("empty query")
     p = _Parser(toks, cfg, default_field)
     node = p.parse_expr(default_field)
+    if p.peek() is not None:
+        # a stray ")" (parse_expr stops without consuming it) — the
+        # binary treats any unbalanced paren as a syntax error
+        raise QueryError("syntax error: unbalanced parenthesis")
     if node is None:
         if p.dropped_stopwords and not p.kept_terms:
             raise WordsTooCommon("all query words are stopwords")

@@ -55,9 +55,19 @@ from ..textproc.extractor import (
     IN_TITLE,
 )
 from .parser import (
-    And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
-    parse_query,
+    And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, QueryError,
+    Term, parse_query,
 )
+
+
+def _check_scheme1_twc(scheme, ignore_total_word_count):
+    """RankScheme 1 requires stored word counts: the reference CLI
+    refuses -R 1 on an index with IgnoreTotalWordCountWhenRanking 1
+    (rank.c getrankIDF guard; pinned by tests/test_refbin.py against
+    the compiled binary's error output)."""
+    if scheme == 1 and ignore_total_word_count:
+        raise QueryError("IgnoreTotalWordCountWhenRanking must be 0 "
+                         "to use IDF ranking")
 
 
 def _leaf_matcher(node):
@@ -187,14 +197,28 @@ def display_scale(ranked: list[tuple[int, int]]) -> list[tuple[int, int]]:
 def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
                        scaled: bool = False,
                        ignore_total_word_count: bool = True,
-                       rank_biases: dict | None = None):
+                       rank_biases: dict | None = None,
+                       structure_mask=None,
+                       limits: dict | None = None):
     """Evaluate ``q`` over an OracleIndex with swish-compatible ranking.
     ``rank_biases`` maps metaname -> bias in [-10, 10] (metaEntry
-    rank_bias, /root/reference/src/swish.h:367,378). Returns
+    rank_bias, /root/reference/src/swish.h:367,378).
+    ``structure_mask`` is the -t filter (words outside the mask don't
+    score); ``limits`` = {prop: (lo, hi)} inclusive LimitByProperty
+    ranges, applied BEFORE display scaling (the reference scales over
+    the post-limit result set, proplimit.c). Returns
     [(doc_id, rank)] ordered (rank desc, doc_id asc)."""
+    _check_scheme1_twc(scheme, ignore_total_word_count)
     node = parse_query(q, oidx.cfg)
     results = _o_eval(oidx, node, (scheme, ignore_total_word_count,
-                                   rank_biases or {}))
+                                   rank_biases or {}, structure_mask))
+    if limits:
+        from .proplimit import limit_value_ok
+
+        results = {
+            d: v for d, v in results.items()
+            if all(limit_value_ok(p, oidx.docs[d].get(p), lo, hi)
+                   for p, (lo, hi) in limits.items())}
     ranked = sorted(((d, r) for d, (r, _) in results.items()),
                     key=lambda t: (-t[1], t[0]))[:k]
     return display_scale(ranked) if scaled else ranked
@@ -212,20 +236,38 @@ def _o_total_words(oidx) -> int:
 
 
 def _scheme_opts(scheme):
-    """Normalize the scheme parameter to (scheme, ignore_twc, biases)."""
+    """Normalize the scheme parameter to (scheme, ignore_twc, biases,
+    structure_mask)."""
     if isinstance(scheme, tuple):
         if len(scheme) == 2:
-            return scheme[0], scheme[1], {}
+            return scheme[0], scheme[1], {}, None
+        if len(scheme) == 3:
+            return (*scheme, None)
         return scheme
-    return scheme, True, {}
+    return scheme, True, {}, None
 
 
 def _o_leaf(oidx, field: str, term: str, scheme):
-    scheme, ignore_twc, biases = _scheme_opts(scheme)
+    scheme, ignore_twc, biases, mask = _scheme_opts(scheme)
     bias = int(biases.get(field, 0))
     slot = oidx.postings.get((field, term))
     if not slot:
         return {}
+    if mask is not None:
+        # -t structure filter: keep only positions whose structure
+        # intersects the mask; docs with none left drop out, and df
+        # counts survivors (same convention as the Spark engine's
+        # _term_stats over mask-filtered decode)
+        filt = {}
+        for doc_id, (positions, structs) in slot.items():
+            kept = [(p, s) for p, s in zip(positions, structs)
+                    if s & mask]
+            if kept:
+                filt[doc_id] = ([p for p, _ in kept],
+                                [s for _, s in kept])
+        slot = filt
+        if not slot:
+            return {}
     df = len(slot)
     out = {}
     for doc_id, (positions, structs) in slot.items():
@@ -351,15 +393,19 @@ RANKED_SCHEMA = "doc_id long, rank long, positions array<int>"
 def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
                        scaled: bool = False,
                        ignore_total_word_count: bool = True,
-                       rank_biases: dict | None = None):
+                       rank_biases: dict | None = None,
+                       structure_mask=None,
+                       limits: dict | None = None):
     """Swish-compatible ranked top-k over the Spark engine's segments.
     Calls the SAME scalar rank functions as the oracle evaluator; only
     the execution is distributed. ``rank_biases`` defaults to the
-    index config's persisted per-metaname biases. Returns
-    [(doc_id, rank)]."""
+    index config's persisted per-metaname biases. ``structure_mask``
+    filters positions at decode (-t); ``limits`` property ranges apply
+    before display scaling. Returns [(doc_id, rank)]."""
+    _check_scheme1_twc(scheme, ignore_total_word_count)
     engine.handle.ensure_current()  # stale caches must error, not lie
     node = parse_query(q, engine.cfg)
-    decoded = engine._decoded(node, None, need_structs=True)
+    decoded = engine._decoded(node, structure_mask, need_structs=True)
     if decoded is None:
         return []
     if rank_biases is None:
@@ -367,7 +413,7 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
                                    ()) or ())
     decoded = decoded.persist()
     try:
-        dfs = engine._term_stats(node, decoded, None)
+        dfs = engine._term_stats(node, decoded, structure_mask)
         stats = engine.handle.stats
         # TotalWordPos over LIVE docs (sum of doc_len net of
         # tombstones, same quantity as the oracle's _o_total_words) —
@@ -380,6 +426,16 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
                          (scheme, ignore_total_word_count, rank_biases))
         from pyspark.sql import functions as F
 
+        if limits:
+            from .proplimit import limit_cond
+
+            docs = engine.handle.live_docs()
+            cond = None
+            for prop, (lo, hi) in limits.items():
+                c = limit_cond(prop, lo, hi)
+                cond = c if cond is None else cond & c
+            result = result.join(docs.filter(cond).select("doc_id"),
+                                 "doc_id", "left_semi")
         rows = (result.select("doc_id", "rank")
                 .orderBy(F.desc("rank"), F.asc("doc_id"))
                 .limit(k).collect())
@@ -391,7 +447,9 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
 
 def _s_leaf(engine, decoded, field, term, dfs, stats, total_positions,
             scheme):
-    scheme, ignore_twc, biases = _scheme_opts(scheme)
+    # mask is applied at decode time on the Spark path (positions are
+    # already filtered before _s_leaf sees them)
+    scheme, ignore_twc, biases, _mask = _scheme_opts(scheme)
     bias = int(biases.get(field, 0))
     from pyspark.sql import functions as F
 

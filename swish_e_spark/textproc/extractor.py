@@ -67,13 +67,56 @@ LINKS_FIELD = "links"  # a@href targets (extract_html_links,
 ALT_FIELD = "alt"      # img alt text (index_alt_tab,
                        # /root/reference/src/parser.c:1786-1808)
 
+# libxml2 html40ElementTable isinline flags, dumped from the installed
+# libxml2 via htmlTagLookup (see scripts/gen_refbin_fixtures.py build
+# recipe). parser.c bumps word_pos only for elements whose
+# isinline == 0 (check_html_tag, /root/reference/src/parser.c:1293-1308);
+# isinline 1 (true inline) and 2 ("special": applet button del iframe
+# ins map object script) leave the token run untouched — text on both
+# sides of <span>/<script> CONCATENATES into one word, verified against
+# the compiled binary's -T INDEXED_WORDS stream.
 _INLINE_TAGS = frozenset(
-    "a abbr acronym b big cite code em font i kbd label q s samp small span "
-    "strike strong sub sup tt u var".split()
-)
-_HEADER_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "h7", "h8", "h9"})
+    "a abbr acronym applet b basefont bdo big br button cite code del dfn "
+    "em embed font i iframe img input ins kbd label map object q s samp "
+    "script select small span strike strong sub sup textarea tt u var"
+    .split())
+# all elements libxml2's table knows (isinline 0, 1 or 2); anything
+# else is an "unknown" tag and takes the metaname bump path
+_KNOWN_HTML_TAGS = _INLINE_TAGS | frozenset(
+    "address area base blockquote body caption center col colgroup dd "
+    "dir div dl dt fieldset form frame frameset h1 h2 h3 h4 h5 h6 head "
+    "hr html isindex legend li link menu meta noframes noscript ol "
+    "optgroup option p param pre style table tbody td tfoot th thead "
+    "title tr ul".split())
+# elements that live in <head>: seeing one at top level implies <head>
+_HEAD_TAGS = frozenset({"title", "meta", "link", "base", "isindex"})
+
+# libxml2 implied end tags (HTML4 omitted closers): starting `new`
+# auto-closes an open `old` when old is in _AUTO_CLOSE and new is in
+# its closer set ("*block*" = any non-inline element). Each implied
+# close bumps the position like an explicit one — verified against
+# the binary ('<p>a1<p>a2' puts a2 at +3, not +2).
+_AUTO_CLOSE = {
+    "p": None,  # None = closed by ANY non-inline start
+    "li": frozenset({"li"}),
+    "td": frozenset({"td", "th", "tr"}),
+    "th": frozenset({"td", "th", "tr"}),
+    "tr": frozenset({"tr"}),
+    "dd": frozenset({"dd", "dt"}),
+    "dt": frozenset({"dd", "dt"}),
+    "option": frozenset({"option", "optgroup"}),
+}
+# containers whose END tag implicitly closes any _AUTO_CLOSE child
+_CONTAINER_ENDS = frozenset({"ul", "ol", "table", "tr", "tbody",
+                             "thead", "tfoot", "dl", "select", "body",
+                             "html", "div", "form", "blockquote"})
+_HEADER_RE = re.compile(r"^h[1-9]$")  # structure bit: any h<digit>
+                                      # (parser.c:1249-1253)
 _EMPH_TAGS = frozenset({"b", "i", "em", "strong"})
-_IGNORE_CONTENT_TAGS = frozenset({"script", "style"})
+# script/style content is lexed raw (CDATA) but IS indexed — the
+# reference has no special-casing for them (verified: '<script>var
+# x=1;</script>' indexes 'var', 'x', '1')
+_CDATA_TAGS = frozenset({"script", "style"})
 
 DESCRIPTION_MAX = 200  # StoreDescription cap (chars of body text)
 
@@ -92,18 +135,28 @@ def to_latin1_text(s: str) -> str:
 @dataclass
 class Event:
     """One extraction event: a run of text in one field with one
-    structure-bit context. ``hard_break`` marks a position bump BEFORE
-    this event (token adjacency broken). ``fields`` (when non-empty)
-    lists EVERY in-scope metaname for nested-metaname fan-out — tokens
-    index once per field at the SAME position (addword loop,
-    /root/reference/src/index.c:2400-2402, build_metaID_list
-    /root/reference/src/index.c:2501-2542)."""
+    structure-bit context. ``bumps`` counts the word positions skipped
+    BEFORE this event — the reference increments word_pos per
+    structural tag boundary (title/body count double: their branch
+    bump plus the generic non-inline bump, check_html_tag
+    /root/reference/src/parser.c:1229-1241,1293-1308), so positions
+    carry gaps that phrases can never match across. ``bumps`` == 0
+    still ends a token run only at whitespace — adjacent events merge
+    into one word when the source had no separator (verified against
+    the compiled binary: 'w2<span>s1</span>w3' indexes as 'w2s1w3').
+    ``fields`` (when non-empty) lists EVERY in-scope field for
+    fan-out — tokens index once per field at the SAME position
+    (build_metaID_list /root/reference/src/index.c:2501-2542)."""
 
     field_name: str
     text: str
     structure: int
-    hard_break: bool
+    bumps: int
     fields: tuple = ()
+
+    @property
+    def hard_break(self) -> bool:
+        return self.bumps > 0
 
 
 @dataclass
@@ -117,10 +170,12 @@ class ExtractedDoc:
     def body_text(self) -> str:
         """Canonical extracted text (the byte-identity artifact): body
         (default-field) events — all tag fields in XML mode — whitespace
-        collapsed within an event, hard breaks rendered as newline."""
+        collapsed within an event, hard breaks rendered as newline.
+        Title/head/meta content is excluded (it is not body text even
+        though it now indexes under swishdefault like the reference)."""
         parts: list[str] = []
         for ev in self.events:
-            if ev.structure & IN_COMMENTS:
+            if ev.structure & (IN_COMMENTS | IN_TITLE | IN_HEAD | IN_META):
                 continue
             if not self.xml and ev.field_name != DEFAULT_FIELD:
                 continue
@@ -134,9 +189,37 @@ class ExtractedDoc:
 
 
 class _SwishHTMLParser(HTMLParser):
-    """HTML mode: fixed tag vocabulary. XML mode (xml_mode=True): every
-    tag is a metaname — the innermost tag names the field
-    (parse_XML, /root/reference/src/parser.c:227-242)."""
+    """HTML/XML extraction with the compiled reference binary's exact
+    position-bump and field model (fitted against -T INDEXED_WORDS
+    micro-fixtures; see tests/fixtures/refbin/):
+
+    - word positions post-increment per indexed word; every structural
+      tag boundary adds bumps (title/body: 2 each on start AND end;
+      other non-inline elements: 1 each; unknown tags: 1, bumped
+      BEFORE the pending token run flushes; libxml2-implied html(+1)/
+      head(+1)/body(+2)/bare-text-p(+1) elements bump too),
+    - inline tags (libxml2 isinline != 0, incl. script) are fully
+      transparent: no flush, no space — 'w2<span>s1</span>w3' is ONE
+      word,
+    - comments never flush the open token run; with IndexComments the
+      comment words index at the CURRENT position (+1 each side) while
+      the interrupted run continues,
+    - <meta name=X content=Y>: declared metaname → field X with
+      IN_META (+1 before content, +1 after); undeclared → swishdefault
+      with no META bit (+2 before content),
+    - title words index under swishdefault with HEAD|TITLE structure
+      (the reference's swishtitle is a property, not an index field,
+      unless declared in MetaNames),
+    - XML mode: declared metanames scope their subtree; everything
+      else is swishdefault; structure is IN_FILE only; +1 per start
+      tag, declared-end flushes before its +1, undeclared-end after.
+
+    ``metanames=None`` (auto) keeps this engine's permissive legacy
+    surface: every html <meta> / XML tag is a searchable field and
+    title fans out to (swishdefault, swishtitle) — the reference's
+    UndefinedMetaTags=auto analogue. Position accounting is identical
+    in both modes.
+    """
 
     def __init__(self, index_comments: bool = False,
                  xml_mode: bool = False, index_links: bool = False,
@@ -144,7 +227,8 @@ class _SwishHTMLParser(HTMLParser):
                  xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
-                 dont_bump_tags: frozenset = frozenset()) -> None:
+                 dont_bump_tags: frozenset = frozenset(),
+                 metanames: frozenset | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
         self.index_links = index_links
@@ -153,228 +237,515 @@ class _SwishHTMLParser(HTMLParser):
         self.xml_class_attributes = xml_class_attributes
         self.xml_nested_metanames = xml_nested_metanames
         self.dont_bump_tags = dont_bump_tags  # DontBumpPositionOnMetaTags
-                            # (/root/reference/src/parser.c:1298-1310)
+                            # (/root/reference/src/parser.c:986-989,1117)
+        self.metanames = metanames  # None = auto (every tag a field)
         self._base_url: str | None = None
         self.xml_mode = xml_mode
-        self._xml_stack: list[str] = []
+        self._xml_stack: list[str] = []        # all open xml tags
+        self._xml_meta_stack: list[str] = []   # open DECLARED fields
+        self._html_meta_stack: list[str] = []  # declared metaname tags
+                                               # open in HTML mode
+                                               # (<meta3>…</meta3>)
         self.doc = ExtractedDoc()
         self._in_title = False
         self._header_depth = 0
-        self._emph_depth = 0
-        self._ignore_depth = 0
-        self._noindex_toggle = False
-        self._pending_break = True  # document start is a boundary
+        self._em_depth = 0
+        self._em_defer = 0       # </b> with a partial token: bit stays
+                                 # on until the next word boundary
+                                 # (flush_word, parser.c:1272-1280)
+        self._noindex_depth = 0  # <!-- noindex --> counter (NESTS:
+                                 # parser.c:1693-1703 ++/--)
+        self._html_seen = xml_mode
+        self._head_open = False
+        self._body_open = xml_mode
+        self._body_implied = False
+        self._p_implied = False
+        self._open_blocks: list[str] = []  # for implied-close emulation
+        self._pending = 0        # bumps owed to the NEXT emitted event
         self._buf: list[str] = []
         self._buf_bits = 0
         self._buf_field = DEFAULT_FIELD
-        self._buf_break = True
 
-    # -- buffering: consecutive character data in the same field merges
-    # into one event; inline tags OR their bits into the open buffer so a
-    # tag-split word stays one token with merged bits.
+    def _declared(self, name: str) -> bool:
+        return self.metanames is None or name in self.metanames
 
     def _bits(self) -> int:
         b = IN_FILE
+        if self.xml_mode:
+            return b
         if self._in_title:
-            b |= IN_TITLE
-        else:
+            b |= IN_TITLE | IN_HEAD
+        elif self._head_open:
+            b |= IN_HEAD
+        elif self._body_open:
             b |= IN_BODY
         if self._header_depth:
-            b |= IN_HEAD | IN_HEADER
-        if self._emph_depth:
+            b |= IN_HEADER
+        if self._em_depth or self._em_defer:
             b |= IN_EMPHASIZED
+        if self._html_meta_stack:
+            b |= IN_META
         return b
+
+    # -- buffering: one token RUN per event. Consecutive character
+    # data concatenates (inline tags and comments never flush, so
+    # tag-split words stay one token); a flush only happens where the
+    # reference calls flush_buffer, and the event then carries every
+    # position bump accumulated since the previous event.
 
     def _flush(self) -> None:
         if self._buf:
             text = "".join(self._buf)
             if text.strip():
-                fields = ()
-                if (self.xml_mode and self.xml_nested_metanames
-                        and len(self._xml_stack) > 1
-                        and self._buf_field == self._xml_stack[-1]):
-                    fields = tuple(dict.fromkeys(self._xml_stack))
+                fields = self._fan_fields()
                 self.doc.events.append(
                     Event(self._buf_field, to_latin1_text(text),
-                          self._buf_bits, self._buf_break, fields)
-                )
-                self._buf_break = False
+                          self._buf_bits, self._pending, fields))
+                self._pending = 0
             self._buf = []
             self._buf_bits = 0
+        if self._em_defer:  # a flush is a word boundary
+            self._em_depth = max(0, self._em_depth - self._em_defer)
+            self._em_defer = 0
+
+    def _fan_fields(self) -> tuple:
+        if self.xml_mode:
+            if self.xml_nested_metanames and len(self._xml_stack) > 1 \
+                    and self._buf_field == self._xml_stack[-1]:
+                return tuple(dict.fromkeys(self._xml_stack))
+            return ()
+        if self._in_title and self.metanames is None \
+                and self._buf_field == DEFAULT_FIELD:
+            # auto mode: title searchable via swishtitle= too (the
+            # reference does this when MetaNames declares swishtitle,
+            # parser.c:1221-1224)
+            return (DEFAULT_FIELD, TITLE_FIELD)
+        return ()
+
+    def _emit_island(self, field_name: str, text: str, bits: int,
+                     bumps_before: int, bumps_after: int) -> None:
+        """A positional island (meta content, link href, img alt):
+        indexed at current position + bumps_before; the trailing bump
+        lands on whatever comes next."""
+        if text.strip():
+            self.doc.events.append(
+                Event(field_name, to_latin1_text(text), bits,
+                      self._pending + bumps_before))
+            self._pending = bumps_after
+        else:
+            self._pending += bumps_before + bumps_after
 
     def _field_now(self) -> str:
-        if self._in_title:
-            return TITLE_FIELD
-        if self.xml_mode and self._xml_stack:
-            return self._xml_stack[-1]
+        if self.xml_mode:
+            return self._xml_meta_stack[-1] if self._xml_meta_stack \
+                else DEFAULT_FIELD
+        if self._html_meta_stack:
+            return self._html_meta_stack[-1]
         return DEFAULT_FIELD
 
-    def handle_data(self, data: str) -> None:
-        if self._ignore_depth or self._noindex_toggle:
+    def _ensure_html(self) -> None:
+        if not self._html_seen:
+            self._html_seen = True
+            self._pending += 1
+
+    def _open_head(self) -> None:
+        self._ensure_html()
+        if not self._head_open and not self._body_open:
+            self._head_open = True
+            self._pending += 1
+
+    def _ensure_body(self, implied_p_for_text: bool = False) -> None:
+        self._ensure_html()
+        if self._head_open:
+            self._head_open = False
+            self._pending += 1  # implied </head>
+        if not self._body_open:
+            self._body_open = True
+            self._body_implied = True
+            self._pending += 2  # implied <body> (branch + element)
+        if implied_p_for_text and self._body_implied \
+                and not self._open_blocks and not self._p_implied:
+            self._p_implied = True
+            self._pending += 1
+
+    def _close_implied_p(self) -> None:
+        if self._p_implied:
+            self._p_implied = False
+            self._pending += 1
+
+    def _implied_close_for_start(self, new_tag: str) -> None:
+        """libxml2 implied end tags: a new block start closes open
+        <p>/<li>/<td>/... elements; each implied close flushes and
+        bumps exactly like an explicit one."""
+        while self._open_blocks:
+            top = self._open_blocks[-1]
+            if top not in _AUTO_CLOSE:
+                break
+            closers = _AUTO_CLOSE[top]
+            if closers is None or new_tag in closers:
+                self._open_blocks.pop()
+                self._flush()
+                self._pending += 1
+            else:
+                break
+
+    def _close_down_to(self, tag: str) -> None:
+        """An explicit end tag implicitly closes unclosed AUTO_CLOSE
+        children above it on the stack (</ul> closes an open <li>)."""
+        if tag not in self._open_blocks:
             return
-        fld = self._field_now()
-        if self._pending_break or fld != self._buf_field:
+        while self._open_blocks and self._open_blocks[-1] != tag:
+            top = self._open_blocks[-1]
+            if top not in _AUTO_CLOSE:
+                break
+            self._open_blocks.pop()
             self._flush()
+            self._pending += 1
+        if self._open_blocks and self._open_blocks[-1] == tag:
+            self._open_blocks.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._noindex_depth:
+            return
+        if self.xml_mode:
+            fld = self._field_now()
+            if fld != self._buf_field and "".join(self._buf).strip():
+                self._flush()
             self._buf_field = fld
-            self._buf_break = self._buf_break or self._pending_break
-            self._pending_break = False
+        else:
+            if data.strip() and not self._in_title:
+                # bare text outside <title> implicitly closes an open
+                # head and opens body (+p when body is implied)
+                self._ensure_body(implied_p_for_text=True)
+            self._buf_field = self._field_now() if not self._buf \
+                else self._buf_field
+        if self._em_defer and self._buf:
+            # deferred emphasis-off resolves at the next whitespace:
+            # the emphasized run flushes as its OWN event (bumps 0 —
+            # positions stay adjacent) so following words don't
+            # inherit the bit
+            ws = _WS_SEARCH(data)
+            if ws is not None:
+                head, tail = data[:ws.end()], data[ws.end():]
+                if head:
+                    self._buf.append(head)
+                    self._buf_bits |= self._bits()
+                self._flush()  # also resolves the deferred em-off
+                if tail:
+                    self._buf.append(tail)
+                    self._buf_bits |= self._bits()
+                return
         self._buf.append(data)
         self._buf_bits |= self._bits()
 
+    def _xml_start(self, tag: str, attrs) -> None:
+        if tag not in self.dont_bump_tags:
+            self._pending += 1
+        self._flush()
+        field_name = tag
+        attrs_d = dict(attrs)
+        if self.xml_class_attributes and attrs_d.get("class"):
+            # <foo class=bar> content indexes under foo.bar
+            # (start_XML_ClassAttributes, parser.c:1325-1376)
+            field_name = f"{tag}.{attrs_d['class']}"
+        self._xml_stack.append(field_name)
+        if self._declared(field_name):
+            self._xml_meta_stack.append(field_name)
+        if self.xml_attributes:
+            # <foo bar="baz"> -> "baz" under metaname foo.bar
+            # (index_XML_attributes, parser.c:1413-1472)
+            for k, v in attrs:
+                if v and not (self.xml_class_attributes
+                              and k == "class"):
+                    self._emit_island(f"{tag}.{k}", v,
+                                      IN_FILE | IN_META, 1, 1)
+
+    def _xml_end(self, tag: str) -> None:
+        declared_top = bool(self._xml_meta_stack) and self._xml_stack \
+            and self._xml_stack[-1] == self._xml_meta_stack[-1] \
+            and (self._xml_stack[-1] == tag
+                 or self._xml_stack[-1].startswith(tag + "."))
+        if declared_top:
+            # pop of an open meta flushes its content BEFORE the end
+            # bump (pop_stack → flush, end_metaTag parser.c:1100-1121)
+            self._flush()
+            if tag not in self.dont_bump_tags:
+                self._pending += 1
+        else:
+            if tag not in self.dont_bump_tags:
+                self._pending += 1
+            self._flush()
+        if self._xml_stack and (
+                self._xml_stack[-1] == tag
+                or self._xml_stack[-1].startswith(tag + ".")):
+            popped = self._xml_stack.pop()
+            if self._xml_meta_stack \
+                    and self._xml_meta_stack[-1] == popped:
+                self._xml_meta_stack.pop()
+
     def handle_starttag(self, tag, attrs) -> None:
+        if self._noindex_depth:
+            return
         tag = tag.lower()
         if self.xml_mode:
-            self._flush()
-            self._pending_break = True
-            field_name = tag
-            attrs_d = dict(attrs)
-            if self.xml_class_attributes and attrs_d.get("class"):
-                # <foo class=bar> content indexes under foo.bar
-                # (start_XML_ClassAttributes,
-                #  /root/reference/src/parser.c:1325-1376)
-                field_name = f"{tag}.{attrs_d['class']}"
-            self._xml_stack.append(field_name)
-            if self.xml_attributes:
-                # <foo bar="baz"> -> "baz" under metaname foo.bar
-                # (index_XML_attributes,
-                #  /root/reference/src/parser.c:1413-1472)
-                for k, v in attrs:
-                    if v and not (self.xml_class_attributes
-                                  and k == "class"):
-                        self.doc.events.append(
-                            Event(f"{tag}.{k}", to_latin1_text(v),
-                                  IN_FILE | IN_META, True))
+            self._xml_start(tag, attrs)
             return
-        if tag in _IGNORE_CONTENT_TAGS:
-            self._ignore_depth += 1
+        if tag == "html":
+            if not self._html_seen:
+                self._html_seen = True
+                self._pending += 1
             return
         if tag == "meta":
+            if not attrs:
+                # bare <meta>: plain non-inline element (parser.c:632
+                # requires attrs for process_htmlmeta)
+                self._flush()
+                self._open_head()
+                self._pending += 1
+                return
+            self._open_head()  # libxml2 implies <head> around a
+                               # top-level <meta> even when its
+                               # name/content do nothing
             d = dict(attrs)
             name = (d.get("name") or "").lower()
             content = d.get("content") or ""
-            if name == "robots" and "noindex" in (content or "").lower():
+            if name == "robots" and "noindex" in content.lower():
                 self.doc.noindex = True  # doc-level abort: always acts
-            elif name and content and not self._ignore_depth \
-                    and not self._noindex_toggle:
-                # meta content is its own positional island; inside a
-                # <!-- noindex --> section or ignored scope it is
-                # suppressed like body text (and the a-href / img-alt
-                # branches below)
+                return
+            if name and content:
                 self._flush()
-                self.doc.events.append(
-                    Event(name, to_latin1_text(content), IN_FILE | IN_META, True)
-                )
-                self._pending_break = True
+                bits = self._bits()
+                if self._declared(name):
+                    self._emit_island(name, content, bits | IN_META,
+                                      1, 1)
+                else:
+                    # UndefinedMetaTags default: plain text, no field,
+                    # no META bit; both bumps land before the content
+                    # (end_metaTag bumps before its flush)
+                    self._emit_island(DEFAULT_FIELD, content, bits,
+                                      2, 0)
+            # name/content missing: process_htmlmeta does nothing
             return
         if tag == "base":
             href = dict(attrs).get("href")
             if href:
-                self._base_url = href  # <base> fixup
-                # (/root/reference/src/parser.c:1820-1866)
+                self._base_url = href  # <base> fixup (parser.c:1860)
+            self._flush()
+            self._pending += 1  # base is non-inline
             return
         if tag == "a" and self.index_links:
             href = dict(attrs).get("href")
-            if href and not self._ignore_depth \
-                    and not self._noindex_toggle:
+            if href:
                 if self._base_url:
                     from urllib.parse import urljoin
 
                     href = urljoin(self._base_url, href)
-                self._flush()
-                self.doc.events.append(
-                    Event(LINKS_FIELD, to_latin1_text(href),
-                          IN_FILE | IN_META, True))
-                self._pending_break = True
+                self._emit_island(LINKS_FIELD, href,
+                                  self._bits() | IN_META, 1, 1)
             return
         if tag == "img" and self.index_alt:
             alt = dict(attrs).get("alt")
-            if alt and not self._ignore_depth \
-                    and not self._noindex_toggle:
-                self._flush()
-                self.doc.events.append(
-                    Event(ALT_FIELD, to_latin1_text(alt),
-                          IN_FILE | IN_META, True))
-                self._pending_break = True
+            if alt:
+                self._emit_island(ALT_FIELD, alt,
+                                  self._bits() | IN_META, 1, 1)
+                self._buf.append(" ")  # img still separates words
                 return
-            # no alt: fall through to the block-level default below
+            self._buf.append(" ")
+            return
         if tag == "title":
             self._flush()
+            self._open_head()
             self._in_title = True
-            self._pending_break = True
+            self._pending += 2  # title branch + non-inline element
+            return
+        if tag == "head":
+            self._flush()
+            self._open_head()
+            return
+        if tag == "body":
+            self._flush()
+            self._ensure_html()
+            if self._head_open:
+                self._head_open = False
+                self._pending += 1  # implied </head>
+            if not self._body_open:
+                self._body_open = True
+                self._pending += 2  # body branch + non-inline element
+            return
+        if tag in ("br", "img"):
+            self._buf.append(" ")  # word boundary, NO bump
             return
         if tag in _EMPH_TAGS:
-            # inline: do NOT flush — the open token keeps accumulating;
-            # bits OR in (flush-to-last-word semantics)
-            self._emph_depth += 1
-            self._buf_bits |= self._bits() if self._buf else 0
+            self._em_toggle_on()
             return
         if tag in _INLINE_TAGS:
+            return  # fully transparent (isinline != 0)
+        header = _HEADER_RE.match(tag) is not None
+        if tag in _KNOWN_HTML_TAGS or header:
+            # known non-inline: flush FIRST, then bump
+            self._flush()
+            if tag in _HEAD_TAGS or (tag == "style"
+                                     and self._head_open):
+                self._open_head()
+            else:
+                self._close_implied_p()
+                self._implied_close_for_start(tag)
+                self._ensure_body()
+                self._open_blocks.append(tag)
+            self._pending += 1
+            if header:
+                self._header_depth += 1
             return
-        # block-level: token boundary + position bump (suppressed for
-        # DontBumpPositionOnMetaTags entries — still a token boundary)
-        self._flush()
-        if tag not in self.dont_bump_tags:
-            self._pending_break = True
-        if tag in _HEADER_TAGS:
+        # unknown tag: metaname path — bump BEFORE the pending run
+        # flushes (start_metaTag, parser.c:986-989)
+        self._close_implied_p()
+        self._implied_close_for_start(tag)
+        self._ensure_body()
+        if header:
             self._header_depth += 1
+        if tag not in self.dont_bump_tags:
+            self._pending += 1
+        self._flush()
+        if self.metanames is not None and tag in self.metanames:
+            # a DECLARED metaname as an html element scopes its
+            # subtree (start_metaTag with a metaEntry): words index
+            # under the field with IN_META (verified: <meta3> inside
+            # an html doc → field meta3, struct META|BODY|FILE)
+            self._html_meta_stack.append(tag)
+        self._open_blocks.append(tag)
 
     def handle_endtag(self, tag) -> None:
+        if self._noindex_depth:
+            return
         tag = tag.lower()
         if self.xml_mode:
-            self._flush()
-            self._pending_break = True
-            if self._xml_stack and (
-                    self._xml_stack[-1] == tag
-                    or self._xml_stack[-1].startswith(tag + ".")):
-                self._xml_stack.pop()
+            self._xml_end(tag)
             return
-        if tag in _IGNORE_CONTENT_TAGS:
-            self._ignore_depth = max(0, self._ignore_depth - 1)
+        if tag == "html":
             return
+        if tag == "meta":
+            return  # closed at start (end_hndl, parser.c:730-734)
         if tag == "title":
             self._flush()
             self._in_title = False
-            self._pending_break = True
+            self._pending += 2
+            return
+        if tag == "head":
+            self._flush()
+            self._head_open = False
+            self._pending += 1
+            return
+        if tag == "body":
+            self._flush()
+            self._pending += 2
             return
         if tag in _EMPH_TAGS:
-            # defer bit-off: nothing to do buffer-side; depth drops
-            self._emph_depth = max(0, self._emph_depth - 1)
+            self._em_toggle_off()
             return
-        if tag in _INLINE_TAGS:
+        if tag in _INLINE_TAGS or tag in ("br", "img"):
             return
-        self._flush()
+        header = _HEADER_RE.match(tag) is not None
+        if tag in _KNOWN_HTML_TAGS or header:
+            self._flush()
+            if header:
+                self._header_depth = max(0, self._header_depth - 1)
+            self._close_down_to(tag)  # implied </li> etc. bump first
+            self._pending += 1
+            return
+        if self._html_meta_stack and self._html_meta_stack[-1] == tag:
+            # declared-meta pop flushes the scoped content BEFORE the
+            # end bump (pop_stack → flush, end_metaTag)
+            self._flush()
+            self._html_meta_stack.pop()
+            self._close_down_to(tag)
+            if tag not in self.dont_bump_tags:
+                self._pending += 1
+            return
+        # unknown end tag: bump then flush (end_metaTag)
+        self._close_down_to(tag)
         if tag not in self.dont_bump_tags:
-            self._pending_break = True
-        if tag in _HEADER_TAGS:
-            self._header_depth = max(0, self._header_depth - 1)
+            self._pending += 1
+        self._flush()
+
+    def _em_toggle_on(self) -> None:
+        # flush completed words; a partial token stays open and will
+        # carry the emphasis bit for its whole length
+        text = "".join(self._buf)
+        if text and not text[-1].isspace():
+            m = _LAST_WS_RE.search(text)
+            if m is not None:
+                done, tail = text[:m.end()], text[m.end():]
+                bits = self._buf_bits
+                self._buf = [done]
+                self._buf_bits = bits
+                self._flush()
+                self._buf = [tail]
+                self._buf_bits = bits
+            # else: single partial token — keep whole buffer
+        else:
+            self._flush()
+        self._em_depth += 1
+
+    def _em_toggle_off(self) -> None:
+        text = "".join(self._buf)
+        if text and not text[-1].isspace():
+            self._em_defer += 1  # bit off at next word boundary
+        else:
+            self._em_depth = max(0, self._em_depth - 1)
 
     def handle_startendtag(self, tag, attrs) -> None:
         self.handle_starttag(tag, attrs)
-        if tag in _IGNORE_CONTENT_TAGS or self.xml_mode:
-            # an empty <script/>/<style/> opens no content scope (the
-            # start above incremented _ignore_depth — without this end
-            # every later text node in the doc would be dropped); XML
-            # self-closing tags likewise pop their metaname scope
+        if self.xml_mode:
+            # XML self-closing tags pop their metaname scope
             self.handle_endtag(tag)
+
+    def parse_bogus_comment(self, i, report=1):
+        """libxml2 passes a bogus declaration (`<!META ...>`, the
+        legacy swish meta-section markup) through as TEXT content
+        minus the delimiters (verified against the binary);
+        html.parser would report it as a comment."""
+        rawdata = self.rawdata
+        pos = rawdata.find(">", i + 2)
+        if pos == -1:
+            return -1
+        if report:
+            self.handle_data(rawdata[i + 2:pos])
+        return pos + 1
 
     def handle_comment(self, data: str) -> None:
         directive = data.strip().lower()
-        if directive == "noindex":
-            self._flush()
-            self._noindex_toggle = True
-            self._pending_break = True
+        if directive in ("noindex", "swishcommand noindex"):
+            # directive comments neither flush nor bump: the open
+            # token run continues across the whole hidden section;
+            # noindex NESTS (counter ++/--, parser.c:1693-1703)
+            self._noindex_depth += 1
             return
-        if directive == "index":
-            self._noindex_toggle = False
-            self._pending_break = True
+        if directive in ("index", "swishcommand index"):
+            if self._noindex_depth:
+                self._noindex_depth -= 1
             return
-        if self.index_comments and not self._noindex_toggle:
-            self._flush()
-            self.doc.events.append(
-                Event(DEFAULT_FIELD, to_latin1_text(data),
-                      IN_FILE | IN_COMMENTS, True)
-            )
-            self._pending_break = True
+        if self.index_comments and not self._noindex_depth:
+            # comment words index at the current position (+1 each
+            # side) WITHOUT flushing the interrupted run
+            # (parser.c:1710-1719)
+            if data.strip():
+                self.doc.events.append(
+                    Event(DEFAULT_FIELD, to_latin1_text(data),
+                          self._bits() | IN_COMMENTS,
+                          self._pending + 1))
+                self._pending = 1
+            else:
+                self._pending += 2
+
+
+_WS_RE_SEARCH = re.compile(r"\s+")
+
+
+def _WS_SEARCH(s: str):
+    return _WS_RE_SEARCH.search(s)
+
+
+_LAST_WS_RE = re.compile(r"\s(?=\S*$)")
 
 
 def _decode_bytes(html: bytes) -> str:
@@ -506,7 +877,7 @@ def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
             # html.parser path), but ignore-content scopes and XML
             # metaname scopes close immediately
             if m[8]:
-                if tag in _IGNORE_CONTENT_TAGS or p.xml_mode:
+                if p.xml_mode:
                     handle_end(tag)
             elif tag in _CDATA_CLOSE:
                 # html.parser CDATA content mode: raw until the close
@@ -525,7 +896,16 @@ def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
             p.handle_comment(m[2])
         elif g == 3:
             if not _DECL_OK_RE.match(m[3]):
-                return False  # CDATA section / internal subset / bogus
+                decl = m[3]
+                if decl.startswith(("[", "-")) \
+                        or decl[:7].lower() == "doctype":
+                    # CDATA section / malformed comment / doctype with
+                    # an internal subset: html.parser lexes these
+                    # differently — bail to the slow path
+                    return False
+                # bogus declaration -> literal text (libxml2 behavior;
+                # raw — matches the parse_bogus_comment override)
+                handle_data(decl)
         # g == 4: PI — handle_pi is a no-op for this parser
     return pos == n
 
@@ -535,7 +915,8 @@ def extract_html(html: bytes | str, index_comments: bool = False,
                  index_alt: bool = False, xml_attributes: bool = False,
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
-                 dont_bump_tags: frozenset = frozenset()) -> ExtractedDoc:
+                 dont_bump_tags: frozenset = frozenset(),
+                 metanames: frozenset | None = None) -> ExtractedDoc:
     """Extract an HTML/XML document into ordered field/structure events."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
 
@@ -546,7 +927,7 @@ def extract_html(html: bytes | str, index_comments: bool = False,
             xml_attributes=xml_attributes,
             xml_class_attributes=xml_class_attributes,
             xml_nested_metanames=xml_nested_metanames,
-            dont_bump_tags=dont_bump_tags)
+            dont_bump_tags=dont_bump_tags, metanames=metanames)
 
     p = _mk()
     ok = False if xml_mode else _fast_feed(p, raw)
@@ -561,7 +942,7 @@ def extract_html(html: bytes | str, index_comments: bool = False,
     doc.xml = xml_mode
     title_parts = [
         " ".join(ev.text.split()) for ev in doc.events
-        if ev.field_name == TITLE_FIELD
+        if ev.structure & IN_TITLE
     ]
     doc.title = " ".join(t for t in title_parts if t)
     body = doc.body_text()
@@ -571,14 +952,14 @@ def extract_html(html: bytes | str, index_comments: bool = False,
 
 def extract_txt(text: bytes | str) -> ExtractedDoc:
     """TXT passthrough (parse_TXT, /root/reference/src/parser.c:280-312):
-    each line is an event; line breaks are hard breaks."""
+    one continuous token stream — positions are sequential with NO
+    bumps across lines or blank lines, structure is IN_FILE only
+    (verified against the compiled binary)."""
     raw = _decode_bytes(text) if isinstance(text, (bytes, bytearray)) else text
     doc = ExtractedDoc()
-    for line in raw.splitlines():
-        if line.strip():
-            doc.events.append(
-                Event(DEFAULT_FIELD, to_latin1_text(line), IN_FILE | IN_BODY, True)
-            )
+    if raw.strip():
+        doc.events.append(
+            Event(DEFAULT_FIELD, to_latin1_text(raw), IN_FILE, 0))
     body = doc.body_text()
     doc.description = body[:DESCRIPTION_MAX]
     return doc
@@ -589,7 +970,8 @@ def extract(content: bytes | str, doctype: str = "html",
             index_alt: bool = False, xml_attributes: bool = False,
             xml_class_attributes: bool = False,
             xml_nested_metanames: bool = False,
-            dont_bump_tags: frozenset = frozenset()) -> ExtractedDoc:
+            dont_bump_tags: frozenset = frozenset(),
+            metanames: frozenset | None = None) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
@@ -598,7 +980,9 @@ def extract(content: bytes | str, doctype: str = "html",
                             xml_attributes=xml_attributes,
                             xml_class_attributes=xml_class_attributes,
                             xml_nested_metanames=xml_nested_metanames,
-                            dont_bump_tags=dont_bump_tags)
+                            dont_bump_tags=dont_bump_tags,
+                            metanames=metanames)
     return extract_html(content, index_comments=index_comments,
                         index_links=index_links, index_alt=index_alt,
-                        dont_bump_tags=dont_bump_tags)
+                        dont_bump_tags=dont_bump_tags,
+                        metanames=metanames)

@@ -18,10 +18,16 @@ Re-expresses the reference's single tokenizer ``indexstring``
 9. one global per-doc position counter across all fields (addword,
    /root/reference/src/index.c:2396-2405)
 
-Position semantics in this engine: every token that survives the
-word-character / length checks consumes one position (so stopwords leave
-a gap — the query compiler compensates in phrases); hard breaks between
-extraction events add +1 so phrases never match across structure.
+Position semantics in this engine (verified against the compiled
+reference binary's -T INDEXED_WORDS stream): ONLY indexed words consume
+positions — stopwords, length/sanity rejects, and UseWords drops are
+positionally transparent, so a phrase matches across a removed
+stopword ("alpha the beta" ≡ "alpha beta"); each extraction
+event carries an integer bump count matching the reference parser's
+word_pos increments at structural tag boundaries, so phrases never
+match across structure and positions equal the compiled binary's
+-T INDEXED_WORDS stream. doc_len is the number of position-consuming
+tokens (TotalWordsPerFile), NOT the final position counter.
 """
 
 from __future__ import annotations
@@ -36,7 +42,23 @@ from .stopwords import DEFAULT_STOPWORDS
 MIN_WORD_LEN = 1   # /root/reference/src/config.h:203
 MAX_WORD_LEN = 40  # /root/reference/src/config.h:215
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
+# default WordCharacters = the reference's WORDCHARS
+# (/root/reference/src/config.h:253): 0-9 a-z plus the Latin-1 letters
+# aspell's iso8859-1.dat lists (ª µ º and À-ÿ minus × ÷). Accented
+# words index as-is by default — there is NO default translate fold
+# (TranslateCharacters is a config directive, not a default).
+_WORD_RE = re.compile(
+    "[0-9a-z\xaa\xb5\xba\xc0-\xd6\xd8-\xf6\xf8-\xff]+")
+
+
+def _lat_lower(s: str) -> str:
+    """Latin-1 strtolower: Python's .lower() maps µ (0xB5) to Greek μ
+    (U+03BC), which the C locale does not — undo that one aberration
+    so term bytes match the reference binary."""
+    low = s.lower()
+    if "\u03bc" in low:
+        low = low.replace("\u03bc", "\xb5")
+    return low
 _WS_RE = re.compile(r"\s+")
 
 _SANITY_CACHE: dict = {}
@@ -64,13 +86,11 @@ def _sanity_re(max_consec: int, max_repeat: int):
             r"|(.)\1{%d,}" % (n + 1, n + 1, n + 1, max_repeat + 1))
     return rx
 
-# Default TranslateCharacters map: fold Latin-1 accented letters to
-# ASCII so the entity path folds (Espa&ntilde;a → espana). The reference
-# ships this as a config directive (TranslateCharacters,
-# /root/reference/src/index.c:2632, table /root/reference/src/swish.h:580).
 _STEM_CACHE: dict = {}   # per-process: mode -> {word: stem}
 _STEM_CACHE_CAP = 200_000
 
+# the :ascii7: TranslateCharacters directive analogue (swish.h:580) —
+# OPT-IN, not a default
 DEFAULT_TRANSLATE = str.maketrans(
     "àáâãäåçèéêëìíîïñòóôõöùúûüýÿðø",
     "aaaaaaceeeeiiiinooooouuuuyydo",
@@ -84,21 +104,24 @@ class TokenizerConfig:
     buzzwords: frozenset = frozenset()
     min_word_len: int = MIN_WORD_LEN
     max_word_len: int = MAX_WORD_LEN
-    translate: dict | None = None  # TranslateCharacters (None = default fold)
+    translate: dict | None = None  # TranslateCharacters (None = no
+                     # fold — the reference default; ASCII7_TRANSLATE
+                     # is the :ascii7: directive analogue)
     fuzzy: str = ""  # FuzzyIndexingMode: ""(derive from stem)/"none"/
                      # "porter"/"soundex"/"metaphone" (fuzzy_opts
                      # dispatch, /root/reference/src/stemmer.c:117-165)
     word_chars: str | None = None  # WordCharacters: chars that form a
-                     # word (None = default a-z0-9; defaults
-                     # /root/reference/src/config.h:253). Regex-escaped
+                     # word (None = the reference default set incl.
+                     # Latin-1 letters, /root/reference/src/config.h:
+                     # 253). Regex-escaped
                      # char set; sub-split happens on anything else
                      # (next_swish_word, /root/reference/src/index.c:2444)
     ignore_first_chars: str = ""  # IgnoreFirstChar iterative strip
     ignore_last_chars: str = ""   # IgnoreLastChar
                      # (/root/reference/src/swish_words.c:1238-1295)
     use_words: frozenset | None = None  # UseWords allowlist: when set,
-                     # only listed words index; dropped words still
-                     # consume a position like stopwords
+                     # only listed words index; dropped words are
+                     # positionally transparent like stopwords
                      # (/root/reference/src/index.c:2598-2607)
     number_chars: str = ""  # NumberChars: words made ONLY of these
                      # chars are skipped (/root/reference/src/index.c:2644)
@@ -277,7 +300,7 @@ def split_words(text: str, cfg: TokenizerConfig):
     for word in _WS_RE.split(text):
         if not word:
             continue
-        low = word.lower()
+        low = _lat_lower(word)
         if cfg.buzzwords:
             # the reference strips Ignore{Last,First}Chars BEFORE the
             # buzzword comparison (index.c:2611-2620): 'c++.' with
@@ -290,8 +313,8 @@ def split_words(text: str, cfg: TokenizerConfig):
             if sw in cfg.buzzwords:
                 yield sw
                 continue
-        low = low.translate(cfg.translate if cfg.translate is not None
-                            else DEFAULT_TRANSLATE)
+        if cfg.translate is not None:
+            low = low.translate(cfg.translate)
         for tok in word_re.findall(low):
             if strip_f:
                 tok = tok.lstrip(strip_f)
@@ -310,7 +333,7 @@ def tokenize_query_text(text: str, cfg: TokenizerConfig):
         # lowercased whitespace word is checked against the allowlist
         # directly — no translate, sub-split, or stemming; non-listed
         # words are positional gaps
-        return [w.lower() if w.lower() in cfg.use_words else None
+        return [_lat_lower(w) if _lat_lower(w) in cfg.use_words else None
                 for w in _WS_RE.split(text) if w]
     out = []
     fn = cfg.fuzzy_fn()
@@ -352,22 +375,25 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     """
     by_field: dict = {}
     pos = 0
+    ntok = 0  # position-consuming tokens (TotalWordsPerFile analogue,
+              # /root/reference/src/db_write.c:773) — NOT the position
+              # counter, which additionally carries structural bump gaps
     if cfg.use_words is not None:
         # UseWords mode (index.c:2598-2607): whole whitespace words,
         # lowercased and checked verbatim against the allowlist —
         # translate, sub-split, stemming, and every other check are
         # bypassed; non-listed words still consume a position
         for ev in doc.events:
-            if ev.hard_break and pos:
-                pos += 1
+            pos += ev.bumps
             fan = ev.fields if ev.fields else (ev.field_name,)
             for word in _WS_RE.split(ev.text):
                 if not word:
                     continue
-                pos += 1
-                low = word.lower()
+                low = _lat_lower(word)
                 if low not in cfg.use_words:
                     continue
+                pos += 1
+                ntok += 1
                 for f2 in fan:
                     fd = by_field.setdefault(f2, {})
                     p = fd.get(low)
@@ -378,12 +404,12 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                         p.positions.append(pos)
                         p.structures.append(ev.structure)
         return ({(f, t): p for f, fd in by_field.items()
-                 for t, p in fd.items()}, pos)
+                 for t, p in fd.items()}, ntok)
     stop = cfg.stopwords
     fuzzy_fn = cfg.fuzzy_fn()
     multi_fn = cfg.fuzzy_multi_fn()
     minl, maxl = cfg.min_word_len, cfg.max_word_len
-    trans = cfg.translate if cfg.translate is not None else DEFAULT_TRANSLATE
+    trans = cfg.translate
     buzz = cfg.buzzwords
     custom_split = (cfg.word_chars is not None or cfg.ignore_first_chars
                     or cfg.ignore_last_chars)
@@ -397,16 +423,15 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     # branching beyond length/stopword (build throughput path)
     plain = (multi_fn is None and not char_checks)
     for ev in doc.events:
-        if ev.hard_break and pos:
-            pos += 1  # adjacency break across structure
+        pos += ev.bumps  # structural position gaps (never matchable)
         field = ev.field_name
         fan_fields = ev.fields if ev.fields else None
         structure = ev.structure
-        low = ev.text.lower()
+        low = _lat_lower(ev.text)
         if custom_split or (buzz and any(b in low for b in buzz)):
             toks = split_words(ev.text, cfg)
         else:
-            toks = findall(low.translate(trans))
+            toks = findall(low if trans is None else low.translate(trans))
         if plain and fan_fields is None:
             fdict = by_field.get(field)
             if fdict is None:
@@ -417,6 +442,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                     # verbatim, bypassing length/sanity/stopword/stem
                     # (/root/reference/src/index.c:2611-2625)
                     pos += 1
+                    ntok += 1
                     p = fget(raw)
                     if p is None:
                         fdict[raw] = Posting(field, raw, [pos],
@@ -430,9 +456,10 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                     continue
                 if lr > sanity_len and not cfg.char_checks_ok(raw):
                     continue
-                pos += 1
                 if raw in stop:
                     continue
+                pos += 1
+                ntok += 1
                 term = fuzzy_fn(raw) if fuzzy_fn else raw
                 p = fget(term)
                 if p is None:
@@ -447,6 +474,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             if buzz and raw in buzz:
                 # verbatim buzzword: bypasses every check and stem
                 pos += 1
+                ntok += 1
                 for f2 in ((field,) if fan_fields is None
                            else fan_fields):
                     fd = by_field.setdefault(f2, {})
@@ -462,9 +490,10 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
             if (char_checks or len(raw) > sanity_len) \
                     and not cfg.char_checks_ok(raw):
                 continue
-            pos += 1
             if raw in stop:
                 continue
+            pos += 1
+            ntok += 1
             # DoubleMetaphone dual-emission: every code indexes at the
             # SAME position (the reference decrements the position
             # counter between codes, /root/reference/src/index.c:
@@ -494,4 +523,7 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                 term = terms[1]
     postings = {(f, t): p for f, fd in by_field.items()
                 for t, p in fd.items()}
-    return postings, pos
+    return postings, ntok
+
+
+ASCII7_TRANSLATE = DEFAULT_TRANSLATE  # :ascii7: directive alias

@@ -175,13 +175,16 @@ class TestFuzzSwishRank:
         for _ in range(8):
             q = _random_query(rng, vocab)
             for scheme in (0, 1):
+                itwc = scheme != 1  # -R 1 demands stored word counts
                 try:
-                    want = oracle_swish_query(oracle300, q, k=10,
-                                              scheme=scheme)
+                    want = oracle_swish_query(
+                        oracle300, q, k=10, scheme=scheme,
+                        ignore_total_word_count=itwc)
                 except (QueryError, WordsTooCommon):
                     continue
                 got = spark_swish_search(fuzz_engine, q, k=10,
-                                         scheme=scheme)
+                                         scheme=scheme,
+                                         ignore_total_word_count=itwc)
                 assert got == want, (q, scheme)
                 checked += 1
         assert checked >= 8
@@ -206,15 +209,18 @@ class TestFuzzSwishRank:
                       "swishtitle": rng.randint(-10, 10),
                       "meta1": rng.randint(-10, 10)}
             for scheme in (0, 1):
+                itwc = scheme != 1
                 try:
-                    want = oracle_swish_query(oracle300, q, k=10,
-                                              scheme=scheme,
-                                              rank_biases=biases)
+                    want = oracle_swish_query(
+                        oracle300, q, k=10, scheme=scheme,
+                        rank_biases=biases,
+                        ignore_total_word_count=itwc)
                 except (QueryError, WordsTooCommon):
                     continue
                 got = spark_swish_search(fuzz_engine, q, k=10,
                                          scheme=scheme,
-                                         rank_biases=biases)
+                                         rank_biases=biases,
+                                         ignore_total_word_count=itwc)
                 assert got == want, (q, scheme, biases)
                 checked += 1
         assert checked >= 6

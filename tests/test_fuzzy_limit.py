@@ -76,8 +76,14 @@ class TestIgnoreLimit:
         assert stopped  # the synthetic corpus has >30%-df terms
         assert "common0" in stopped
 
+        # compaction drops the stopped postings AND renumbers
+        # positions (adjustWordPositions parity): the index is then
+        # identical to one built with the stopped words as index-time
+        # stopwords — which is exactly the oracle built below
+        from swish_e_spark.index.maintenance import compact_index
+
+        compact_index(spark, out)
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
-        # stopped words now behave exactly like index-time stopwords
         oracle = OracleIndex(TokenizerConfig(
             buzzwords=frozenset({"c++"}),
             stopwords=DEFAULT_STOPWORDS | frozenset(stopped)))
@@ -127,19 +133,20 @@ class TestIgnoreLimit:
         stopped = apply_ignore_limit(spark, out, plimit=90, flimit=1)
         assert "dupfield" in stopped
 
-    def test_position_gap_divergence_pinned(self, spark, tmp_path):
-        """Intentional divergence from the reference, kept under review
-        (rationale: maintenance.py apply_ignore_limit docstring).
+    def test_position_gap_renumbered_at_compaction(self, spark,
+                                                    tmp_path):
+        """IgnoreLimit position semantics (reference parity since the
+        binary-verified tokenizer rework — index-time stopwords never
+        consume positions):
 
-        The reference renumbers surviving word positions after
-        IgnoreLimit removes a word (adjustWordPositions,
-        /root/reference/src/index.c:1824-1924) because ITS index-time
-        stopwords never consumed positions. This engine's index-time
-        stopwords DO consume positions, so post-hoc stopped words keep
-        their position slot: a phrase spelled WITH the stopped word
-        still matches through the gap, and the gap does NOT collapse.
-        If either assertion ever flips, the divergence stopped being
-        intentional."""
+        - TRANSITIONAL window (after apply_ignore_limit, before
+          compaction): the index still carries the stopped word's
+          position slot but queries drop it gaplessly, so phrases
+          spanning the stopped word match NEITHER spelled with nor
+          without it.
+        - after compact_index: positions renumber (adjustWordPositions,
+          /root/reference/src/index.c:1824-1924) and the adjacency
+          phrase matches exactly as the reference would."""
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -158,12 +165,18 @@ class TestIgnoreLimit:
         stopped = apply_ignore_limit(spark, out, plimit=30, flimit=5)
         assert stopped == ["filler"]
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
-        # the stopped word leaves a positional GAP the phrase walks over
-        assert [d for d, _ in eng.search('"alpha filler beta"', k=5)] \
-            == [0]
-        # ... and the gap does NOT collapse (the reference, after
-        # renumbering, WOULD match this adjacency query)
+        # transitional window: the gap is in the index but not in the
+        # query — no phrase across the stopped word matches either way
+        assert eng.search('"alpha filler beta"', k=5) == []
         assert eng.search('"alpha beta"', k=5) == []
+        # compaction renumbers: adjacency matches (reference parity)
+        from swish_e_spark.index.maintenance import compact_index
+
+        compact_index(spark, out)
+        eng2 = SparkQueryEngine(spark, IndexHandle(spark, out))
+        assert [d for d, _ in eng2.search('"alpha beta"', k=5)] == [0]
+        assert [d for d, _ in
+                eng2.search('"alpha filler beta"', k=5)] == [0]
 
     def test_stopped_word_query_raises(self, spark, tmp_path):
         from swish_e_spark.query.parser import WordsTooCommon

@@ -28,9 +28,12 @@ class TestParser:
         assert isinstance(parse_query("alpha and not beta"), AndNot)
 
     def test_phrase_with_stopword_gap(self):
+        # stopwords DROP from phrases with no positional gap — index
+        # positions are transparent across stopwords (binary-verified:
+        # "alpha the beta" matches adjacent alpha/beta)
         node = parse_query('"once upon a time"')
         assert isinstance(node, Phrase)
-        assert node.terms == ("once", "upon", None, "time")
+        assert node.terms == ("once", "upon", "time")
 
     def test_field_scope(self):
         node = parse_query("meta1=metatest1")
@@ -116,7 +119,11 @@ class TestOracleQueries:
             oracle300.query("the")
 
     def test_latin1_fold(self, oracle300):
-        assert oracle300.query("espana", k=10)
+        # default keeps the accented form (reference WORDCHARS incl.
+        # Latin-1; no default TranslateCharacters — binary-verified);
+        # querying through the same tokenizer matches
+        assert oracle300.query("espa\xf1a", k=10)
+        assert not oracle300.query("espana", k=10)
 
     def test_buzzword(self, oracle300):
         assert oracle300.query("c++", k=10)

@@ -5,8 +5,8 @@ fixture shapes mirror /root/reference/tests/*.html|txt|xml.
 """
 
 from swish_e_spark.textproc.extractor import (
-    DEFAULT_FIELD, IN_COMMENTS, IN_EMPHASIZED, IN_HEADER, IN_TITLE,
-    TITLE_FIELD, extract,
+    DEFAULT_FIELD, IN_BODY, IN_COMMENTS, IN_EMPHASIZED, IN_FILE,
+    IN_HEAD, IN_HEADER, IN_TITLE, TITLE_FIELD, extract,
 )
 from swish_e_spark.textproc.porter import porter_stem, stem_series
 from swish_e_spark.textproc.tokenizer import TokenizerConfig, tokenize_doc
@@ -58,15 +58,16 @@ class TestExtractor:
         assert doc.body_text() == "fir\nst"
 
     def test_structure_bits(self):
+        # binary-verified bits: title words carry HEAD|TITLE (and live
+        # in swishdefault — swishtitle is a property); h1 carries
+        # HEADER|BODY (HEAD is the <head> element, not headings)
         doc = extract(b"<html><head><title>tw</title></head><body>"
                       b"<h1>hw</h1><p>pw <em>ew</em></p></body></html>")
-        by_field = {}
-        for ev in doc.events:
-            by_field.setdefault(ev.field_name, []).append(ev)
-        assert by_field[TITLE_FIELD][0].structure & IN_TITLE
-        body_evs = by_field[DEFAULT_FIELD]
-        assert body_evs[0].structure & IN_HEADER  # h1
-        assert any(ev.structure & IN_EMPHASIZED for ev in body_evs)
+        evs = {(ev.text.strip(), ev.structure) for ev in doc.events}
+        assert ("tw", IN_FILE | IN_TITLE | IN_HEAD) in evs
+        assert ("hw", IN_FILE | IN_BODY | IN_HEADER) in evs
+        assert any(t.startswith("ew") and st & IN_EMPHASIZED
+                   and st & IN_BODY for t, st in evs)
 
     def test_entities_decoded_and_latin1(self):
         doc = extract(b"<body><p>Espa&ntilde;a &amp; more \xe2\x82\xac</p></body>")
@@ -102,10 +103,14 @@ class TestExtractor:
         comment_evs = [ev for ev in doc.events if ev.structure & IN_COMMENTS]
         assert comment_evs and "secretword" in comment_evs[0].text
 
-    def test_script_style_ignored(self):
-        doc = extract(b"<body><script>var x=1;</script><style>.a{}</style>"
-                      b"visible</body>")
-        assert doc.body_text() == "visible"
+    def test_script_style_content_indexed(self):
+        # the reference has NO script/style special-casing: their text
+        # is indexed; script is inline (isinline=2, no flush) so
+        # adjacent text merges, style is non-inline (boundary+bump)
+        doc = extract(b"<body>w1<script>var x=1;</script>"
+                      b"<style>.a{}</style>visible</body>")
+        txt = doc.body_text()
+        assert "w1var" in txt and "visible" in txt and "a{}" in txt
 
     def test_self_closing_script_opens_no_scope(self):
         # XHTML-style <script src=.../> must not swallow the rest of
@@ -145,8 +150,11 @@ class TestExtractor:
         assert "descword" in doc.body_text()
 
     def test_txt_lines(self):
+        # TXT is ONE continuous stream (no bumps across lines —
+        # binary-verified); body_text collapses whitespace
         doc = extract(b"line one\nline two\n", doctype="txt")
-        assert doc.body_text() == "line one\nline two"
+        assert doc.body_text() == "line one line two"
+        assert doc.events[0].structure == IN_FILE
 
     def test_description_capped(self):
         doc = extract(("<body>" + "word " * 200 + "</body>").encode())
@@ -155,11 +163,14 @@ class TestExtractor:
 
 class TestTokenizer:
     def test_positions_and_gaps(self):
+        # stopwords are positionally TRANSPARENT (binary-verified:
+        # alpha/beta stay adjacent); positions carry the structural
+        # bumps (implied html +1, body +2, p +1 → first word at 5)
         doc = extract(b"<body><p>alpha the beta</p></body>")
         postings, doc_len = tokenize_doc(doc, TokenizerConfig())
-        assert doc_len == 3  # stopword consumes a position
-        assert postings[(DEFAULT_FIELD, "alpha")].positions == [1]
-        assert postings[(DEFAULT_FIELD, "beta")].positions == [3]
+        assert doc_len == 2  # indexed words only
+        assert postings[(DEFAULT_FIELD, "alpha")].positions == [5]
+        assert postings[(DEFAULT_FIELD, "beta")].positions == [6]
         assert (DEFAULT_FIELD, "the") not in postings
 
     def test_hard_break_bumps_position(self):
@@ -167,7 +178,8 @@ class TestTokenizer:
         postings, _ = tokenize_doc(doc, TokenizerConfig())
         p1 = postings[(DEFAULT_FIELD, "one")].positions[0]
         p2 = postings[(DEFAULT_FIELD, "two")].positions[0]
-        assert p2 - p1 == 2  # not adjacent → phrases cannot cross blocks
+        assert p2 - p1 == 3  # </p> +1, <p> +1, plus the word gap —
+        #                      phrases cannot cross blocks
 
     def test_max_word_len_dropped(self):
         doc = extract(("<body>" + "y" * 41 + " ok</body>").encode())
@@ -185,14 +197,22 @@ class TestTokenizer:
         assert (DEFAULT_FIELD, "c") in postings2
 
     def test_accent_fold(self):
+        # the reference DEFAULT keeps accented letters (WORDCHARS
+        # includes Latin-1, no default TranslateCharacters — binary
+        # verified); the :ascii7:-style fold is opt-in
+        from swish_e_spark.textproc.tokenizer import ASCII7_TRANSLATE
+
         doc = extract(b"<body><p>Espa&ntilde;a</p></body>")
         postings, _ = tokenize_doc(doc, TokenizerConfig())
-        assert (DEFAULT_FIELD, "espana") in postings
+        assert (DEFAULT_FIELD, "espa\xf1a") in postings
+        postings2, _ = tokenize_doc(
+            doc, TokenizerConfig(translate=ASCII7_TRANSLATE))
+        assert (DEFAULT_FIELD, "espana") in postings2
 
     def test_stemming(self):
         doc = extract(b"<body>running runs</body>")
         postings, _ = tokenize_doc(doc, TokenizerConfig(stem=True))
-        assert postings[(DEFAULT_FIELD, "run")].positions == [1, 2]
+        assert postings[(DEFAULT_FIELD, "run")].positions == [4, 5]
 
     def test_global_position_counter_across_fields(self):
         # one global per-doc counter (addword,
@@ -259,8 +279,9 @@ class TestBuzzAndUseWordSemantics:
         doc = extract(b"foo-bar and running daily", doctype="txt")
         postings, doc_len = tokenize_doc(doc, cfg)
         got = {t: p.positions for (_f, t), p in postings.items()}
-        assert got == {"foo-bar": [1], "running": [3]}
-        assert doc_len == 4
+        # non-listed words are positionally transparent
+        assert got == {"foo-bar": [1], "running": [2]}
+        assert doc_len == 2
         assert tokenize_query_text("foo-bar running", cfg) == \
             ["foo-bar", "running"]
 
@@ -309,10 +330,10 @@ class TestTokenFilters:
                               use_words=frozenset({"spark", "hash"}))
         doc = extract(b"spark beats hash daily", doctype="txt")
         postings, doc_len = tokenize_doc(doc, cfg)
-        # all 4 tokens consume positions; only listed words index
-        assert doc_len == 4
+        # only listed words index or consume positions
+        assert doc_len == 2
         got = {t: p.positions for (f, t), p in postings.items()}
-        assert got == {"spark": [1], "hash": [3]}
+        assert got == {"spark": [1], "hash": [2]}
 
     def test_isokword_sanity(self):
         from swish_e_spark.textproc.tokenizer import (
@@ -358,12 +379,15 @@ class TestTokenFilters:
             TokenizerConfig, tokenize_doc,
         )
 
-        html = b"<html><body>one<div>two</div>three</body></html>"
+        # DontBumpPositionOnMetaTags applies to META tags (unknown
+        # elements), not to known html elements like <div>
+        # (isDontBumpMetaName is checked only in start/end_metaTag,
+        # /root/reference/src/parser.c:986-989,1117)
+        html = b"<html><body>one<foo>two</foo>three</body></html>"
         cfg = TokenizerConfig(stopwords=frozenset())
-        _, _ = tokenize_doc(extract(html), cfg)
         p_default, _ = tokenize_doc(extract(html), cfg)
         p_nobump, _ = tokenize_doc(
-            extract(html, dont_bump_tags=frozenset({"div"})), cfg)
+            extract(html, dont_bump_tags=frozenset({"foo"})), cfg)
         d = {t: p.positions for (f, t), p in p_default.items()}
         n = {t: p.positions for (f, t), p in p_nobump.items()}
         assert d["two"][0] - d["one"][0] == 2   # bumped: phrase gap
