@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,
+        "media_mp4_info": multimodal.media_mp4_info_q,
+        "media_mp3_info": multimodal.media_mp3_info_q,
         # training-data pipeline: text analysis
         "langid_heuristic": textstats.langid_heuristic,
         "quality_score": textstats.quality_score,
@@ -497,6 +499,48 @@ f as (select doc_id as media_id,
       from v)
 select media_id, frame_idx, cast(frame_idx * 40 as int) as ts_ms
 from f order by media_id, frame_idx""",
+        # the Spark side BUILDS a valid one-track MP4 per video doc and
+        # PARSES it back (box walk + stts/stsc/stsz/stco resolution);
+        # the oracle re-derives the expected numbers from the same
+        # doc_id arithmetic: n = 4 + doc_id%13 samples of size
+        # 32 + (doc_id + 17*i)%64, 40 ms per sample
+        "media_mp4_info": """
+with v as (select doc_id from documents where doc_id % 3 = 2),
+s as (select doc_id, unnest(range(0, 4 + doc_id % 13)) as i from v)
+select v.doc_id as media_id,
+       'isom' as brand,
+       cast(4 + v.doc_id % 13 as int) as n_samples,
+       cast((4 + v.doc_id % 13) * 40 as bigint) as duration_ms,
+       (select sum(32 + (s.doc_id + 17 * s.i) % 64) from s
+        where s.doc_id = v.doc_id) as media_bytes,
+       cast(0 as bigint) as first_dts,
+       cast((4 + v.doc_id % 13 - 1) * 40 as bigint) as last_dts
+from v order by media_id""",
+        # CBR MPEG-1 Layer III streams (8 + doc_id%24 frames, bitrate
+        # index 1 + doc_id%14, samplerate index doc_id%3, mono when
+        # doc_id is odd); the Spark side WALKS the frames to recover
+        # these — the oracle inlines the public bitrate/samplerate
+        # tables and the 1152-samples-per-frame duration arithmetic
+        "media_mp3_info": """
+with a as (select doc_id, 1 + doc_id % 14 as bi, doc_id % 3 as si,
+                  8 + doc_id % 24 as nf
+           from documents where doc_id % 3 = 1),
+b as (select *,
+        1000 * case bi when 1 then 32 when 2 then 40 when 3 then 48
+          when 4 then 56 when 5 then 64 when 6 then 80 when 7 then 96
+          when 8 then 112 when 9 then 128 when 10 then 160
+          when 11 then 192 when 12 then 224 when 13 then 256
+          else 320 end as br,
+        case si when 0 then 44100 when 1 then 48000
+          else 32000 end as sr
+      from a)
+select doc_id as media_id, cast(nf as int) as n_frames,
+       cast(nf * 1152 * 1000 // sr as bigint) as duration_ms,
+       cast(sr as int) as samplerate,
+       cast(case doc_id % 2 when 1 then 1 else 2 end as int)
+         as channels,
+       cast(br as int) as bitrate
+from b order by media_id""",
         # text analysis
         "langid_heuristic": f"""
 with {toks},

@@ -590,16 +590,128 @@ def media_frame_sample_q(spark, sf_dir: str, every_n: int = 4):
     return frames.orderBy("media_id", "frame_idx")
 
 
-def frame_sample(media_df, every_n: int = 4, fake: bool = True):
-    """Video frame-sampling plumbing: one row per sampled frame index.
-    The decode is stubbed; the fan-out schema/batching is real."""
+def media_mp4_info_q(spark, sf_dir: str):
+    """Driver-contract entry: REAL ISO-BMFF container parsing. Each
+    'video'-class doc gets a deterministic one-track MP4 (mp4.build_mp4
+    — valid ftyp/mdat/moov with sample tables) whose parameters derive
+    from doc_id; the kernel then PARSES the container bytes
+    (mp4.parse_mp4: box walk, stts/stsc/stsz/stco sample resolution)
+    and returns what the parser read. The SQL oracle re-derives the
+    same numbers arithmetically, so any writer/parser structural
+    mismatch breaks the gate (byte-level structure is additionally
+    pinned in tests/test_ops.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id % 3 = 2").select("doc_id")
+
     def kernel(batches):
+        from .mp4 import build_mp4, parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 13
+                samples = [bytes([i & 0xFF]) * (32 + (did + 17 * i)
+                                                % 64)
+                           for i in range(n)]
+                info = parse_mp4(build_mp4(samples, timescale=1000,
+                                           sample_delta=40))
+                tr = info["tracks"][0]
+                rows.append({
+                    "media_id": did,
+                    "brand": info["brand"],
+                    "n_samples": tr["n_samples"],
+                    "duration_ms": info["duration"],
+                    "media_bytes": sum(s for _, s, _ in tr["samples"]),
+                    "first_dts": tr["samples"][0][2],
+                    "last_dts": tr["samples"][-1][2],
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (docs.mapInPandas(
+        kernel, schema="media_id long, brand string, n_samples int, "
+                       "duration_ms long, media_bytes long, "
+                       "first_dts long, last_dts long")
+        .orderBy("media_id"))
+
+
+def media_mp3_info_q(spark, sf_dir: str):
+    """Driver-contract entry: REAL MPEG-audio frame walking. Each
+    'audio'-class doc gets a deterministic CBR Layer III stream
+    (mpegaudio.build_mp3 — valid sync/size arithmetic) and the kernel
+    WALKS the frames (mpegaudio.walk_frames/mpeg_audio_info) to
+    recover frame count, duration, samplerate, channels, bitrate; the
+    SQL oracle re-derives them from the same doc_id arithmetic
+    (bitrate/samplerate tables inlined as CASE)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id % 3 = 1").select("doc_id")
+
+    def kernel(batches):
+        from .mpegaudio import build_mp3, mpeg_audio_info
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = build_mp3(8 + did % 24,
+                              bitrate_idx=1 + did % 14,
+                              sr_idx=did % 3,
+                              mono=bool(did % 2), seed=did)
+                info = mpeg_audio_info(p)
+                rows.append({
+                    "media_id": did,
+                    "n_frames": info["n_frames"],
+                    "duration_ms": info["duration_ms"],
+                    "samplerate": info["samplerate"],
+                    "channels": info["channels"],
+                    "bitrate": info["avg_bitrate"],
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (docs.mapInPandas(
+        kernel, schema="media_id long, n_frames int, duration_ms "
+                       "long, samplerate int, channels int, "
+                       "bitrate int")
+        .orderBy("media_id"))
+
+
+def frame_sample(media_df, every_n: int = 4, fake: bool = True):
+    """Video frame-sampling: one row per sampled frame index. When the
+    payload is a parseable ISO-BMFF container the frame list is REAL —
+    sample indices and timestamps from the parsed stts/stsc/stsz/stco
+    tables (ops/mp4.py); otherwise the legacy byte-length heuristic
+    keeps the fan-out plumbing exercised on opaque payloads. Frame
+    PIXEL decode (H.264/AAC payloads) stays stubbed — see
+    ops/mpegaudio.py's scope note."""
+    def kernel(batches):
+        from .mp4 import parse_mp4
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
-                n_frames = max(1, len(bytes(row.payload)) // 64)
+                payload = bytes(row.payload)
+                info = None
+                try:
+                    info = parse_mp4(payload)
+                except ValueError:
+                    pass
+                if info is not None and info["tracks"]:
+                    tr = max(info["tracks"],
+                             key=lambda t: t["n_samples"])
+                    # sample dts is in the track's MEDIA timescale
+                    # (mdhd), not the movie timescale
+                    ts = tr["timescale"] or info["timescale"] or 1000
+                    for fi in range(0, tr["n_samples"], every_n):
+                        dts = tr["samples"][fi][2]
+                        rows.append({"media_id": row.media_id,
+                                     "frame_idx": fi,
+                                     "ts_ms": int(dts * 1000 // ts)})
+                    continue
+                n_frames = max(1, len(payload) // 64)
                 for fi in range(0, n_frames, every_n):
                     rows.append({"media_id": row.media_id,
                                  "frame_idx": fi,

@@ -2,6 +2,7 @@
 pure-Python references, ANN recall sanity, multimodal plumbing."""
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -649,3 +650,177 @@ class TestWavEncodings:
         src = (sig.reshape(-1, channels).astype(np.float32)
                .mean(axis=1) / 32768.0)[:len(x)]
         assert float(np.abs(x - src)[128:].max()) < 0.05
+
+
+class TestMp4Container:
+    """ISO-BMFF pins (ops/mp4.py): writer→parser round-trip, byte-level
+    structure, sample-offset resolution, and untrusted-input rejection."""
+
+    @staticmethod
+    def _samples(did=2):
+        n = 4 + did % 13
+        return [bytes([i & 0xFF]) * (32 + (did + 17 * i) % 64)
+                for i in range(n)]
+
+    def test_build_parse_roundtrip(self):
+        from swish_e_spark.ops.mp4 import build_mp4, parse_mp4
+
+        samples = self._samples()
+        buf = build_mp4(samples, timescale=1000, sample_delta=40)
+        info = parse_mp4(buf)
+        assert info["brand"] == "isom"
+        assert info["timescale"] == 1000
+        tr = info["tracks"][0]
+        assert tr["handler"] == "vide" and tr["codec"] == "mp4v"
+        assert tr["n_samples"] == len(samples)
+        # per-sample size, contiguity, and dts ladder
+        off0 = tr["samples"][0][0]
+        want_off = off0
+        for i, (off, size, dts) in enumerate(tr["samples"]):
+            assert size == len(samples[i])
+            assert off == want_off
+            assert dts == 40 * i
+            want_off += size
+
+    def test_sample_extraction_is_exact_bytes(self):
+        from swish_e_spark.ops.mp4 import build_mp4, mp4_sample
+
+        samples = self._samples(did=5)
+        buf = build_mp4(samples)
+        for i, s in enumerate(samples):
+            assert mp4_sample(buf, 0, i) == s
+
+    def test_byte_structure_pin(self):
+        # the writer is deterministic: pin the exact bytes of a small
+        # build so any layout change is a conscious decision
+        from swish_e_spark.ops.mp4 import build_mp4
+
+        buf = build_mp4([b"A" * 8, b"BB" * 4], timescale=600,
+                        sample_delta=25)
+        assert hashlib.sha256(buf).hexdigest() == (
+            "2b330ebac4bf2996ef35fcb8ba1b1f09"
+            "7d4847bd77204310ed99f574e09a8220")
+        # structural invariants a future layout change must preserve
+        assert buf[4:8] == b"ftyp"
+        assert b"mdat" in buf and b"moov" in buf
+        assert buf.index(b"mdat") < buf.index(b"moov")
+
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:20],                          # truncated box
+        lambda b: b[:4] + b"junk" + b[8:],         # no ftyp
+        lambda b: b"\x00\x00\x00\x03" + b[4:],     # size < 8
+        lambda b: b[:-40],                         # moov truncated
+    ])
+    def test_malformed_rejected(self, mutate):
+        from swish_e_spark.ops.mp4 import build_mp4, parse_mp4
+
+        buf = build_mp4(self._samples())
+        with pytest.raises(ValueError):
+            parse_mp4(mutate(bytearray(buf)))
+
+    def test_sample_overrun_rejected(self):
+        # stsz inflated past the file end must not yield an offset
+        # outside the payload
+        from swish_e_spark.ops.mp4 import build_mp4, parse_mp4
+
+        buf = bytearray(build_mp4([b"x" * 16] * 4))
+        i = buf.index(b"stsz")
+        # first size entry lives 12 bytes after the tag (ver/flags,
+        # fixed=0, count): blow it up
+        struct.pack_into(">I", buf, i + 16, 1 << 24)
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(buf))
+
+    def test_box_budget_enforced(self):
+        from swish_e_spark.ops.mp4 import MAX_BOXES, parse_mp4
+
+        flood = b"\x00\x00\x00\x08free" * (MAX_BOXES + 8)
+        with pytest.raises(ValueError):
+            parse_mp4(flood)
+
+
+class TestMpegAudio:
+    """MPEG audio frame-walk pins (ops/mpegaudio.py)."""
+
+    def test_build_walk_roundtrip(self):
+        from swish_e_spark.ops.mpegaudio import build_mp3, walk_frames
+
+        p = build_mp3(12, bitrate_idx=9, sr_idx=1, mono=True, seed=7)
+        frames = list(walk_frames(p))
+        assert len(frames) == 12
+        h = frames[0][1]
+        assert h["bitrate"] == 128000 and h["samplerate"] == 48000
+        assert h["channels"] == 1 and h["layer"] == 3
+        # frame offsets advance by exactly the computed frame size
+        assert all(frames[i + 1][0] - frames[i][0] == h["size"]
+                   for i in range(len(frames) - 1))
+
+    def test_header_size_arithmetic(self):
+        # public formula: Layer III MPEG-1 size = 144*br/sr + pad
+        from swish_e_spark.ops.mpegaudio import parse_header
+
+        word = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+            | (9 << 12) | (0 << 10)  # 128 kbit/s, 44100 Hz, no pad
+        h = parse_header(word)
+        assert h["size"] == 144 * 128000 // 44100
+        h2 = parse_header(word | (1 << 9))  # padding bit
+        assert h2["size"] == h["size"] + 1
+
+    def test_resync_across_garbage(self):
+        from swish_e_spark.ops.mpegaudio import build_mp3, walk_frames
+
+        p = build_mp3(6, seed=3)
+        dirty = b"\xffthis is not audio\x00" * 3 + p
+        frames = list(walk_frames(dirty))
+        assert len(frames) == 6
+        assert frames[0][0] == len(dirty) - len(p)
+
+    def test_info_and_duration(self):
+        from swish_e_spark.ops.mpegaudio import build_mp3, \
+            mpeg_audio_info
+
+        p = build_mp3(25, bitrate_idx=5, sr_idx=2, mono=False)
+        info = mpeg_audio_info(p)
+        assert info["n_frames"] == 25
+        assert info["samplerate"] == 32000
+        assert info["channels"] == 2
+        assert info["duration_ms"] == 25 * 1152 * 1000 // 32000
+        assert info["avg_bitrate"] == 64000
+        assert info["vbr"] is False
+
+    def test_non_audio_returns_none(self):
+        from swish_e_spark.ops.mpegaudio import mpeg_audio_info
+
+        assert mpeg_audio_info(b"GIF89a" + b"\x00" * 256) is None
+        assert mpeg_audio_info(b"") is None
+
+    def test_pseudo_sync_rejected_by_lookahead(self):
+        # 0xFFF sync inside junk whose implied next frame is invalid
+        # must not be accepted as a frame
+        from swish_e_spark.ops.mpegaudio import build_mp3, walk_frames
+
+        word = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+            | (9 << 12)
+        fake = struct.pack(">I", word) + b"\x00" * 500
+        p = fake + build_mp3(4, seed=1)
+        offs = [o for o, _ in walk_frames(p)]
+        assert len(offs) == 4 and offs[0] >= len(fake)
+
+    def test_frame_sample_uses_real_container_timestamps(self, spark):
+        # a video row whose payload is a REAL MP4 gets frame rows from
+        # the parsed sample tables, not the byte-length heuristic
+        import pandas as pd
+
+        from swish_e_spark.ops.mp4 import build_mp4
+        from swish_e_spark.ops.multimodal import frame_sample
+
+        buf = build_mp4([bytes([i]) * 40 for i in range(10)],
+                        timescale=1000, sample_delta=40)
+        pdf = pd.DataFrame([{
+            "media_id": 1, "kind": "video", "payload": buf,
+            "width": 64, "height": 48, "sample_rate": 0,
+        }])
+        media = spark.createDataFrame(pdf)
+        rows = {r["frame_idx"]: r["ts_ms"]
+                for r in frame_sample(media, every_n=4).collect()}
+        assert rows == {0: 0, 4: 160, 8: 320}
