@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "lsh_near_duplicates": dedup.lsh_near_duplicates,
         "simhash64": dedup.simhash64,
+        "embedding_near_duplicates": dedup.embedding_near_duplicates,
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -474,6 +475,10 @@ order by doc_id""",
         # is an exact value compare, not a recall heuristic
         "ann_lsh_topk": ann_oracle.ann_lsh_topk_sql(),
         "ann_ivf_topk": ann_oracle.ann_ivf_topk_sql(),
+        # embedding-cosine near-dup: the oracle replays the identical
+        # deterministic augmentation + seeded LSH banding + exact
+        # cosine verify (see dedup.embedding_near_duplicates docstring)
+        "embedding_near_duplicates": ann_oracle.embedding_near_dup_sql(),
         "embedding_topk": """
 with q as (select embedding::DOUBLE[] as v from embeddings
            where vec_id = 0)

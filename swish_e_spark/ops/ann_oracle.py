@@ -144,3 +144,55 @@ select e.vec_id,
 from e join cand using (vec_id), q
 where e.vec_id <> {query_vec_id}
 order by cos desc, e.vec_id asc limit {k}"""
+
+
+def embedding_near_dup_sql(tau: float = None, n_planes: int = None,
+                           n_tables: int = None,
+                           seed: int = None) -> str:
+    """SQL reproducing dedup.embedding_near_duplicates exactly: the
+    deterministic augmentation (each vector + a perturbed copy),
+    the same seeded hyperplane tables, within-(table, bucket) candidate
+    pairs, and the exact-cosine verify. DuckDB's 1-based lambda index
+    maps to Spark's 0-based transform index via (i - 1)."""
+    from .dedup import (
+        EMB_AUG_OFFSET, EMB_EPS, EMB_N_PLANES, EMB_N_TABLES, EMB_SEED,
+        EMB_TAU,
+    )
+
+    tau = EMB_TAU if tau is None else tau
+    n_planes = EMB_N_PLANES if n_planes is None else n_planes
+    n_tables = EMB_N_TABLES if n_tables is None else n_tables
+    seed = EMB_SEED if seed is None else seed
+    dim = _embedding_dim()
+    bucket_ctes = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(seed + 101 * t) \
+            .standard_normal((n_planes, dim))
+        bits = " + ".join(
+            f"(case when list_dot_product(v, {_lit_list(planes[j])}) > 0"
+            f" then {1 << j} else 0 end)"
+            for j in range(n_planes))
+        bucket_ctes.append(
+            f"select vec_id, {t} as t, {bits} as bkt from aug")
+    buckets = " union all ".join(bucket_ctes)
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+p as (select e.vec_id + {EMB_AUG_OFFSET} as vec_id,
+             list_transform(v, (x, i) -> x + case
+               when (e.vec_id * 31 + (i - 1)) % 2 = 1
+               then cast({EMB_EPS} as double)
+               else cast(-{EMB_EPS} as double) end) as v
+      from e),
+aug as (select * from e union all select * from p),
+m as ({buckets}),
+cand as (select distinct a.vec_id as vec_a, b.vec_id as vec_b
+         from m a join m b on a.t = b.t and a.bkt = b.bkt
+                          and a.vec_id < b.vec_id),
+v as (select c.vec_a, c.vec_b,
+             list_cosine_similarity(x.v, y.v) as cos_raw
+      from cand c
+      join aug x on x.vec_id = c.vec_a
+      join aug y on y.vec_id = c.vec_b)
+select vec_a, vec_b, cast(round(cos_raw, 4) as double) as cos
+from v where cos_raw >= {tau}
+order by vec_a, vec_b"""

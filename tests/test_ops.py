@@ -824,3 +824,55 @@ class TestMpegAudio:
         rows = {r["frame_idx"]: r["ts_ms"]
                 for r in frame_sample(media, every_n=4).collect()}
         assert rows == {0: 0, 4: 160, 8: 320}
+
+
+class TestEmbeddingNearDup:
+    """Embedding-cosine near-dup (dedup.embedding_near_duplicates):
+    the LSH-banded pipeline against a pure-numpy exact computation."""
+
+    def test_finds_all_planted_pairs_exactly(self, spark):
+        from swish_e_spark.ops.dedup import (
+            EMB_AUG_OFFSET, EMB_EPS, EMB_TAU, embedding_near_duplicates,
+        )
+
+        rows = embedding_near_duplicates(spark, SF).collect()
+        got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in rows}
+
+        # exact numpy ground truth over the same augmented set
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"])
+        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        signs = np.where((ids[:, None] * 31
+                          + np.arange(v.shape[1])[None, :]) % 2 == 1,
+                         EMB_EPS, -EMB_EPS)
+        allv = np.vstack([v, v + signs])
+        allids = np.concatenate([ids, ids + EMB_AUG_OFFSET])
+        n = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+        s = n @ n.T
+        iu = np.triu_indices(len(allids), k=1)
+        want = {}
+        for i, j in zip(*iu):
+            a, b = int(allids[i]), int(allids[j])
+            if a > b:
+                a, b = b, a
+            if s[i, j] >= EMB_TAU:
+                want[(a, b)] = round(float(s[i, j]), 4)
+        # every exact pair is found (LSH miss probability per pair
+        # ~1.5e-6) and nothing else is reported
+        assert set(got) == set(want)
+        for k, cv in want.items():
+            assert abs(got[k] - cv) <= 1e-4, k
+
+    def test_no_all_pairs_join_in_plan(self, spark):
+        # the candidate stage must join on (table, bucket) equality —
+        # a cartesian/broadcast-nested-loop join would be the 100 TB
+        # scale-killer
+        from swish_e_spark.ops.dedup import embedding_near_duplicates
+
+        plan = embedding_near_duplicates(spark, SF) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
