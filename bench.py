@@ -218,6 +218,24 @@ def main():
                                        wand="force").collect())
         wand_evidence("wand_mid")
 
+        # training-data ops at bench scale (documents/embeddings
+        # tables from the sf dir): the LSH near-dup pipeline and the
+        # embedding-cosine near-dup — the two multi-stage ops whose
+        # shuffle shape matters at 100 TB. count() forces the full
+        # pipeline; single run (they are multi-second, noise-robust)
+        from swish_e_spark.ops.dedup import (
+            embedding_near_duplicates, lsh_near_duplicates,
+        )
+
+        t0 = time.time()
+        times["ops_lsh_near_dup_rows"] = \
+            lsh_near_duplicates(spark, sf_dir).count()
+        times["ops_lsh_near_dup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_embedding_near_dup_rows"] = \
+            embedding_near_duplicates(spark, sf_dir).count()
+        times["ops_embedding_near_dup"] = round(time.time() - t0, 3)
+
         total = round(time.time() - t_all, 3)
         out = {
             "metric": "index_build_plus_query_wall",

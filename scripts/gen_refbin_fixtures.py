@@ -30,6 +30,14 @@ its tests/test.config (no stopwords, IndexComments yes).
 Corpus B ("gen"): 300 deterministic datagen pages, config mapped to
 our engine defaults (DEFAULT_STOPWORDS as IgnoreWords, MetaNames
 meta1-3, IndexComments no = IndexConfig default).
+Corpus C ("stem"): the SAME 300 pages indexed with
+FuzzyIndexingMode Stemming_en1 (the Snowball porter variant — our
+fuzzy="snowball_en1") — pins index-side stemming, query-side
+stemming, stopword-before-stem ordering, and stem-aware ranking
+end-to-end against the binary.
+Corpus D ("dm"): the same pages with FuzzyIndexingMode
+DoubleMetaphone — pins dual-code emission at one position, query
+(primary OR secondary) expansion, and phonetic phrase/NEAR matching.
 """
 
 from __future__ import annotations
@@ -107,6 +115,44 @@ BATTERY_GEN = {
     "sort_path": {"w": "sugar OR pigs", "s": "swishdocpath"},
 }
 
+# corpus C: the binary stems BOTH the indexed words and the query
+# words, so "run" must match docs containing running/runs (but not
+# "ran" — porter keeps it) and the inflections all collide at rank time
+BATTERY_STEM = {
+    "stem_base": {"w": "run"},
+    "stem_inflected": {"w": "running"},
+    "stem_family": {"w": "connection"},
+    "stem_family2": {"w": "hoping OR hopped"},
+    "stem_and": {"w": "running AND sugar"},
+    "stem_andnot": {"w": "tested NOT wolf"},
+    "stem_phrase": {"w": '"three little pigs"'},
+    "stem_phrase_stems": {"w": '"run running"'},
+    "stem_near": {"w": "running NEAR5 sugar"},
+    "stem_meta": {"w": "meta1=metatest1"},
+    "stem_wild": {"w": "runn*"},   # trailing-* bypasses stemming
+    "stem_r1": {"w": "running", "R": "1"},
+    "stem_struct_title": {"w": "running", "t": "t"},
+    "stem_limit": {"w": "run", "L": ["swishtitle", "a", "m"]},
+    "stem_sort": {"w": "runs OR sugar", "s": "swishdocpath"},
+}
+
+# corpus D: phonetic codes on both sides — misspellings that share a
+# DoubleMetaphone code with corpus words must match them
+BATTERY_DM = {
+    "dm_exact": {"w": "wolf"},
+    "dm_homophone": {"w": "wulf"},
+    "dm_misspell": {"w": "shugar"},
+    "dm_misspell2": {"w": "conection"},
+    "dm_and": {"w": "wolf AND sugar"},
+    "dm_or": {"w": "wulf OR runing"},
+    "dm_phrase": {"w": '"little pig"'},
+    "dm_near": {"w": "little NEAR5 wolf"},
+    "dm_meta": {"w": "meta1=metatest1"},
+    "dm_r1": {"w": "wolf", "R": "1"},
+    "dm_struct_title": {"w": "lituce", "t": "t"},
+    "dm_sort": {"w": "wolf OR sugar", "s": "swishdocpath"},
+}
+
 
 def run(args, **kw):
     # swish-e output is Latin-1 (it folds UTF-8 input to Latin-1)
@@ -141,8 +187,14 @@ def index_corpus(workdir, config_text, files):
     # the -T dump logs Adding lines even for docs later ABORTED (robots
     # noindex kills the whole doc including its already-dumped title
     # words) — keep only docs present in the final index
+    # the probe word must survive EVERY fuzzy mode unchanged: a pure
+    # number has an empty DoubleMetaphone code, so fuzzy_convert passes
+    # it through verbatim (stemmer.c:378-383) — an alphabetic probe
+    # like "zzzqqnosuchword" gets fuzzied and its tiny phonetic code
+    # space collides with real corpus words, silently dropping docs
+    # from the kept set
     lst = run([SWISH, "-f", os.path.join(workdir, "idx"),
-               "-w", "not zzzqqnosuchword",
+               "-w", "not 987654321987",
                "-x", "<swishdocpath>\\n", "-H", "0"], cwd=workdir)
     kept = {os.path.basename(line.strip())
             for line in lst.stdout.splitlines()
@@ -235,6 +287,22 @@ IgnoreWords {stop}
               open(os.path.join(OUT_DIR, "battery_gen.json"), "w"),
               indent=1)
     write_tsv(os.path.join(OUT_DIR, "manifest_gen.tsv"), manifest)
+
+    # ---- corpora C/D: same pages, fuzzy indexing modes ----
+    for tag, mode, battery in (
+            ("stem", "Stemming_en1", BATTERY_STEM),
+            ("dm", "DoubleMetaphone", BATTERY_DM)):
+        wf = tempfile.mkdtemp(prefix=f"refpin_{tag}_")
+        for name in files_b:
+            shutil.copy(os.path.join(wb, name), wf)
+        cfg_f = cfg_b + f"FuzzyIndexingMode {mode}\n"
+        tokens = index_corpus(wf, cfg_f, files_b)
+        write_tsv(os.path.join(OUT_DIR, f"tokens_{tag}.tsv"), tokens)
+        write_tsv(os.path.join(OUT_DIR, f"queries_{tag}.tsv"),
+                  run_battery(wf, battery))
+        json.dump(battery,
+                  open(os.path.join(OUT_DIR, f"battery_{tag}.json"),
+                       "w"), indent=1)
     print(f"fixtures written to {OUT_DIR}")
 
 

@@ -196,8 +196,11 @@ class TokenizerConfig:
             def dm_primary(w):
                 p = double_metaphone(w)[0]
                 # empty code -> word passes through unchanged
-                # (/root/reference/src/stemmer.c:378-383)
-                return p.lower() if p else w
+                # (/root/reference/src/stemmer.c:378-383). Codes are
+                # stored UPPERCASE exactly as the binary indexes them
+                # (fuzzy_convert output goes to addword verbatim,
+                # index.c:2725-2747 — pinned by tokens_dm.tsv)
+                return p if p else w
 
             return self._cached(mode, dm_primary)
         if mode == "metaphone_classic":
@@ -229,8 +232,8 @@ class TokenizerConfig:
             if not p:
                 return (w,)
             if s and s != p:
-                return (p.lower(), s.lower())
-            return (p.lower(),)
+                return (p, s)
+            return (p,)
 
         return self._cached("doublemetaphone_multi", dm_both)
 

@@ -258,9 +258,10 @@ class TestDoubleMetaphone:
 
         cfg = TokenizerConfig(fuzzy="doublemetaphone")
         # smith: primary SM0, secondary XMT -> two terms
-        assert fuzzy_word_list("smith", cfg) == ["sm0", "xmt"]
+        # (UPPERCASE: stored exactly as the binary indexes them)
+        assert fuzzy_word_list("smith", cfg) == ["SM0", "XMT"]
         # thomas: primary == secondary -> one term
-        assert fuzzy_word_list("thomas", cfg) == ["tms"]
+        assert fuzzy_word_list("thomas", cfg) == ["TMS"]
 
     def test_dual_emission_end_to_end(self, spark, tmp_path):
         """smith's secondary code equals schmidt's primary, so with

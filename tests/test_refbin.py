@@ -254,3 +254,107 @@ class TestBatteryEngine:
             got = spark_swish_search(gen_engine, q, scaled=True, **kw)
             ours = {(rank, docs[d]) for d, rank in got}
             assert ours == expect[qid], qid
+
+
+# ---- fuzzy-mode corpora: Stemming_en1 ("stem") / DoubleMetaphone
+# ("dm") — the SAME 300 pages indexed by the binary with
+# FuzzyIndexingMode set; pins index-side fuzzying, query-side
+# fuzzying, stopword-before-fuzzy ordering, dual-code emission, and
+# fuzzy-aware ranking end-to-end. Mode map per
+# /root/reference/src/stemmer.c:116-141: Stemming_en1 is the Snowball
+# porter variant (our "snowball_en1").
+
+FUZZY_OF_TAG = {"stem": "snowball_en1", "dm": "doublemetaphone"}
+
+
+def _fuzzy_cfg(tag):
+    return TokenizerConfig(stopwords=DEFAULT_STOPWORDS,
+                           fuzzy=FUZZY_OF_TAG[tag])
+
+
+@pytest.fixture(scope="module", params=["stem", "dm"])
+def fuzzy_tag(request):
+    if not os.path.exists(os.path.join(
+            FIX, f"tokens_{request.param}.tsv")):
+        pytest.skip(f"fixtures for {request.param} not generated")
+    return request.param
+
+
+@pytest.fixture(scope="module")
+def fuzzy_oracle(fuzzy_tag, gen_corpus):
+    idx = OracleIndex(_fuzzy_cfg(fuzzy_tag), metanames=META)
+    for row in gen_corpus:
+        idx.add(row["url"], row["html"],
+                doctype=doctype_of_url(row["url"]))
+    return fuzzy_tag, idx.build()
+
+
+class TestFuzzyTokenStream:
+    def test_stream_matches_binary(self, fuzzy_tag, gen_corpus):
+        fix = _load_tokens(os.path.join(FIX,
+                                        f"tokens_{fuzzy_tag}.tsv"))
+        cfg = _fuzzy_cfg(fuzzy_tag)
+        mismatched = []
+        for i, row in enumerate(gen_corpus):
+            dt = doctype_of_url(row["url"])
+            name = f"{i:06d}.{dt}"
+            doc = extract(row["html"], doctype=dt, metanames=META)
+            ours = _our_stream(doc, cfg)
+            theirs = sorted(fix.get(name, []),
+                            key=lambda t: (t[2], t[0], t[1]))
+            if ours != theirs:
+                mismatched.append(name)
+        assert mismatched == []
+
+
+class TestFuzzyBatteryOracle:
+    _run = TestBatteryOracle._run
+
+    def test_fuzzy(self, fuzzy_oracle):
+        tag, oidx = fuzzy_oracle
+        nm = _gen_name_of_url()
+        id_to_name = {d: nm[p["url"]] for d, p in oidx.docs.items()}
+        self._run(oidx, tag, id_to_name)
+
+
+class TestFuzzyBatteryEngine:
+    """Fuzzy battery through the REAL Spark engine (fuzzy mode plumbed
+    through IndexConfig into the distributed tokenize kernel)."""
+
+    @pytest.fixture(scope="class", params=["stem", "dm"])
+    def fuzzy_engine(self, request, spark, tmp_path_factory):
+        from swish_e_spark.index.builder import (
+            IndexConfig, IndexHandle, build_index, generate_pages_df,
+        )
+        from swish_e_spark.query.executor import SparkQueryEngine
+
+        tag = request.param
+        if not os.path.exists(os.path.join(FIX,
+                                           f"tokens_{tag}.tsv")):
+            pytest.skip(f"fixtures for {tag} not generated")
+        out = str(tmp_path_factory.mktemp(f"refbin_{tag}_idx"))
+        pages = generate_pages_df(spark, 300, partitions=6)
+        cfg = IndexConfig(n_buckets=8, fuzzy=FUZZY_OF_TAG[tag],
+                          metanames=("meta1", "meta2", "meta3"))
+        build_index(spark, pages, out, cfg, n_shards=2)
+        return tag, SparkQueryEngine(spark, IndexHandle(spark, out))
+
+    def test_fuzzy(self, fuzzy_engine):
+        from swish_e_spark.query.parser import QueryError
+        from swish_e_spark.query.swishrank import spark_swish_search
+
+        tag, engine = fuzzy_engine
+        nm = _gen_name_of_url()
+        docs = {r["doc_id"]: nm[r["url"]]
+                for r in engine.handle.docs().collect()}
+        spec, expect = _load_battery(tag)
+        for qid, s in sorted(spec.items()):
+            q, kw = _spec_to_kwargs(s)
+            if kw["scheme"] == 1:
+                assert expect[qid] == set(), qid
+                with pytest.raises(QueryError):
+                    spark_swish_search(engine, q, scaled=True, **kw)
+                continue
+            got = spark_swish_search(engine, q, scaled=True, **kw)
+            ours = {(rank, docs[d]) for d, rank in got}
+            assert ours == expect[qid], qid
