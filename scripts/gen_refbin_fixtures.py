@@ -136,6 +136,22 @@ BATTERY_STEM = {
     "stem_sort": {"w": "runs OR sugar", "s": "swishdocpath"},
 }
 
+# corpus E: Soundex — first letter kept + 3 digits, heaviest
+# collapsing of the three modes (drops vowels entirely)
+BATTERY_SND = {
+    "snd_exact": {"w": "wolf"},
+    "snd_homophone": {"w": "wolph"},
+    "snd_misspell": {"w": "shugar OR sugar"},
+    "snd_vowelless": {"w": "wlf OR wolf"},
+    "snd_and": {"w": "wolf AND sugar"},
+    "snd_phrase": {"w": '"little pig"'},
+    "snd_near": {"w": "little NEAR5 wolf"},
+    "snd_meta": {"w": "meta1=metatest1"},
+    "snd_r1": {"w": "wolf", "R": "1"},
+    "snd_struct_title": {"w": "lituce", "t": "t"},
+    "snd_sort": {"w": "wolf OR sugar", "s": "swishdocpath"},
+}
+
 # corpus D: phonetic codes on both sides — misspellings that share a
 # DoubleMetaphone code with corpus words must match them
 BATTERY_DM = {
@@ -291,7 +307,8 @@ IgnoreWords {stop}
     # ---- corpora C/D: same pages, fuzzy indexing modes ----
     for tag, mode, battery in (
             ("stem", "Stemming_en1", BATTERY_STEM),
-            ("dm", "DoubleMetaphone", BATTERY_DM)):
+            ("dm", "DoubleMetaphone", BATTERY_DM),
+            ("snd", "Soundex", BATTERY_SND)):
         wf = tempfile.mkdtemp(prefix=f"refpin_{tag}_")
         for name in files_b:
             shutil.copy(os.path.join(wb, name), wf)

@@ -17,12 +17,19 @@ from swish_e_spark.textproc.tokenizer import TokenizerConfig, fuzzy_word
 
 class TestSoundex:
     @pytest.mark.parametrize("word,code", [
-        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
-        ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
-        ("Honeyman", "H555"), ("a", "A000"),
+        # codes confirmed by probing the COMPILED reference binary
+        # (FuzzyIndexingMode Soundex, -T INDEXED_WORDS): its soundTable
+        # maps H and W to 0 like vowels (soundex.c:93,108 — no h/w
+        # transparency, so Ashcraft is a226, NOT the textbook A261),
+        # words under 3 chars pass through unchanged (STEM_TOO_SMALL),
+        # and non-letters are stripped before run collapsing
+        ("Robert", "r163"), ("Rupert", "r163"), ("Ashcraft", "a226"),
+        ("Ashcroft", "a226"), ("Tymczak", "t522"), ("Pfister", "p236"),
+        ("Honeyman", "h555"), ("a", "a"), ("me", "me"),
+        ("b1b", "b000"), ("ab1b", "a100"),
     ])
     def test_classic_examples(self, word, code):
-        assert soundex(word).upper() == code.upper()
+        assert soundex(word) == code
 
     def test_fuzzy_word_api(self):
         cfg = TokenizerConfig(fuzzy="soundex")

@@ -264,7 +264,8 @@ class TestBatteryEngine:
 # /root/reference/src/stemmer.c:116-141: Stemming_en1 is the Snowball
 # porter variant (our "snowball_en1").
 
-FUZZY_OF_TAG = {"stem": "snowball_en1", "dm": "doublemetaphone"}
+FUZZY_OF_TAG = {"stem": "snowball_en1", "dm": "doublemetaphone",
+                "snd": "soundex"}
 
 
 def _fuzzy_cfg(tag):
@@ -272,7 +273,7 @@ def _fuzzy_cfg(tag):
                            fuzzy=FUZZY_OF_TAG[tag])
 
 
-@pytest.fixture(scope="module", params=["stem", "dm"])
+@pytest.fixture(scope="module", params=["stem", "dm", "snd"])
 def fuzzy_tag(request):
     if not os.path.exists(os.path.join(
             FIX, f"tokens_{request.param}.tsv")):
@@ -321,7 +322,7 @@ class TestFuzzyBatteryEngine:
     """Fuzzy battery through the REAL Spark engine (fuzzy mode plumbed
     through IndexConfig into the distributed tokenize kernel)."""
 
-    @pytest.fixture(scope="class", params=["stem", "dm"])
+    @pytest.fixture(scope="class", params=["stem", "dm", "snd"])
     def fuzzy_engine(self, request, spark, tmp_path_factory):
         from swish_e_spark.index.builder import (
             IndexConfig, IndexHandle, build_index, generate_pages_df,
