@@ -62,6 +62,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_batch_topk": engineq.engine_batch_topk,
         "engine_swishrank0_topk": engineq.engine_swishrank0_topk,
         "engine_swishrank1_topk": engineq.engine_swishrank1_topk,
+        # r4: structure mask / metaname scope / -s sort / stopwords on
+        # the HTML-wrapped rich corpus; -r/-u lifecycle; -M merge;
+        # multi-index tape merge — all SQL-derivable by construction
+        "engine_struct_title": engineq.engine_struct_title,
+        "engine_meta_scope": engineq.engine_meta_scope,
+        "engine_sort_title": engineq.engine_sort_title,
+        "engine_stopword_query": engineq.engine_stopword_query,
+        "engine_lifecycle_match": engineq.engine_lifecycle_match,
+        "engine_merged_bm25": engineq.engine_merged_bm25,
+        "engine_multi_index": engineq.engine_multi_index,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -341,6 +351,67 @@ select a.doc_id,
 from r a join r b on a.doc_id = b.doc_id
 where a.t = 'hash' and b.t = 'join'
 order by rank desc, a.doc_id asc limit 10""",
+        # r4 engine entries over the rich (HTML-wrapped) corpus: title
+        # = first three non-empty tokens, doclang meta = lang column,
+        # index+query stopwords ('a','an','the')
+        "engine_struct_title": f"""
+with {toks},
+nz as (select doc_id, t,
+              row_number() over (partition by doc_id order by p) as rn
+       from toks where t <> '')
+select distinct doc_id from nz where t = 'hash' and rn <= 3
+order by doc_id""",
+        "engine_meta_scope": f"""
+with {toks}
+select distinct d.doc_id from documents d
+join toks k on k.doc_id = d.doc_id and k.t = 'hash'
+where d.lang = 'en' order by d.doc_id""",
+        "engine_sort_title": f"""
+with {toks},
+nz as (select doc_id, t,
+              row_number() over (partition by doc_id order by p) as rn
+       from toks where t <> ''),
+ttl as (select doc_id, string_agg(t, ' ' order by rn) as title
+        from nz where rn <= 3 group by doc_id),
+m as (select distinct doc_id from toks where t = 'hash')
+select m.doc_id, ttl.title from m join ttl using (doc_id)
+order by ttl.title asc, m.doc_id asc limit 20""",
+        "engine_stopword_query": f"""
+with {toks}
+select distinct doc_id from toks where t = 'hash' order by doc_id""",
+        # r4 lifecycle: every 7th doc removed (-r), every 11th doc's
+        # body replaced by 'updatedmarker' (-u; replace wins over the
+        # earlier removal for doc ids divisible by 77)
+        "engine_lifecycle_match": f"""
+with {toks}
+select distinct doc_id from toks
+where t = 'hash' and doc_id % 7 <> 0 and doc_id % 11 <> 0
+union
+select doc_id from documents where doc_id % 11 = 0
+order by doc_id""",
+        # r4 merge (-M): merged halves carry the SAME global stats as a
+        # from-scratch build, so the oracle is engine_bm25_topk's SQL
+        "engine_merged_bm25": _bm25_sql("'hash','join'", 2),
+        # r4 multi-index tape merge: PER-INDEX statistics (each half's
+        # own df/N/avgdl), h = doc_id % 2 is the source index
+        "engine_multi_index": f"""
+with {toks},
+dl as (select doc_id, doc_id % 2 as h, count(*) as dl from toks
+       where t <> '' group by 1, 2),
+nds as (select doc_id % 2 as h, count(*) as nd from documents
+        group by 1),
+st as (select nds.h, nds.nd, avg(dl.dl) as avgdl from nds
+       join dl on dl.h = nds.h group by 1, 2),
+tf as (select doc_id, doc_id % 2 as h, count(*) as tf from toks
+       where t = 'dup' group by 1, 2),
+idf as (select h, count(*) as df from tf group by h)
+select cast(tf.h as int) as engine_idx, tf.doc_id,
+       cast(round(ln((st.nd - idf.df + 0.5)/(idf.df + 0.5) + 1.0)
+            * tf.tf * ({_K1} + 1.0)
+            / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / st.avgdl)),
+            4) as double) as score
+from tf join idf using (h) join st using (h) join dl using (doc_id)
+order by tf.doc_id""",
         # dedup
         "dedup_exact": """
 select md5(text) as h, count(*) as n, min(doc_id) as first_doc

@@ -217,10 +217,11 @@ def engine_batch_topk(spark, sf_dir, k=10):
 
 def engine_swishrank0_topk(spark, sf_dir, q="hash join", k=10):
     """Swish-e scheme-0 (structure-weighted TF) ranked top-k — engine
-    path; rows-only driver check (the integer rank formula over per-
-    posting structure bytes is not expressible in the SQL token CTE).
-    Verified rank-identical to the pure-Python oracle in
-    tests/test_lifecycle.py."""
+    path. The DuckDB oracle transcribes the integer rank arithmetic
+    (ln-scaled tf, factor-of-100 scaling, mean-combine) over the token
+    CTE — a full value-hash gate, not rows-only (this corpus is
+    structure-flat, so the structure multiplier is 1 everywhere and
+    the formula is SQL-expressible)."""
     from ..query.swishrank import spark_swish_search
 
     eng = _engine(spark, sf_dir)
@@ -231,7 +232,9 @@ def engine_swishrank0_topk(spark, sf_dir, q="hash join", k=10):
 
 
 def engine_swishrank1_topk(spark, sf_dir, q="hash join", k=10):
-    """Swish-e scheme-1 (IDF/density) ranked top-k — rows-only."""
+    """Swish-e scheme-1 (IDF/density) ranked top-k; the DuckDB oracle
+    transcribes the scheme-1 integer density/IDF arithmetic exactly
+    (full value-hash gate)."""
     from ..query.swishrank import spark_swish_search
 
     eng = _engine(spark, sf_dir)
@@ -256,3 +259,252 @@ def engine_keyword_dump(spark, sf_dir, prefix="sc"):
         or [(None, None, None)],
         "term string, df long, cf long").where("term is not null") \
         .orderBy("term")
+
+
+# ---------------------------------------------------------------------
+# round 4: driver-gate entries for operators previously pinned only in
+# pytest — structure mask (-t), metaname scope, property sort (-s),
+# query stopwords, the incremental remove/update lifecycle (-r/-u),
+# whole-index merge (-M), and multi-index tape merge (-f a -f b).
+
+
+def _rich_index_for(spark, sf_dir):
+    """Index over an HTML-wrapped corpus: ``<title>`` = the first three
+    text tokens, ``<meta name="doclang">`` = the lang column, body =
+    the raw text; stopwords ('a','an','the') active at index AND query
+    time. Every structural feature is a deterministic function of the
+    documents table, so structure bits (IN_TITLE), metaname fields, the
+    stored title property, and stopword removal are all SQL-derivable
+    for the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexConfig, IndexHandle, build_index
+    from .corpus import TOKEN_SPLIT
+
+    key = ("rich", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    title = F.array_join(
+        F.slice(F.filter(F.split(F.lower("text"), TOKEN_SPLIT),
+                         lambda x: x != ""), 1, 3), " ")
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta name="doclang" content="'), F.col("lang"),
+        F.lit('"></head><body>'), F.col("text"),
+        F.lit("</body></html>"))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"))
+    out = tempfile.mkdtemp(prefix="swish_entry_rich_")
+    cfg = IndexConfig(n_buckets=8, stopwords=("a", "an", "the"))
+    build_index(spark, pages, out, cfg, n_shards=1)
+    handle = IndexHandle(spark, out)
+    _CACHE[key] = handle
+    return handle
+
+
+def _rich_engine(spark, sf_dir):
+    from ..query.executor import SparkQueryEngine
+
+    return SparkQueryEngine(spark, _rich_index_for(spark, sf_dir))
+
+
+def engine_struct_title(spark, sf_dir, q="hash"):
+    """Structure mask (-t t, IN_TITLE): docs whose <title> contains the
+    term (struct-bit posting filter, /root/reference/src/swish.c:1092
+    and search.c structure tests). Title = the first three text tokens,
+    so the oracle is the token CTE restricted to token rank <= 3."""
+    from ..textproc.extractor import IN_TITLE
+
+    eng = _rich_engine(spark, sf_dir)
+    df = eng.match_df(q, structure_mask=IN_TITLE)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_meta_scope(spark, sf_dir, q="doclang=en AND hash"):
+    """Metaname-scoped query (meta=value AND default-field term): the
+    doclang meta carries the documents.lang column, so the oracle is a
+    plain relational filter on lang."""
+    eng = _rich_engine(spark, sf_dir)
+    df = eng.match_df(q)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def engine_sort_title(spark, sf_dir, q="hash", k=20):
+    """-s property sort: matching docs ordered by the STORED swishtitle
+    property (ranked_results multi-key sort path, query/output.py) —
+    title asc, doc_id asc, first k."""
+    from ..query.output import ranked_results
+
+    eng = _rich_engine(spark, sf_dir)
+    rows = ranked_results(eng, q, k=k, props=["title"],
+                          sort=[("swishtitle", "asc")])
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), r["title"]) for r in rows]
+        or [(None, None)],
+        "doc_id long, title string").where("doc_id is not null")
+
+
+def engine_stopword_query(spark, sf_dir, q="a hash"):
+    """Query-side stopword removal (WORDS_TOO_COMMON discard,
+    /root/reference/src/search.c:1444-1522): 'a' is a configured
+    stopword of the rich index, so the parse reduces to the bare term —
+    the oracle ignores it entirely."""
+    eng = _rich_engine(spark, sf_dir)
+    df = eng.match_df(q)
+    return df.select("doc_id").orderBy("doc_id")
+
+
+def _mut_index_for(spark, sf_dir):
+    """Dedicated mutated index: full build, then -r remove of every
+    7th doc, then -u update replacing every 11th doc's body with
+    'updatedmarker' repeated (doc_id % 5 + 1) times. Every mutation is
+    a pure function of doc_id, so the post-mutation corpus is exactly
+    SQL-derivable. Kept separate from the shared handle: mutations bump
+    the manifest snapshot, which (correctly) invalidates open engines."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexConfig, IndexHandle, build_index
+    from ..index.maintenance import remove_documents, update_documents
+
+    key = ("mut", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"))
+    out = tempfile.mkdtemp(prefix="swish_entry_mut_")
+    build_index(spark, pages, out, IndexConfig(n_buckets=8,
+                                               stopwords=()),
+                n_shards=1)
+    n_docs = docs.count()
+    remove_documents(spark, out,
+                     [f"{d:012d}" for d in range(0, n_docs, 7)])
+    new_text = F.array_join(
+        F.array_repeat(F.lit("updatedmarker"),
+                       (F.col("doc_id") % 5 + 1).cast("int")), " ")
+    upd = (docs.filter(F.col("doc_id") % 11 == 0)
+           .select(F.format_string("%012d", F.col("doc_id")).alias("url"),
+                   F.lit("2024-02-01 00:00:00").cast("timestamp")
+                   .alias("warc_ts"),
+                   F.encode(new_text, "utf-8").alias("html"),
+                   new_text.alias("text"),
+                   F.col("lang")))
+    update_documents(spark, upd, out)
+    handle = IndexHandle(spark, out)
+    _CACHE[key] = handle
+    return handle
+
+
+def engine_lifecycle_match(spark, sf_dir, q="hash OR updatedmarker"):
+    """Incremental lifecycle (-r/-u, tombstones + replace shard): after
+    removing every 7th doc and replacing every 11th doc's body, the
+    match set of 'hash OR updatedmarker' is exactly (docs that still
+    contain 'hash' and survived both mutations) ∪ (the updated docs).
+    Updated docs get NEW dense ids in the update shard, so results map
+    back to documents.doc_id through the stored url property."""
+    from pyspark.sql import functions as F
+
+    from ..query.executor import SparkQueryEngine
+
+    eng = SparkQueryEngine(spark, _mut_index_for(spark, sf_dir))
+    df = eng.match_df(q)
+    docs = eng.handle.live_docs().select("doc_id", "url")
+    return (df.join(docs, "doc_id")
+            .select(F.col("url").cast("long").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
+def _halves_for(spark, sf_dir):
+    """Two independent complete indexes over the even / odd halves of
+    the corpus (same semantic config, as merge_indexes requires)."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexConfig, build_index
+
+    key = ("halves", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirs = []
+    for r in (0, 1):
+        pages = (docs.filter(F.col("doc_id") % 2 == r)
+                 .select(F.format_string("%012d", F.col("doc_id"))
+                         .alias("url"),
+                         F.lit("2024-01-01 00:00:00").cast("timestamp")
+                         .alias("warc_ts"),
+                         F.encode(F.col("text"), "utf-8").alias("html"),
+                         F.col("text"),
+                         F.col("lang")))
+        out = tempfile.mkdtemp(prefix=f"swish_entry_half{r}_")
+        build_index(spark, pages, out,
+                    IndexConfig(n_buckets=8, stopwords=()), n_shards=1)
+        dirs.append(out)
+    _CACHE[key] = tuple(dirs)
+    return _CACHE[key]
+
+
+def engine_merged_bm25(spark, sf_dir, q="hash join", k=10):
+    """Whole-index merge (-M, /root/reference/src/merge.c:77-400):
+    even-half + odd-half indexes merged (posting binaries copied, doc
+    ids rebased via per-shard doc_base), then BM25 top-k on the merged
+    index. Merged global stats equal a from-scratch full build's, so
+    the oracle is the SAME SQL as engine_bm25_topk — proving the merge
+    is lossless, not just runnable. Result ids map back through url."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexHandle
+    from ..index.maintenance import merge_indexes
+    from ..query.executor import SparkQueryEngine
+
+    key = ("merged", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        a, b = _halves_for(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="swish_entry_merged_")
+        os.rmdir(out)  # merge_indexes insists on creating the target
+        merge_indexes(spark, [a, b], out)
+        _CACHE[key] = IndexHandle(spark, out)
+    eng = SparkQueryEngine(spark, _CACHE[key])
+    df = eng.search_df(q, k=k)
+    docs = eng.handle.docs().select("doc_id", "url")
+    return (df.join(docs, "doc_id")
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def engine_multi_index(spark, sf_dir, q="dup"):
+    """Multi-index tape merge (-f a -f b, SwishNextResult
+    /root/reference/src/search.c:1098-1186): the same query runs on
+    both half-indexes with PER-INDEX statistics (each half's own
+    df/N/avgdl, exactly as the reference ranks before merging) and the
+    streams merge by sort key. All matches returned (no top-k cut), so
+    the gate is a pure value compare of per-half BM25."""
+    from ..index.builder import IndexHandle
+    from ..query.executor import SparkQueryEngine
+    from ..query.multi import search_multi
+
+    dirs = _halves_for(spark, sf_dir)
+    key = ("half_handles", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        _CACHE[key] = [IndexHandle(spark, d) for d in dirs]
+    engines = [SparkQueryEngine(spark, h) for h in _CACHE[key]]
+    rows = search_multi(engines, q, k=1 << 20)
+    urlmaps = []
+    for eng in engines:
+        urlmaps.append({r["doc_id"]: int(r["url"])
+                        for r in eng.handle.docs()
+                        .select("doc_id", "url").collect()})
+    data = [(i, urlmaps[i][d], round(float(s), 4)) for i, d, s in rows]
+    return spark.createDataFrame(
+        data or [(None, None, None)],
+        "engine_idx int, doc_id long, score double") \
+        .where("doc_id is not null").orderBy("doc_id")
