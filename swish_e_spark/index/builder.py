@@ -121,6 +121,11 @@ class IndexConfig:
     max_word_len: int | None = None  # (/root/reference/src/config.h:203)
     max_consec: int | None = None    # isokword sanity limits
     max_repeat: int | None = None    # (/root/reference/src/check.c:56-150)
+    file_filters: tuple = ()  # ((pattern, filter_name), ...) document
+                              # filters (FileFilter/FileFilterMatch,
+                              # /root/reference/src/filter.c:266-301)
+                              # applied in-process inside the extract
+                              # kernel — sources/filters.py registry
     rank_biases: tuple = ()   # ((metaname, bias), ...) with bias in
                               # [-10, 10] — metaEntry rank_bias for the
                               # swish-compat rank schemes (MetaNamesRank,
@@ -245,20 +250,55 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
 
     doc_col_names = _STAGED_COLS[:_N_DOC_COLS]
     dcols = {c: [] for c in doc_col_names}
+    filter_rules = None
+    if cfg.file_filters:
+        from ..sources.filters import compile_rules
+        filter_rules = compile_rules(cfg.file_filters)
     for pdf in batches:
-        for url, html, warc_ts, lang in zip(
-                pdf["url"], pdf["html"], pdf["warc_ts"], pdf["lang"]):
+        # optional per-page doctype override (prog Document-Type
+        # header, sources/progfile.py; extprog.c:400-412) — absent or
+        # null falls back to url-suffix detection
+        doctypes = (pdf["doctype"] if "doctype" in pdf.columns
+                    else [None] * len(pdf))
+        no_contents = (pdf["no_contents"]
+                       if "no_contents" in pdf.columns
+                       else [False] * len(pdf))
+        for url, html, warc_ts, lang, dt, nc in zip(
+                pdf["url"], pdf["html"], pdf["warc_ts"], pdf["lang"],
+                doctypes, no_contents):
             blob = bytes(html) if html is not None else b""
-            doc = extract(blob, doctype=doctype_of_url(url),
-                          index_comments=cfg.index_comments,
-                          index_links=cfg.index_links,
-                          index_alt=cfg.index_alt,
-                          xml_attributes=cfg.xml_attributes,
-                          xml_class_attributes=cfg.xml_class_attributes,
-                          xml_nested_metanames=cfg.xml_nested_metanames,
-                          dont_bump_tags=frozenset(cfg.dont_bump_tags),
-                          metanames=(None if cfg.metanames is None
-                                     else frozenset(cfg.metanames)))
+            source_size = len(blob)  # reference stores the ORIGINAL
+            # input size, not the filtered size (fprop->source_size,
+            # /root/reference/src/extprog.c:308)
+            eff_url = url
+            if filter_rules:
+                from ..sources.filters import apply_filters
+                blob, eff_url = apply_filters(url, blob, filter_rules)
+            if nc:
+                # No-Contents: index only the title (HTML) or the url
+                # itself, structure IN_FILE (index_no_content,
+                # /root/reference/src/index.c:497-533)
+                from ..textproc.extractor import (
+                    DEFAULT_FIELD, Event, ExtractedDoc, IN_FILE)
+
+                dtype = dt or doctype_of_url(eff_url)
+                t = extract(blob, doctype="html").title \
+                    if dtype == "html" else ""
+                doc = ExtractedDoc(title=t, events=[
+                    Event(DEFAULT_FIELD, t if t else url, IN_FILE, 0)])
+                blob = b""  # content itself is not parsed further
+            else:
+                doc = extract(
+                    blob, doctype=(dt or doctype_of_url(eff_url)),
+                    index_comments=cfg.index_comments,
+                    index_links=cfg.index_links,
+                    index_alt=cfg.index_alt,
+                    xml_attributes=cfg.xml_attributes,
+                    xml_class_attributes=cfg.xml_class_attributes,
+                    xml_nested_metanames=cfg.xml_nested_metanames,
+                    dont_bump_tags=frozenset(cfg.dont_bump_tags),
+                    metanames=(None if cfg.metanames is None
+                               else frozenset(cfg.metanames)))
             if doc.noindex:
                 continue
             postings, doc_len = tokenize_doc(doc, tok_cfg)
@@ -273,7 +313,8 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                 slot[4].append(doc_len)
             for c, v in zip(doc_col_names,
                             (0, pid, local_idx, url, doc.title, doc_len,
-                             len(blob), warc_ts, doc.description, lang)):
+                             source_size, warc_ts, doc.description,
+                             lang)):
                 dcols[c].append(v)
             local_idx += 1
             since_flush += 1
@@ -464,6 +505,11 @@ def build_index(spark, pages_df, out_dir: str,
 
     ship_package(spark)
     cfg = cfg or IndexConfig()
+    if cfg.file_filters:
+        # resolve filter names on the DRIVER: a config typo must fail
+        # at plan time, not per-document on a thousand executors
+        from ..sources.filters import compile_rules
+        compile_rules(cfg.file_filters)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     index_meta_path = os.path.join(_manifest_dir(out_dir), "index.json")
 
