@@ -38,6 +38,7 @@ import glob
 import json
 import math
 import os
+import re
 import shutil
 import time
 import zlib
@@ -126,6 +127,12 @@ class IndexConfig:
                               # /root/reference/src/filter.c:266-301)
                               # applied in-process inside the extract
                               # kernel — sources/filters.py registry
+    title_reject_rules: tuple = ()  # FileRules title regexes: a doc
+                              # whose parsed title matches any is
+                              # skipped AFTER extraction, where the
+                              # reference evaluates it (fs.c title
+                              # check after parse; only knowable
+                              # post-parse, unlike path rules)
     rank_biases: tuple = ()   # ((metaname, bias), ...) with bias in
                               # [-10, 10] — metaEntry rank_bias for the
                               # swish-compat rank schemes (MetaNamesRank,
@@ -254,6 +261,7 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
     if cfg.file_filters:
         from ..sources.filters import compile_rules
         filter_rules = compile_rules(cfg.file_filters)
+    title_rejects = [re.compile(rx) for rx in cfg.title_reject_rules]
     for pdf in batches:
         # optional per-page doctype override (prog Document-Type
         # header, sources/progfile.py; extprog.c:400-412) — absent or
@@ -301,6 +309,9 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                                else frozenset(cfg.metanames)))
             if doc.noindex:
                 continue
+            if title_rejects and any(rx.search(doc.title)
+                                     for rx in title_rejects):
+                continue  # FileRules title (post-parse, fs.c)
             postings, doc_len = tokenize_doc(doc, tok_cfg)
             for key, p in postings.items():
                 slot = acc.get(key)
