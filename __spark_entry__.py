@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sort_title": engineq.engine_sort_title,
         "engine_stopword_query": engineq.engine_stopword_query,
         "engine_lifecycle_match": engineq.engine_lifecycle_match,
+        "engine_snapshot_asof": engineq.engine_snapshot_asof,
         "engine_merged_bm25": engineq.engine_merged_bm25,
         "engine_multi_index": engineq.engine_multi_index,
         # training-data pipeline: dedup
@@ -389,6 +390,13 @@ where t = 'hash' and doc_id % 7 <> 0 and doc_id % 11 <> 0
 union
 select doc_id from documents where doc_id % 11 = 0
 order by doc_id""",
+        # r4 snapshot time travel: querying AS OF the pre-mutation
+        # snapshot of the lifecycle index must see the ORIGINAL corpus
+        # — the -r/-u mutations above are invisible through the pinned
+        # v1 manifest, so the oracle is the plain full-corpus match set
+        "engine_snapshot_asof": f"""
+with {toks}
+select distinct doc_id from toks where t = 'hash' order by doc_id""",
         # r4 merge (-M): merged halves carry the SAME global stats as a
         # from-scratch build, so the oracle is engine_bm25_topk's SQL
         "engine_merged_bm25": _bm25_sql("'hash','join'", 2),

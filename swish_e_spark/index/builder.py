@@ -482,6 +482,57 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)  # the reference's .temp-rename discipline
 
 
+def _snapshots_dir(out_dir):
+    return os.path.join(_manifest_dir(out_dir), "snapshots")
+
+
+def list_snapshots(out_dir) -> list[int]:
+    """Committed snapshot versions still on disk, ascending."""
+    d = _snapshots_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _list_removed_files(index_dir) -> list[str]:
+    """Relative paths of the tombstone parquet part files currently on
+    disk — recorded into the manifest ``files`` section at commit time
+    (removed/ is append-only between commits, and Spark part file
+    names are task-UUID-unique, so the listing is a stable set)."""
+    root = os.path.join(index_dir, "removed")
+    if not os.path.isdir(root):
+        return []
+    return sorted("removed/" + n for n in os.listdir(root)
+                  if n.startswith("part-"))
+
+
+def commit_manifest(index_dir: str, meta: dict) -> dict:
+    """Commit a manifest version: bump the snapshot counter and write
+    BOTH ``index.json`` (the mutable current pointer) and an immutable
+    ``snapshots/v{N}.json`` copy — the Iceberg snapshot-commit model.
+
+    ``meta['files']`` pins the exact data dirs and tombstone files of
+    the version, so readers resolve data THROUGH the manifest and a
+    retired generation left on disk for time travel is never
+    double-read. Metadata stays O(shards), not O(data files): at
+    100 TB each snapshot json is a few KB and the commit is one
+    driver-side rename, never a Spark job."""
+    meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
+    os.makedirs(_snapshots_dir(index_dir), exist_ok=True)
+    _atomic_write_json(os.path.join(_snapshots_dir(index_dir),
+                                    f"v{meta['snapshot']}.json"), meta)
+    return meta
+
+
 def shard_boundaries(pages_df, n_shards: int):
     """Url-range shard boundaries from a seeded UNIFORM sample
     (driver-side, tiny). Returns sorted list of n_shards-1 boundary
@@ -544,6 +595,9 @@ def build_index(spark, pages_df, out_dir: str,
         for p in glob.glob(os.path.join(_manifest_dir(out_dir),
                                         "shard_*.json")):
             os.remove(p)
+        # ... and any prior snapshot chain: the old versions reference
+        # data this rebuild is about to replace
+        shutil.rmtree(_snapshots_dir(out_dir), ignore_errors=True)
         _atomic_write_json(index_meta_path, meta)
 
     doc_base = 0
@@ -578,10 +632,18 @@ def build_index(spark, pages_df, out_dir: str,
         if fail_after_shard is not None and shard_id == fail_after_shard:
             raise RuntimeError(f"injected failure after shard {shard_id}")
 
-    meta.update(complete=True, doc_count=total["docs"],
-                token_count=total["tokens"],
-                posting_count=total["postings"])
-    _atomic_write_json(index_meta_path, meta)
+    meta.update(
+        complete=True, doc_count=total["docs"],
+        token_count=total["tokens"],
+        posting_count=total["postings"],
+        next_shard_id=n_shards,
+        files={
+            "docs": [f"docs/shard={i}" for i in range(n_shards)],
+            "segments": [f"segments/shard={i}" for i in range(n_shards)],
+            "terms": [f"terms/shard={i}" for i in range(n_shards)],
+            "removed": [],
+        })
+    commit_manifest(out_dir, meta)
     return meta
 
 
@@ -761,13 +823,30 @@ def _commit_dir(tmp: str, final: str) -> None:
 # --------------------------------------------------------------------
 
 class IndexHandle:
-    """Open index: lazy docs/segments DataFrames + global stats."""
+    """Open index: lazy docs/segments DataFrames + global stats.
 
-    def __init__(self, spark, out_dir: str):
+    ``snapshot=N`` opens the index AS OF committed snapshot ``N``
+    (time travel): the immutable ``snapshots/v{N}.json`` manifest pins
+    the exact data dirs/files of that version, so later mutations —
+    including a compaction that retired this version's generation —
+    are invisible. A snapshot handle stays valid until
+    ``expire_snapshots`` garbage-collects its version."""
+
+    def __init__(self, spark, out_dir: str, snapshot: int | None = None):
         self.spark = spark
         self.out_dir = out_dir
-        self._manifest_path = os.path.join(_manifest_dir(out_dir),
-                                           "index.json")
+        self.snapshot = snapshot
+        if snapshot is None:
+            self._manifest_path = os.path.join(_manifest_dir(out_dir),
+                                               "index.json")
+        else:
+            self._manifest_path = os.path.join(
+                _snapshots_dir(out_dir), f"v{int(snapshot)}.json")
+            if not os.path.exists(self._manifest_path):
+                raise ValueError(
+                    f"snapshot v{snapshot} of {out_dir} does not exist "
+                    "(never committed, or expired by expire_snapshots);"
+                    f" available: {list_snapshots(out_dir)}")
         self.meta = json.load(open(self._manifest_path))
         if not self.meta.get("complete"):
             raise ValueError(f"index at {out_dir} is incomplete")
@@ -782,26 +861,57 @@ class IndexHandle:
         IgnoreLimit) atomically rewrites index.json, and the query
         engine keeps lossless per-handle caches (dictionary, θ, rare
         docs) that would silently serve stale results otherwise —
-        one os.stat per query buys a hard error instead."""
+        one os.stat per query buys a hard error instead.
+
+        A snapshot handle's manifest is immutable, so the same check
+        instead detects only its expiry (file deleted by
+        expire_snapshots — the data files may be gone with it)."""
         try:
             st = os.stat(self._manifest_path)
             sig = (st.st_mtime_ns, st.st_size)
         except OSError:
             sig = None
         if sig != self._manifest_sig:
+            if self.snapshot is not None:
+                raise RuntimeError(
+                    f"snapshot v{self.snapshot} of {self.out_dir} was "
+                    "expired; its data files may be deleted")
             raise RuntimeError(
                 f"index at {self.out_dir} changed since this handle "
                 "was opened; build a new IndexHandle/SparkQueryEngine "
                 "(engine caches are per-handle)")
 
+    def _read_listed(self, sub: str, schema):
+        """Resolve a data table THROUGH the manifest ``files`` list —
+        never a root glob: time-travel generations coexist on disk and
+        globbing would double-read them. basePath keeps the
+        shard=/term_bucket= partition columns identical to a root
+        read. (Root-glob fallback only for pre-snapshot manifests.)"""
+        root = os.path.join(self.out_dir, sub)
+        files = (self.meta.get("files") or {}).get(sub)
+        if files is None:
+            return self.spark.read.schema(schema).parquet(root)
+        paths = [os.path.join(self.out_dir, f) for f in files]
+        return (self.spark.read.schema(schema)
+                .option("basePath", root).parquet(*paths))
+
     def docs(self):
         # explicit schemas throughout: empty shards write no data files
         # and schema inference would fail on a 0-doc index
-        return (self.spark.read.schema(DOCS_SCHEMA)
-                .parquet(os.path.join(self.out_dir, "docs")))
+        return self._read_listed("docs", DOCS_SCHEMA)
 
     def removed(self):
         """Tombstoned doc_ids (index/maintenance.py) or None."""
+        files = (self.meta.get("files") or {}).get("removed")
+        if files is not None:
+            if not files:
+                return None
+            return (self.spark.read
+                    .schema("doc_id long, url string")
+                    .option("basePath",
+                            os.path.join(self.out_dir, "removed"))
+                    .parquet(*[os.path.join(self.out_dir, f)
+                               for f in files]))
         path = os.path.join(self.out_dir, "removed")
         if not os.path.isdir(path):
             return None
@@ -827,14 +937,12 @@ class IndexHandle:
         # term_bucket resolves from the partition directories; putting
         # it in the schema keeps the column present even for an empty
         # index (no term_bucket dirs to discover)
-        return self.spark.read.schema(CHUNK_SCHEMA).parquet(
-            os.path.join(self.out_dir, "segments"))
+        return self._read_listed("segments", CHUNK_SCHEMA)
 
     def terms(self):
         """(term_bucket, term, field, df, cf) summary — word-list
         lookups and prefix-scan planning."""
-        return self.spark.read.schema(TERMS_SCHEMA).parquet(
-            os.path.join(self.out_dir, "terms"))
+        return self._read_listed("terms", TERMS_SCHEMA)
 
     @property
     def stats(self):

@@ -38,12 +38,17 @@ import os
 import shutil
 
 from .builder import (
+    DOCS_SCHEMA,
     IndexConfig,
     IndexHandle,
     _atomic_write_json,
     _build_shard,
+    _list_removed_files,
     _manifest_dir,
     _plan_partitions,
+    _snapshots_dir,
+    commit_manifest,
+    list_snapshots,
 )
 
 REMOVED_SCHEMA = "doc_id long, url string"
@@ -103,24 +108,40 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
     base = 0
     out_shard = 0
     docs_parts = []
+    out_terms_rel = []
     for src_i, (src, meta) in enumerate(zip(src_dirs, metas)):
-        src_docs = spark.read.parquet(os.path.join(src, "docs"))
+        # all source reads resolve THROUGH the source manifest: a
+        # source with time-travel generations on disk (post-compact,
+        # pre-expire) must contribute only its CURRENT files
+        src_handle = IndexHandle(spark, src)
+        src_docs = src_handle.docs()
         if "shard" in src_docs.columns:
             src_docs = src_docs.drop("shard")  # partition-dir column
         docs_parts.append(
             src_docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
             .withColumn("src_order", F.lit(src_i)))
         src_bases = meta.get("shard_bases", {}) or {}
-        for name in sorted(os.listdir(os.path.join(src, "segments"))):
-            if not name.startswith("shard="):
-                continue
-            _copy_tree(os.path.join(src, "segments", name),
+        src_files = meta.get("files") or {}
+        seg_rels = src_files.get("segments")
+        if seg_rels is None:  # pre-snapshot manifest
+            seg_rels = sorted(
+                "segments/" + n
+                for n in os.listdir(os.path.join(src, "segments"))
+                if n.startswith("shard="))
+        term_rels = src_files.get("terms")
+        for rel in sorted(seg_rels):
+            name = os.path.basename(rel)
+            _copy_tree(os.path.join(src, rel),
                        os.path.join(out_dir, "segments",
                                     f"shard={out_shard}"))
-            term_dir = os.path.join(src, "terms", name)
-            if os.path.isdir(term_dir):
-                _copy_tree(term_dir, os.path.join(out_dir, "terms",
-                                                  f"shard={out_shard}"))
+            term_rel = f"terms/{name}"
+            if ((term_rels is None and
+                 os.path.isdir(os.path.join(src, term_rel)))
+                    or (term_rels is not None and term_rel in term_rels)):
+                _copy_tree(os.path.join(src, term_rel),
+                           os.path.join(out_dir, "terms",
+                                        f"shard={out_shard}"))
+                out_terms_rel.append(f"terms/shard={out_shard}")
             # a source that is itself a merged (non-compacted) index has
             # its own per-shard rebase; compose the offsets so nested
             # merges decode the right doc ids
@@ -129,11 +150,10 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
                 src_bases.get(orig_shard_id, 0))
             out_shard += 1
         # carry forward tombstones of the source itself
-        src_removed = os.path.join(src, "removed")
-        if os.path.isdir(src_removed):
-            rdf = (spark.read.parquet(src_removed)
-                   .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
-            _append_removed(spark, out_dir, rdf)
+        rdf = src_handle.removed()
+        if rdf is not None:
+            _append_removed(spark, out_dir, rdf.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(base)))
         base += meta["doc_count"]
 
     all_docs = docs_parts[0]
@@ -172,8 +192,14 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
         # copied segments (metadata-only op until compaction) — losing
         # the list here would resurrect them in the merged index
         meta["auto_stopwords"] = auto_stop
-    _atomic_write_json(os.path.join(_manifest_dir(out_dir), "index.json"),
-                       meta)
+    meta["next_shard_id"] = out_shard
+    meta["files"] = {
+        "docs": ["docs/shard=0"],
+        "segments": [f"segments/shard={i}" for i in range(out_shard)],
+        "terms": out_terms_rel,
+        "removed": _list_removed_files(out_dir),
+    }
+    commit_manifest(out_dir, meta)
     if os.path.isdir(final_dir):  # pre-created empty target
         os.rmdir(final_dir)
     os.rename(out_dir, final_dir)
@@ -374,25 +400,33 @@ def compact_index(spark, index_dir: str):
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(terms_tmp))
 
+    # commit as a NEW generation (fresh shard id), leaving the prior
+    # generation's dirs and tombstone files on disk: older snapshots
+    # keep reading them through their pinned manifests until
+    # expire_snapshots garbage-collects (Iceberg RewriteDataFiles —
+    # the rewrite commits metadata, expiry deletes data)
+    gen = int(meta.get("next_shard_id", meta.get("n_shards", 1)))
     for sub, tmp in (("segments", seg_tmp), ("docs", docs_tmp),
                      ("terms", terms_tmp)):
-        final_root = os.path.join(index_dir, sub)
-        if os.path.exists(final_root):
-            shutil.rmtree(final_root)
-        os.makedirs(final_root)
-        os.replace(tmp, os.path.join(final_root, "shard=0"))
-    removed_dir = os.path.join(index_dir, "removed")
-    if os.path.isdir(removed_dir):
-        shutil.rmtree(removed_dir)
+        final = os.path.join(index_dir, sub, f"shard={gen}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(tmp, final)
 
-    live_count = spark.read.parquet(
-        os.path.join(index_dir, "docs")).count()
+    live_count = spark.read.schema(DOCS_SCHEMA).parquet(
+        os.path.join(index_dir, "docs", f"shard={gen}")).count()
     # doc_count stays the doc-id HIGH-WATER mark (update_documents uses
     # it as the next shard's base); live_doc_count is the survivor count
     meta.update(n_shards=1, shard_bases={}, live_doc_count=live_count,
-                compacted=True)
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+                compacted=True, next_shard_id=gen + 1,
+                files={
+                    "docs": [f"docs/shard={gen}"],
+                    "segments": [f"segments/shard={gen}"],
+                    "terms": [f"terms/shard={gen}"],
+                    "removed": [],
+                })
+    commit_manifest(index_dir, meta)
     return meta
 
 
@@ -467,8 +501,7 @@ def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
     meta = _load_meta(index_dir)
     meta["auto_stopwords"] = sorted(
         set(meta.get("auto_stopwords", [])) | set(stopped))
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+    commit_manifest(index_dir, meta)
     return stopped
 
 
@@ -490,10 +523,11 @@ def remove_documents(spark, index_dir: str, urls: list[str]):
         # analogue) — it carries removal lineage AND invalidates open
         # handles, whose cached stats/θ would otherwise skew BM25
         meta = handle.meta
-        meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
         meta["removed_total"] = int(meta.get("removed_total", 0)) + n
-        _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                        "index.json"), meta)
+        files = dict(meta.get("files") or {})
+        files["removed"] = _list_removed_files(index_dir)
+        meta["files"] = files
+        commit_manifest(index_dir, meta)
     return n
 
 
@@ -509,12 +543,23 @@ def update_documents(spark, pages_df, index_dir: str):
     if not meta.get("complete"):
         raise ValueError("cannot update an incomplete index")
     cfg = IndexConfig(**meta["config"])
-    old_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    # replace-detection must consult the manifest file list: a glob of
+    # docs/ would also see retired time-travel generations and
+    # tombstone doc_ids that are live in the current generation
+    docs_rel = (meta.get("files") or {}).get("docs")
+    droot = os.path.join(index_dir, "docs")
+    if docs_rel is None:
+        old_docs = spark.read.parquet(droot)
+    else:
+        old_docs = (spark.read.schema(DOCS_SCHEMA)
+                    .option("basePath", droot)
+                    .parquet(*[os.path.join(index_dir, f)
+                               for f in docs_rel]))
     superseded = (old_docs.join(
         pages_df.select("url").distinct(), "url", "inner")
         .select("doc_id", "url"))
 
-    shard_id = meta["n_shards"]
+    shard_id = int(meta.get("next_shard_id", meta["n_shards"]))
     doc_base = meta["doc_count"]
     # open the update window BEFORE committing any new-shard data: a
     # crash mid-update must leave the index refusing to open (loud),
@@ -550,16 +595,24 @@ def _finish_update(spark, index_dir, meta, sm, staging):
         _append_removed(spark, index_dir, spark.read.parquet(staging))
         shutil.rmtree(staging, ignore_errors=True)
     shard_id = meta["updating_shard"]
-    meta["n_shards"] = shard_id + 1
+    meta["n_shards"] = int(meta.get("n_shards", 0)) + 1
+    meta["next_shard_id"] = shard_id + 1
     meta["doc_count"] = meta["doc_count"] + sm["doc_count"]
     meta["token_count"] = meta.get("token_count", 0) + sm["token_count"]
     meta["posting_count"] = (meta.get("posting_count", 0)
                              + sm["posting_count"])
+    files = dict(meta.get("files") or {})
+    for sub in ("docs", "segments", "terms"):
+        lst = list(files.get(sub) or [])
+        rel = f"{sub}/shard={shard_id}"
+        if rel not in lst:
+            lst.append(rel)
+        files[sub] = lst
+    files["removed"] = _list_removed_files(index_dir)
+    meta["files"] = files
     meta["complete"] = True
     meta.pop("updating_shard", None)
-    meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+    commit_manifest(index_dir, meta)
 
 
 def repair_incomplete_update(spark, index_dir: str) -> str | None:
@@ -596,7 +649,64 @@ def repair_incomplete_update(spark, index_dir: str) -> str | None:
         os.remove(shard_manifest)
     meta["complete"] = True
     meta.pop("updating_shard", None)
-    meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+    # the files list in the pre-update manifest is already correct (the
+    # aborted shard never entered it) — commit it as a new version so
+    # open handles see the repair
+    commit_manifest(index_dir, meta)
     return "rollback"
+
+
+def expire_snapshots(index_dir: str, keep_last: int = 1) -> dict:
+    """Iceberg expire_snapshots analogue: delete snapshot manifests
+    older than the newest ``keep_last`` (the current version is always
+    kept) and physically remove the data dirs / tombstone files that
+    no surviving manifest references.
+
+    Purely metadata-driven, driver-side GC — no Spark job: the
+    candidate set is exactly the union of the expired manifests'
+    ``files`` lists minus the kept ones, so at 100 TB the walk is over
+    O(shards) directory names, never data files. Single-writer
+    discipline (the same one every mutation assumes) makes this safe
+    without a lock service."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    current = _load_meta(index_dir)
+    snaps = list_snapshots(index_dir)
+    keep = set(snaps[-keep_last:]) | {int(current.get("snapshot", 0))}
+    kept_metas = [current]
+    for v in sorted(keep):
+        p = os.path.join(_snapshots_dir(index_dir), f"v{v}.json")
+        if os.path.exists(p):
+            kept_metas.append(json.load(open(p)))
+    referenced: set[str] = set()
+    for m in kept_metas:
+        fl = m.get("files")
+        if fl is None:
+            raise ValueError(
+                "cannot expire: a kept manifest predates file tracking")
+        for lst in fl.values():
+            referenced.update(lst)
+    stats = {"snapshots_deleted": 0, "dirs_deleted": 0,
+             "files_deleted": 0}
+    for v in snaps:
+        if v in keep:
+            continue
+        os.remove(os.path.join(_snapshots_dir(index_dir), f"v{v}.json"))
+        stats["snapshots_deleted"] += 1
+    for sub in ("docs", "segments", "terms"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            if name.startswith("shard=") \
+                    and f"{sub}/{name}" not in referenced:
+                shutil.rmtree(os.path.join(root, name))
+                stats["dirs_deleted"] += 1
+    removed_root = os.path.join(index_dir, "removed")
+    if os.path.isdir(removed_root):
+        for name in sorted(os.listdir(removed_root)):
+            if name.startswith("part-") \
+                    and f"removed/{name}" not in referenced:
+                os.remove(os.path.join(removed_root, name))
+                stats["files_deleted"] += 1
+    return stats

@@ -423,6 +423,31 @@ def engine_lifecycle_match(spark, sf_dir, q="hash OR updatedmarker"):
             .orderBy("doc_id"))
 
 
+def engine_snapshot_asof(spark, sf_dir, q="hash"):
+    """Snapshot time travel (Iceberg commit model, SURVEY §2.9 — no
+    reference analogue: -u/-r rewrite the single index file in place,
+    /root/reference/src/index.c:824-922): the lifecycle index above
+    committed snapshot v1 at build, then v2 (-r) and v3 (-u). Opening
+    the index AS OF v1 through the immutable snapshots/v1.json manifest
+    must see the ORIGINAL corpus — both mutations invisible — so the
+    oracle is the plain full-corpus match set, with doc ids mapped back
+    through the url property stored in the pinned docs generation."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexHandle, list_snapshots
+    from ..query.executor import SparkQueryEngine
+
+    out_dir = _mut_index_for(spark, sf_dir).out_dir
+    v1 = list_snapshots(out_dir)[0]
+    pinned = IndexHandle(spark, out_dir, snapshot=v1)
+    eng = SparkQueryEngine(spark, pinned)
+    df = eng.match_df(q)
+    docs = pinned.docs().select("doc_id", "url")
+    return (df.join(docs, "doc_id")
+            .select(F.col("url").cast("long").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
 def _halves_for(spark, sf_dir):
     """Two independent complete indexes over the even / odd halves of
     the corpus (same semantic config, as merge_indexes requires)."""

@@ -1,0 +1,247 @@
+"""Snapshot time travel over the index manifest chain.
+
+Every mutation (build / update / remove / compact / IgnoreLimit)
+commits a versioned manifest ``swish_meta/snapshots/v{N}.json`` whose
+``files`` section pins the exact data dirs/files of that version —
+the Iceberg snapshot model (metadata lists data, readers never glob).
+``IndexHandle(spark, dir, snapshot=N)`` opens the index AS OF that
+commit; ``expire_snapshots`` garbage-collects unreferenced files.
+
+The reference has no analogue (its -u/-r rewrite the single index
+file in place, /root/reference/src/index.c:824-922); this is the
+capability-gap side of SURVEY §2.9 (lakehouse storage semantics).
+"""
+
+import os
+
+import pytest
+
+from swish_e_spark.datagen.pages import doctype_of_url
+from swish_e_spark.index.builder import (
+    IndexConfig,
+    IndexHandle,
+    build_index,
+    generate_pages_df,
+    list_snapshots,
+)
+from swish_e_spark.index.maintenance import (
+    compact_index,
+    expire_snapshots,
+    remove_documents,
+    update_documents,
+)
+from swish_e_spark.oracle.engine import OracleIndex
+from swish_e_spark.query.executor import SparkQueryEngine
+from swish_e_spark.textproc.tokenizer import TokenizerConfig
+
+CFG = dict(n_buckets=8, buzzwords=("c++",), chunk_docs=64,
+           salt_threshold=32, flush_docs=50)
+QUERIES = ["pigs", "pigs AND wolf", '"three little pigs"',
+           "pigs OR sugar"]
+
+
+def _oracle_over(corpus):
+    idx = OracleIndex(TokenizerConfig(buzzwords=frozenset({"c++"})))
+    for r in corpus:
+        idx.add(r["url"], r["html"], doctype=doctype_of_url(r["url"]),
+                lang=r["lang"], warc_ts=r["warc_ts"])
+    return idx.build()
+
+
+def _result_set(engine, q, k=1000):
+    """Full result set as (url, rounded score) — id spaces differ
+    between a rebased/updated index and a from-scratch oracle."""
+    ddf = engine.handle.docs()
+    url_of = {r["doc_id"]: r["url"]
+              for r in ddf.select("doc_id", "url").collect()}
+    return {(url_of[d], round(s, 6)) for d, s in engine.search(q, k=k)}
+
+
+def _oracle_set(oracle, q, k=1000):
+    return {(oracle.docs[d]["url"], round(s, 6))
+            for d, s in oracle.query(q, k=k)}
+
+
+class TestTimeTravel:
+    @pytest.fixture(scope="class")
+    def chain(self, spark, tmp_path_factory, corpus300):
+        """Build -> update -> remove -> compact, recording the snapshot
+        id and the expected logical corpus after each commit."""
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path_factory.mktemp("ttl") / "idx")
+        pages = generate_pages_df(spark, 300, partitions=6)
+        urls = sorted(r["url"] for r in corpus300)
+        cut = urls[200]
+        corpus_a = [r for r in corpus300 if r["url"] < cut]
+
+        build_index(spark, pages.filter(F.col("url") < cut), out,
+                    IndexConfig(**CFG), n_shards=2)
+        s1 = IndexHandle(spark, out).meta["snapshot"]
+
+        batch_urls = set(urls[200:250])
+        corpus_b = [r for r in corpus300 if r["url"] in batch_urls]
+        update_documents(
+            spark, pages.filter(F.col("url").isin(list(batch_urls))),
+            out)
+        s2 = IndexHandle(spark, out).meta["snapshot"]
+
+        victims = urls[:10]
+        n = remove_documents(spark, out, victims)
+        assert n == 10
+        s3 = IndexHandle(spark, out).meta["snapshot"]
+        corpus_c = [r for r in corpus_a + corpus_b
+                    if r["url"] not in set(victims)]
+
+        compact_index(spark, out)
+        s4 = IndexHandle(spark, out).meta["snapshot"]
+
+        return {
+            "dir": out,
+            "snaps": [s1, s2, s3, s4],
+            "corpora": {s1: corpus_a, s2: corpus_a + corpus_b,
+                        s3: corpus_c, s4: corpus_c},
+        }
+
+    def test_snapshot_chain_monotonic(self, spark, chain):
+        s1, s2, s3, s4 = chain["snaps"]
+        assert s1 < s2 < s3 < s4
+        assert list_snapshots(chain["dir"]) == [s1, s2, s3, s4]
+        meta = IndexHandle(spark, chain["dir"]).meta
+        assert meta["snapshot"] == s4
+        assert set(meta["files"]) >= {"docs", "segments", "terms",
+                                      "removed"}
+
+    @pytest.mark.parametrize("stage", [0, 1, 2, 3])
+    def test_as_of_results_match_stage_oracle(self, spark, chain,
+                                              stage):
+        sid = chain["snaps"][stage]
+        engine = SparkQueryEngine(
+            spark, IndexHandle(spark, chain["dir"], snapshot=sid))
+        oracle = _oracle_over(chain["corpora"][sid])
+        for q in QUERIES:
+            assert _result_set(engine, q) == _oracle_set(oracle, q), \
+                (stage, q)
+
+    def test_snapshot_doc_counts(self, spark, chain):
+        # robots-noindex pages are never indexed, so the expectation
+        # is the ORACLE's doc count over the stage corpus
+        for sid, corpus in chain["corpora"].items():
+            h = IndexHandle(spark, chain["dir"], snapshot=sid)
+            assert h.live_docs().count() == \
+                len(_oracle_over(corpus).docs), sid
+
+    def test_current_handle_sees_compacted_only(self, spark, chain):
+        """The current read must NOT double-read old generations left
+        on disk for time travel (manifest-driven file listing)."""
+        h = IndexHandle(spark, chain["dir"])
+        assert h.removed() is None
+        assert h.docs().count() == len(
+            _oracle_over(chain["corpora"][chain["snaps"][3]]).docs)
+
+    def test_unknown_snapshot_raises(self, spark, chain):
+        with pytest.raises(ValueError, match="snapshot"):
+            IndexHandle(spark, chain["dir"], snapshot=999)
+
+    def test_update_after_compact_ignores_old_generations(
+            self, spark, chain, corpus300):
+        """update_documents' replace-detection must consult the
+        manifest file list: the superseded-url scan over a glob of
+        docs/ would see retired generations and tombstone doc_ids that
+        are live in the CURRENT generation."""
+        from pyspark.sql import functions as F
+
+        urls = sorted(r["url"] for r in corpus300)
+        pages = generate_pages_df(spark, 300, partitions=6)
+        batch = pages.filter((F.col("url") >= urls[20])
+                             & (F.col("url") < urls[25]))
+        res = update_documents(spark, batch, chain["dir"])
+        assert res["replaced"] >= 1
+        h = IndexHandle(spark, chain["dir"])
+        live = h.live_docs()
+        assert live.count() == len(
+            _oracle_over(chain["corpora"][chain["snaps"][3]]).docs)
+        assert live.count() == live.select("url").distinct().count()
+
+
+class TestSnapshotIsolation:
+    def test_snapshot_handle_survives_mutation(self, spark, tmp_path,
+                                               corpus300):
+        """A CURRENT handle goes stale on mutation (hard error, r3
+        contract); a SNAPSHOT handle is immutable and keeps serving
+        its pinned version."""
+        out = str(tmp_path / "iso")
+        pages = generate_pages_df(spark, 120, partitions=4)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        s1 = IndexHandle(spark, out).meta["snapshot"]
+
+        current = SparkQueryEngine(spark, IndexHandle(spark, out))
+        pinned = SparkQueryEngine(
+            spark, IndexHandle(spark, out, snapshot=s1))
+        before = {q: _result_set(pinned, q) for q in QUERIES}
+
+        n_before = IndexHandle(spark, out).live_docs().count()
+        victims = sorted(r["url"] for r in corpus300)[:5]
+        n = remove_documents(spark, out, victims)
+        assert n >= 1  # noindex pages among the victims were never live
+
+        with pytest.raises(RuntimeError, match="changed since"):
+            current.search("pigs", k=5)
+        for q in QUERIES:
+            assert _result_set(pinned, q) == before[q], q
+        # and the removal IS visible through a fresh current handle
+        fresh = IndexHandle(spark, out)
+        assert fresh.live_docs().count() == n_before - n
+
+
+class TestExpire:
+    def test_expire_gc(self, spark, tmp_path, corpus300):
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "exp")
+        pages = generate_pages_df(spark, 150, partitions=4)
+        urls = sorted(r["url"] for r in corpus300)[:150]
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        s1 = IndexHandle(spark, out).meta["snapshot"]
+        update_documents(
+            spark, pages.filter(F.col("url") < urls[10]), out)
+        compact_index(spark, out)
+        snaps = list_snapshots(out)
+        assert len(snaps) == 3
+
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        before = {q: _result_set(eng, q) for q in QUERIES}
+
+        stats = expire_snapshots(out, keep_last=1)
+        assert stats["snapshots_deleted"] == 2
+        assert stats["dirs_deleted"] >= 2  # pre-compact docs/segments
+        assert list_snapshots(out) == [snaps[-1]]
+
+        # expired snapshot: opening raises; a pre-opened handle fails
+        # loudly on next use instead of reading deleted files
+        with pytest.raises(ValueError, match="snapshot"):
+            IndexHandle(spark, out, snapshot=s1)
+
+        # current results are untouched by the GC
+        eng2 = SparkQueryEngine(spark, IndexHandle(spark, out))
+        for q in QUERIES:
+            assert _result_set(eng2, q) == before[q], q
+
+        # the retired generation dirs are physically gone
+        meta = IndexHandle(spark, out).meta
+        live = {os.path.join(out, f) for fl in meta["files"].values()
+                for f in fl}
+        for sub in ("docs", "segments", "terms"):
+            root = os.path.join(out, sub)
+            for name in os.listdir(root):
+                assert os.path.join(root, name) in live, (sub, name)
+
+    def test_expire_keeps_current_even_with_keep_last_1(
+            self, spark, tmp_path):
+        out = str(tmp_path / "exp1")
+        pages = generate_pages_df(spark, 80, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        stats = expire_snapshots(out, keep_last=1)
+        assert stats["snapshots_deleted"] == 0
+        assert SparkQueryEngine(
+            spark, IndexHandle(spark, out)).search("pigs", k=3)
