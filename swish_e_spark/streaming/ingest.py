@@ -39,7 +39,9 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 
 def stream_index(pages_stream_df, index_dir: str, checkpoint_dir: str,
-                 trigger: dict | None = None):
+                 trigger: dict | None = None,
+                 compact_every: int | None = None,
+                 retain_snapshots: int | None = None):
     """Start a streaming query that incrementally indexes
     ``pages_stream_df`` (a streaming DataFrame with the pages-table
     schema) into the EXISTING index at ``index_dir``.
@@ -49,10 +51,25 @@ def stream_index(pages_stream_df, index_dir: str, checkpoint_dir: str,
     stop), the right mode for catch-up indexing; pass e.g.
     ``{"processingTime": "30 seconds"}`` for continuous tailing.
 
+    ``compact_every``: auto-compact once the index accumulates this
+    many shards. Unbounded continuous ingest otherwise grows one shard
+    (and one snapshot) per non-empty micro-batch, and query cost grows
+    with live shard count; compaction folds shards + tombstones back
+    to one generation, committed as a new snapshot while older
+    snapshots keep reading the retired generation (time travel).
+
+    ``retain_snapshots``: after each commit, expire all but the newest
+    N snapshots and garbage-collect the data files only they
+    reference (maintenance.expire_snapshots). Without it a tailing
+    stream's snapshot chain — and every generation ever retired by
+    auto-compaction — accumulates forever. Pick N to cover the longest
+    window any as-of reader pins.
+
     Returns the ``StreamingQuery``.
     """
     from .. import index  # noqa: F401  (package import side locality)
     from ..index.maintenance import (
+        _load_meta, compact_index, expire_snapshots,
         repair_incomplete_update, update_documents,
     )
 
@@ -79,6 +96,11 @@ def stream_index(pages_stream_df, index_dir: str, checkpoint_dir: str,
             deduped = (batch.withColumn("_rn", F.row_number().over(w))
                        .filter(F.col("_rn") == 1).drop("_rn"))
             update_documents(spark, deduped, index_dir)
+            if compact_every is not None and \
+                    _load_meta(index_dir)["n_shards"] >= compact_every:
+                compact_index(spark, index_dir)
+            if retain_snapshots is not None:
+                expire_snapshots(index_dir, keep_last=retain_snapshots)
         finally:
             batch.unpersist()
 

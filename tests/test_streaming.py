@@ -158,6 +158,58 @@ class TestStreamingIngest:
         # nothing left to repair
         assert repair_incomplete_update(spark, idx) is None
 
+    def test_auto_compact_and_retention(self, spark, tmp_path):
+        """Continuous ingest with compact_every + retain_snapshots:
+        shard count stays bounded, the snapshot chain is pruned to the
+        retention window, retired generations are GC'd, and the final
+        results still match the oracle over the union."""
+        from swish_e_spark.index.builder import list_snapshots
+
+        idx = str(tmp_path / "acidx")
+        src = str(tmp_path / "acdrops")
+        ckpt = str(tmp_path / "acckpt")
+        os.makedirs(src)
+        build_index(spark, _pages_df(spark, BASE, "2024-01-01"), idx,
+                    IndexConfig(n_buckets=4, stopwords=()), n_shards=1)
+        _pages_df(spark, DROP1, "2024-01-02").write.mode("append") \
+            .parquet(src)
+        _pages_df(spark, DROP2, "2024-01-03").write.mode("append") \
+            .parquet(src)
+        q = stream_index(
+            pages_file_stream(spark, src, max_files_per_trigger=1),
+            idx, ckpt, compact_every=2, retain_snapshots=1)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+        handle = IndexHandle(spark, idx)
+        # compaction ran: one live generation, bounded shard count
+        assert handle.meta["n_shards"] == 1
+        assert list_snapshots(idx) == [handle.meta["snapshot"]]
+        # retired generations physically gone (retention GC)
+        for sub in ("docs", "segments", "terms"):
+            live = set(handle.meta["files"][sub])
+            on_disk = {f"{sub}/{n}"
+                       for n in os.listdir(os.path.join(idx, sub))
+                       if n.startswith("shard=")}
+            assert on_disk == live, sub
+        assert handle.removed() is None
+
+        eng = SparkQueryEngine(spark, handle)
+        final = {u: t for u, t in BASE + DROP1 + DROP2}
+        oracle = OracleIndex(TokenizerConfig(stopwords=frozenset()))
+        for url in sorted(final):
+            oracle.add(url, final[url].encode(), doctype="txt")
+        oracle.build()
+        assert handle.stats["n_docs"] == oracle.n_docs == 6
+        for query in ("alpha", "updated", "tango or zulu"):
+            got = eng.search(query, k=10)
+            want = oracle.query(query, k=10)
+            assert sorted(self._urls(handle, got)) == \
+                sorted(oracle.docs[d]["url"] for d, _ in want), query
+            assert sorted(round(s, 9) for _, s in got) == \
+                sorted(round(s, 9) for _, s in want), query
+        assert eng.search("foxtrot", k=10) == []
+
     @staticmethod
     def _urls(handle, results):
         docs = {r["doc_id"]: r["url"] for r in
