@@ -9,6 +9,9 @@ params, /root/reference/src/swish.c:266-1290) onto the Spark library:
     swish-e-spark -k w -f /idx                           # keyword dump
     swish-e-spark -M /idx1 /idx2 /merged                 # merge
     swish-e-spark -u -S prog -i dump.bin -f /idx         # incremental
+    swish-e-spark -w wolf -f /idx --as-of 3              # time travel
+    swish-e-spark --snapshots -f /idx                    # list versions
+    swish-e-spark --expire 2 -f /idx                     # snapshot GC
 
 Parsing is hand-rolled like the reference's next_param loop (a flag
 consumes values until the next ``-`` token) because ``-s prop asc
@@ -59,6 +62,11 @@ class Params:
     verbose: int = 0                  # -v
     economy: bool = False             # -e (no-op: staged parquet)
     version: bool = False             # -V
+    # snapshot extensions (no reference analogue — the lakehouse side
+    # of the index; see index/builder.py commit_manifest)
+    as_of: int | None = None          # --as-of N (search a snapshot)
+    show_snapshots: bool = False      # --snapshots (list versions)
+    expire_keep: int | None = None    # --expire N (GC, keep newest N)
 
 
 def _parse_argv(argv: list[str]) -> Params:
@@ -150,6 +158,12 @@ def _parse_argv(argv: list[str]) -> Params:
             p.verbose = int(w[0]) if w else 1
         elif flag == "e":
             p.economy = True  # staged parquet IS economy mode
+        elif flag == "-as-of":
+            p.as_of = int(vals("-as-of", 1)[0])
+        elif flag == "-snapshots":
+            p.show_snapshots = True
+        elif flag == "-expire":
+            p.expire_keep = int(vals("-expire", 1)[0])
         elif flag in ("l", "a", "o", "E", "W", "P", "D", "T"):
             vals(flag, 0)  # accepted for compat; no-op here
         elif flag == "V":
@@ -219,8 +233,12 @@ def _run_search(p: Params, spark, out) -> int:
     for d in p.index_files:
         if not os.path.isdir(d):
             raise CliError(f"could not open index file {d!r}", 2)
-    engines = [SparkQueryEngine(spark, IndexHandle(spark, d))
-               for d in p.index_files]
+    try:
+        engines = [SparkQueryEngine(
+            spark, IndexHandle(spark, d, snapshot=p.as_of))
+            for d in p.index_files]
+    except ValueError as e:  # unknown/expired --as-of version
+        raise CliError(str(e), 2) from None
 
     mask = _structure_mask(p.structure) if p.structure else None
     limits = dict(_typed_limit(*t) for t in p.limits) or None
@@ -477,6 +495,41 @@ def _run_keywords(p: Params, spark, out) -> int:
     return 0
 
 
+def _run_snapshots(p: Params, out) -> int:
+    """--snapshots: list committed versions of an index (driver-side
+    manifest listing, no Spark session needed)."""
+    import json
+
+    from .index.builder import _manifest_dir, _snapshots_dir, \
+        list_snapshots
+
+    if not p.index_files:
+        raise CliError("specify an index with -f")
+    d = p.index_files[0]
+    cur = json.load(open(os.path.join(_manifest_dir(d), "index.json")))
+    for v in list_snapshots(d):
+        m = json.load(open(os.path.join(_snapshots_dir(d),
+                                        f"v{v}.json")))
+        star = "*" if v == cur.get("snapshot") else " "
+        print(f"{star} v{v}  docs={m.get('doc_count')} "
+              f"shards={m.get('n_shards')} "
+              f"removed={m.get('removed_total', 0)}", file=out)
+    return 0
+
+
+def _run_expire(p: Params, out) -> int:
+    from .index.maintenance import expire_snapshots
+
+    if not p.index_files:
+        raise CliError("specify an index with -f")
+    stats = expire_snapshots(p.index_files[0],
+                             keep_last=p.expire_keep)
+    print(f"Expired {stats['snapshots_deleted']} snapshot(s); "
+          f"deleted {stats['dirs_deleted']} data dir(s), "
+          f"{stats['files_deleted']} tombstone file(s)", file=out)
+    return 0
+
+
 def main(argv=None, spark=None, out=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     out = out or sys.stdout
@@ -488,6 +541,10 @@ def main(argv=None, spark=None, out=None) -> int:
         print(VERSION, file=out)
         return 0
     try:
+        if p.show_snapshots:
+            return _run_snapshots(p, out)
+        if p.expire_keep is not None:
+            return _run_expire(p, out)
         if p.merge:
             return _run_merge(p, _get_spark(spark), out)
         if p.keyword_char is not None:

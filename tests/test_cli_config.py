@@ -400,6 +400,52 @@ class TestCli:
                 if l and not l.startswith("#") and l != "."]
         assert len(body) == 3
 
+    def test_snapshot_verbs(self, spark, doc_tree, tmp_path_factory):
+        """--snapshots / --as-of / --expire: the lakehouse surface.
+        After a -r removal, the current search loses the doc but
+        --as-of the build snapshot still sees it; --expire 1 GCs the
+        old version and --as-of then fails loudly (exit 2)."""
+        from swish_e_spark.cli import main
+        from swish_e_spark.index.builder import IndexHandle
+        from swish_e_spark.index.maintenance import remove_documents
+
+        root = tmp_path_factory.mktemp("cli_snap")
+        conf = root / "swish.conf"
+        conf.write_text("IndexOnly .html\n"
+                        "FileRules filename contains ^temp_\n")
+        idx = str(root / "idx")
+        out = io.StringIO()
+        assert main(["-c", str(conf), "-i", doc_tree, "-f", idx],
+                    spark=spark, out=out) == 0
+
+        rc, out1 = self._run(spark, ["--snapshots", "-f", idx])
+        assert rc == 0 and out1.startswith("* v1")
+
+        victim = next(
+            r["url"] for r in IndexHandle(spark, idx).docs()
+            .select("url").collect() if r["url"].endswith("a.html"))
+        remove_documents(spark, idx, [victim])
+
+        rc, cur = self._run(spark, ["-w", "wolf", "-f", idx, "-H", "0"])
+        rc2, old = self._run(spark, ["-w", "wolf", "-f", idx,
+                                     "-H", "0", "--as-of", "1"])
+        body = [l for l in cur.splitlines()
+                if l and not l.startswith("#") and l != "."]
+        body_old = [l for l in old.splitlines()
+                    if l and not l.startswith("#") and l != "."]
+        assert rc == rc2 == 0
+        assert len(body) == 2 and len(body_old) == 3
+
+        rc, listing = self._run(spark, ["--snapshots", "-f", idx])
+        assert listing.count("\n") == 2 and "* v2" in listing
+
+        rc, msg = self._run(spark, ["--expire", "1", "-f", idx])
+        assert rc == 0 and "Expired 1 snapshot(s)" in msg
+        with pytest.raises(SystemExit) as ei:
+            main(["-w", "wolf", "-f", idx, "--as-of", "1"],
+                 spark=spark, out=io.StringIO())
+        assert ei.value.code == 2
+
     def test_bad_flag_and_missing_index(self, spark):
         from swish_e_spark.cli import main
 
