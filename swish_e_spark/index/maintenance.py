@@ -505,6 +505,22 @@ def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
     return stopped
 
 
+def _adopt_new_removed(index_dir, meta, before: list[str]) -> None:
+    """Set the manifest's tombstone list to (prior manifest list) ∪
+    (files appended since ``before``) — NOT the raw directory listing:
+    after a compaction, removed/ still holds the retired generation's
+    tombstones for older snapshots to read, and re-adopting them into
+    every later manifest would make each query's removed() scan grow
+    with compaction history instead of staying O(current tombstones)."""
+    new = set(_list_removed_files(index_dir)) - set(before)
+    prior = (meta.get("files") or {}).get("removed")
+    if prior is None:  # pre-snapshot manifest: keep everything on disk
+        prior = before
+    files = dict(meta.get("files") or {})
+    files["removed"] = sorted(set(prior) | new)
+    meta["files"] = files
+
+
 def remove_documents(spark, index_dir: str, urls: list[str]):
     """Tombstone docs by url (-r; deleted-doc filter
     /root/reference/src/search.c:1789). Returns number removed."""
@@ -518,15 +534,14 @@ def remove_documents(spark, index_dir: str, urls: list[str]):
            .select("doc_id", "url"))
     n = hit.count()
     if n:
+        before = _list_removed_files(index_dir)
         _append_removed(spark, index_dir, hit)
         # every mutation commits a manifest update (Iceberg snapshot
         # analogue) — it carries removal lineage AND invalidates open
         # handles, whose cached stats/θ would otherwise skew BM25
         meta = handle.meta
         meta["removed_total"] = int(meta.get("removed_total", 0)) + n
-        files = dict(meta.get("files") or {})
-        files["removed"] = _list_removed_files(index_dir)
-        meta["files"] = files
+        _adopt_new_removed(index_dir, meta, before)
         commit_manifest(index_dir, meta)
     return n
 
@@ -567,6 +582,11 @@ def update_documents(spark, pages_df, index_dir: str):
     # versions as if both were live
     meta["complete"] = False
     meta["updating_shard"] = shard_id
+    # pin the tombstone listing as of window-open: _finish_update (and
+    # the roll-forward repair, which may run AFTER this update's
+    # append already happened) adopts exactly the files added since —
+    # a finish-time listing diff would lose them on replay
+    meta["removed_before"] = _list_removed_files(index_dir)
     index_meta_path = os.path.join(_manifest_dir(index_dir),
                                    "index.json")
     _atomic_write_json(index_meta_path, meta)
@@ -591,6 +611,9 @@ def update_documents(spark, pages_df, index_dir: str):
 def _finish_update(spark, index_dir, meta, sm, staging):
     """Merge staged tombstones and finalize the manifest — the shared
     tail of update_documents and the roll-forward repair path."""
+    before = meta.pop("removed_before", None)
+    if before is None:  # update opened by a pre-pinning version
+        before = (meta.get("files") or {}).get("removed") or []
     if os.path.isdir(staging):
         _append_removed(spark, index_dir, spark.read.parquet(staging))
         shutil.rmtree(staging, ignore_errors=True)
@@ -608,8 +631,8 @@ def _finish_update(spark, index_dir, meta, sm, staging):
         if rel not in lst:
             lst.append(rel)
         files[sub] = lst
-    files["removed"] = _list_removed_files(index_dir)
     meta["files"] = files
+    _adopt_new_removed(index_dir, meta, before)
     meta["complete"] = True
     meta.pop("updating_shard", None)
     commit_manifest(index_dir, meta)
@@ -649,6 +672,7 @@ def repair_incomplete_update(spark, index_dir: str) -> str | None:
         os.remove(shard_manifest)
     meta["complete"] = True
     meta.pop("updating_shard", None)
+    meta.pop("removed_before", None)
     # the files list in the pre-update manifest is already correct (the
     # aborted shard never entered it) — commit it as a new version so
     # open handles see the repair

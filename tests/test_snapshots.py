@@ -194,6 +194,49 @@ class TestSnapshotIsolation:
         assert fresh.live_docs().count() == n_before - n
 
 
+class TestTombstoneAdoption:
+    def test_post_compact_manifests_exclude_retired_tombstones(
+            self, spark, tmp_path, corpus300):
+        """A compact retires the current tombstones (kept on disk only
+        for older snapshots). Later remove/update commits must adopt
+        ONLY their own new tombstone files — re-adopting the retired
+        ones would grow every query's removed() scan with compaction
+        history."""
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "tsa")
+        pages = generate_pages_df(spark, 150, partitions=4)
+        # generation-order prefix: generate_pages_df(150) IS the first
+        # 150 rows of the 300-row corpus fixture
+        indexed = corpus300[:150]
+        urls = sorted(r["url"] for r in indexed)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        remove_documents(spark, out, urls[:5])
+        retired = set(IndexHandle(spark, out).meta["files"]["removed"])
+        assert retired
+        compact_index(spark, out)
+        assert IndexHandle(spark, out).meta["files"]["removed"] == []
+
+        remove_documents(spark, out, urls[5:10])
+        after_rm = IndexHandle(spark, out).meta["files"]["removed"]
+        assert after_rm and not (set(after_rm) & retired)
+
+        batch = pages.filter(F.col("url").isin(urls[10:13]))
+        update_documents(spark, batch, out)
+        after_up = IndexHandle(spark, out).meta["files"]["removed"]
+        assert set(after_up) >= set(after_rm)
+        assert not (set(after_up) & retired)
+
+        # and the engine over the current manifest matches the oracle
+        # over the surviving corpus
+        survivors = [r for r in indexed
+                     if r["url"] not in set(urls[:10])]
+        eng = SparkQueryEngine(spark, IndexHandle(spark, out))
+        oracle = _oracle_over(survivors)
+        for q in QUERIES:
+            assert _result_set(eng, q) == _oracle_set(oracle, q), q
+
+
 class TestExpire:
     def test_expire_gc(self, spark, tmp_path, corpus300):
         from pyspark.sql import functions as F
