@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_stopword_query": engineq.engine_stopword_query,
         "engine_lifecycle_match": engineq.engine_lifecycle_match,
         "engine_snapshot_asof": engineq.engine_snapshot_asof,
+        "engine_snapshot_diff": engineq.engine_snapshot_diff,
         "engine_merged_bm25": engineq.engine_merged_bm25,
         "engine_multi_index": engineq.engine_multi_index,
         # training-data pipeline: dedup
@@ -397,6 +398,16 @@ order by doc_id""",
         "engine_snapshot_asof": f"""
 with {toks}
 select distinct doc_id from toks where t = 'hash' order by doc_id""",
+        # r4 snapshot CDC (build snapshot -> current): -r tombstoned
+        # every 7th doc; -u re-added every 11th url under a NEW doc id
+        # (so %77 docs — removed then replaced — report 'replaced')
+        "engine_snapshot_diff": """
+select doc_id, 'removed' as change from documents
+where doc_id % 7 = 0 and doc_id % 11 <> 0
+union all
+select doc_id, 'replaced' as change from documents
+where doc_id % 11 = 0
+order by doc_id""",
         # r4 merge (-M): merged halves carry the SAME global stats as a
         # from-scratch build, so the oracle is engine_bm25_topk's SQL
         "engine_merged_bm25": _bm25_sql("'hash','join'", 2),

@@ -734,3 +734,35 @@ def expire_snapshots(index_dir: str, keep_last: int = 1) -> dict:
                 os.remove(os.path.join(removed_root, name))
                 stats["files_deleted"] += 1
     return stats
+
+
+def snapshot_diff(spark, index_dir: str, v_from: int,
+                  v_to: int | None = None):
+    """Change-data-capture between two committed snapshots (Iceberg
+    incremental-read analogue; no reference counterpart — swish-e's
+    single-file index has no version history to diff). Returns a
+    DataFrame ``(url, change)`` with ``change`` ∈ added / removed /
+    replaced, keyed by url because doc ids are never reused: an url
+    live in both versions under DIFFERENT ids was replaced by an
+    update in between, while a compaction (which preserves ids)
+    correctly reports no change.
+
+    ``v_to=None`` diffs against the current version. One full-outer
+    join of the two live-doc sets — each resolved through its pinned
+    manifest — so the cost is O(live docs), independent of how many
+    mutations or retired generations lie between the versions."""
+    from pyspark.sql import functions as F
+
+    h_from = IndexHandle(spark, index_dir, snapshot=v_from)
+    h_to = IndexHandle(spark, index_dir, snapshot=v_to)
+    a = h_from.live_docs().select(
+        "url", F.col("doc_id").alias("_from_id"))
+    b = h_to.live_docs().select("url", F.col("doc_id").alias("_to_id"))
+    j = a.join(b, "url", "full_outer")
+    return (j.select(
+        "url",
+        F.when(F.col("_from_id").isNull(), F.lit("added"))
+         .when(F.col("_to_id").isNull(), F.lit("removed"))
+         .when(F.col("_from_id") != F.col("_to_id"),
+               F.lit("replaced")).alias("change"))
+        .where(F.col("change").isNotNull()))

@@ -448,6 +448,27 @@ def engine_snapshot_asof(spark, sf_dir, q="hash"):
             .orderBy("doc_id"))
 
 
+def engine_snapshot_diff(spark, sf_dir):
+    """Change-data-capture between the lifecycle index's build
+    snapshot and its current version (maintenance.snapshot_diff —
+    Iceberg incremental read; no reference analogue). The mutations
+    are pure functions of doc_id, so the change set is exactly
+    SQL-derivable: every 7th doc was removed (-r) unless every-11th
+    replacement (-u) re-added its url under a new id — urls live in
+    both versions under different ids report 'replaced'."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import list_snapshots
+    from ..index.maintenance import snapshot_diff
+
+    out_dir = _mut_index_for(spark, sf_dir).out_dir
+    v1 = list_snapshots(out_dir)[0]
+    df = snapshot_diff(spark, out_dir, v1)
+    return (df.select(F.col("url").cast("long").alias("doc_id"),
+                      "change")
+            .orderBy("doc_id"))
+
+
 def _halves_for(spark, sf_dir):
     """Two independent complete indexes over the even / odd halves of
     the corpus (same semantic config, as merge_indexes requires)."""

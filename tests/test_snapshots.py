@@ -143,6 +143,34 @@ class TestTimeTravel:
         with pytest.raises(ValueError, match="snapshot"):
             IndexHandle(spark, chain["dir"], snapshot=999)
 
+    def test_snapshot_diff_cdc(self, spark, chain):
+        """snapshot_diff (Iceberg incremental read): added between
+        build and update, removed between update and remove, EMPTY
+        across a compaction (ids preserved, nothing logically
+        changed), and the composite across the whole chain."""
+        from swish_e_spark.index.maintenance import snapshot_diff
+
+        s1, s2, s3, s4 = chain["snaps"]
+        d = chain["dir"]
+        # live (indexed) urls per stage — noindex pages never appear
+        stage_urls = {
+            s: {o["url"] for o in
+                _oracle_over(chain["corpora"][s]).docs.values()}
+            for s in (s1, s2, s3)}
+
+        def diff(a, b):
+            return {(r["url"], r["change"]) for r in
+                    snapshot_diff(spark, d, a, b).collect()}
+
+        assert diff(s1, s2) == {(u, "added")
+                                for u in stage_urls[s2] - stage_urls[s1]}
+        assert diff(s2, s3) == {(u, "removed")
+                                for u in stage_urls[s2] - stage_urls[s3]}
+        assert diff(s3, s4) == set()
+        assert diff(s1, s4) == (
+            {(u, "added") for u in stage_urls[s3] - stage_urls[s1]}
+            | {(u, "removed") for u in stage_urls[s1] - stage_urls[s3]})
+
     def test_update_after_compact_ignores_old_generations(
             self, spark, chain, corpus300):
         """update_documents' replace-detection must consult the
