@@ -513,6 +513,32 @@ def _list_removed_files(index_dir) -> list[str]:
                   if n.startswith("part-"))
 
 
+class ConcurrentMutation(RuntimeError):
+    """Another writer committed since this mutation read the manifest
+    — committing would silently discard its snapshot (lost update)."""
+
+
+def check_not_raced(index_dir: str, meta: dict) -> None:
+    """Best-effort lost-update detection: the on-disk current snapshot
+    must still be the one this mutation loaded. Mutations assume a
+    single writer per index (as the reference does per index file);
+    this check turns a violated assumption into a loud
+    ConcurrentMutation instead of a silently dropped commit. It is
+    advisory — a plain filesystem has no compare-and-swap, so a race
+    inside the check→rename window is still possible; a real
+    deployment swaps ``_atomic_write_json`` for a catalog CAS (the
+    Iceberg commit protocol) and keeps everything else."""
+    path = os.path.join(_manifest_dir(index_dir), "index.json")
+    if not os.path.exists(path):
+        return  # fresh target (initial build, merge tmp dir)
+    disk = json.load(open(path)).get("snapshot", 0)
+    if int(disk) != int(meta.get("snapshot", 0)):
+        raise ConcurrentMutation(
+            f"index at {index_dir}: manifest moved to snapshot {disk} "
+            f"while this mutation was based on "
+            f"{meta.get('snapshot', 0)}; reload and retry")
+
+
 def commit_manifest(index_dir: str, meta: dict) -> dict:
     """Commit a manifest version: bump the snapshot counter and write
     BOTH ``index.json`` (the mutable current pointer) and an immutable
@@ -524,6 +550,7 @@ def commit_manifest(index_dir: str, meta: dict) -> dict:
     double-read. Metadata stays O(shards), not O(data files): at
     100 TB each snapshot json is a few KB and the commit is one
     driver-side rename, never a Spark job."""
+    check_not_raced(index_dir, meta)
     meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
     _atomic_write_json(os.path.join(_manifest_dir(index_dir),
                                     "index.json"), meta)

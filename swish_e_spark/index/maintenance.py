@@ -47,6 +47,7 @@ from .builder import (
     _manifest_dir,
     _plan_partitions,
     _snapshots_dir,
+    check_not_raced,
     commit_manifest,
     list_snapshots,
 )
@@ -587,6 +588,9 @@ def update_documents(spark, pages_df, index_dir: str):
     # append already happened) adopts exactly the files added since —
     # a finish-time listing diff would lose them on replay
     meta["removed_before"] = _list_removed_files(index_dir)
+    # the window-open overwrite is this path's lost-update point —
+    # detect a writer that committed since our manifest load
+    check_not_raced(index_dir, meta)
     index_meta_path = os.path.join(_manifest_dir(index_dir),
                                    "index.json")
     _atomic_write_json(index_meta_path, meta)

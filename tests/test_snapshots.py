@@ -265,6 +265,63 @@ class TestTombstoneAdoption:
             assert _result_set(eng, q) == _oracle_set(oracle, q), q
 
 
+class TestConcurrentWriters:
+    def test_stale_commit_raises(self, spark, tmp_path, corpus300):
+        """Lost-update guard: a mutation based on a manifest another
+        writer has since moved past must fail loudly at commit, never
+        silently discard the interleaved snapshot."""
+        from swish_e_spark.index.builder import (
+            ConcurrentMutation, commit_manifest,
+        )
+
+        out = str(tmp_path / "occ")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+
+        stale = dict(IndexHandle(spark, out).meta)  # writer A's view
+        victims = sorted(r["url"] for r in corpus300)[:3]
+        remove_documents(spark, out, victims)       # writer B commits
+
+        with pytest.raises(ConcurrentMutation, match="snapshot"):
+            commit_manifest(out, stale)
+        # the interleaved commit survived untouched
+        assert IndexHandle(spark, out).meta["snapshot"] == \
+            stale["snapshot"] + 1
+
+    def test_update_window_open_detects_race(self, spark, tmp_path,
+                                             corpus300, monkeypatch):
+        """update_documents' lost-update point is the window-open
+        overwrite: interleave writer B's remove between writer A's
+        manifest load and window-open via the shard-planning hook."""
+        import swish_e_spark.index.maintenance as M
+        from pyspark.sql import functions as F
+        from swish_e_spark.index.builder import ConcurrentMutation
+
+        out = str(tmp_path / "occw")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        victims = sorted(r["url"] for r in corpus300)[:3]
+
+        # _list_removed_files runs in the gap between writer A's
+        # manifest load and its window-open write — the exact window
+        # the check guards
+        real_list = M._list_removed_files
+
+        def list_and_race(d):
+            monkeypatch.setattr(M, "_list_removed_files", real_list)
+            remove_documents(spark, out, victims)  # writer B sneaks in
+            return real_list(d)
+
+        monkeypatch.setattr(M, "_list_removed_files", list_and_race)
+        urls = sorted(r["url"] for r in corpus300)[5:8]
+        with pytest.raises(ConcurrentMutation, match="snapshot"):
+            update_documents(
+                spark, pages.filter(F.col("url").isin(urls)), out)
+        # writer B's commit intact, index still opens and serves
+        h = IndexHandle(spark, out)
+        assert SparkQueryEngine(spark, h).search("pigs", k=3)
+
+
 class TestExpire:
     def test_expire_gc(self, spark, tmp_path, corpus300):
         from pyspark.sql import functions as F
