@@ -236,6 +236,35 @@ def main():
             embedding_near_duplicates(spark, sf_dir).count()
         times["ops_embedding_near_dup"] = round(time.time() - t0, 3)
 
+        # lifecycle path at bench scale: replace ~1% of docs through
+        # the incremental-update shard (the continuous-crawl steady
+        # state), CDC the change set, then compact + expire — each a
+        # snapshot commit. Single run each (multi-second, and the
+        # costs are dominated by real work: one bounded shard build,
+        # one full-outer doc join, one repack).
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.index.maintenance import (
+            compact_index, expire_snapshots, snapshot_diff,
+            update_documents,
+        )
+
+        v_before = handle.meta["snapshot"]
+        upd = pages.filter(F.xxhash64("url") % 100 == 0)
+        t0 = time.time()
+        update_documents(spark, upd, idx_dir)
+        times["ops_update_1pct"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_snapshot_diff_rows"] = \
+            snapshot_diff(spark, idx_dir, v_before).count()
+        times["ops_snapshot_diff"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        compact_index(spark, idx_dir)
+        times["ops_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        expire_snapshots(idx_dir, keep_last=1)
+        times["ops_expire"] = round(time.time() - t0, 3)
+
         total = round(time.time() - t_all, 3)
         out = {
             "metric": "index_build_plus_query_wall",

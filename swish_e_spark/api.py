@@ -56,14 +56,21 @@ class Results:
 
 
 class SwishSparkEngine:
-    """SwishInit analogue: attach one or more indexes."""
+    """SwishInit analogue: attach one or more indexes.
 
-    def __init__(self, spark, index_dirs):
+    ``snapshot`` pins every attached index to that committed version
+    (time travel; no reference analogue — the single index file has no
+    history). A pinned engine is immune to concurrent mutations until
+    the version is expired, at which point it fails loudly."""
+
+    def __init__(self, spark, index_dirs, snapshot: int | None = None):
         if isinstance(index_dirs, str):
             index_dirs = [index_dirs]
         self.spark = spark
-        self.engines = [SparkQueryEngine(spark, IndexHandle(spark, d))
-                        for d in index_dirs]
+        self.engines = [
+            SparkQueryEngine(spark,
+                             IndexHandle(spark, d, snapshot=snapshot))
+            for d in index_dirs]
 
     def query(self, q: str, k: int = 10, structure_mask=None,
               limits=None, props=("url", "title")) -> Results:

@@ -393,3 +393,29 @@ class TestEmbeddingApi:
         assert stemmy == "running"  # stem off by default
         hdr = sw.header()
         assert hdr["doc_count"] > 0
+
+    def test_swish_api_snapshot_pin(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.api import SwishSparkEngine
+        from swish_e_spark.index.builder import IndexHandle
+        from swish_e_spark.index.maintenance import remove_documents
+
+        pages = generate_pages_df(spark, 80, partitions=2)
+        d = str(tmp_path / "pin")
+        build_index(spark, pages, d, IndexConfig(**CFG), n_shards=1)
+        v1 = IndexHandle(spark, d).meta["snapshot"]
+
+        pinned = SwishSparkEngine(spark, d, snapshot=v1)
+        before = [(r["doc_id"], r["rank"])
+                  for r in pinned.query("pigs", k=20)]
+        victims = sorted(r.url for r in pages.select("url").collect()
+                         )[:5]
+        n = remove_documents(spark, d, victims)
+        assert n >= 1
+        # the pinned facade still serves the v1 result set
+        assert [(r["doc_id"], r["rank"])
+                for r in pinned.query("pigs", k=20)] == before
+        # a fresh current facade sees the removal
+        cur = SwishSparkEngine(spark, d)
+        assert cur.query("pigs", k=20).hits <= len(before)
