@@ -552,11 +552,18 @@ def commit_manifest(index_dir: str, meta: dict) -> dict:
     driver-side rename, never a Spark job."""
     check_not_raced(index_dir, meta)
     meta["snapshot"] = int(meta.get("snapshot", 0)) + 1
-    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
-                                    "index.json"), meta)
+    # immutable copy FIRST: a crash between the two writes must never
+    # leave a committed current version whose snapshot manifest is
+    # missing (as-of reads of it would fail forever). The reverse
+    # orphan — a v{N}.json with index.json still at N-1 — is benign:
+    # the next commit re-bumps to N and atomically overwrites it, and
+    # every commit_manifest call site runs only after its data files
+    # are fully committed, so an orphan never pins missing data.
     os.makedirs(_snapshots_dir(index_dir), exist_ok=True)
     _atomic_write_json(os.path.join(_snapshots_dir(index_dir),
                                     f"v{meta['snapshot']}.json"), meta)
+    _atomic_write_json(os.path.join(_manifest_dir(index_dir),
+                                    "index.json"), meta)
     return meta
 
 

@@ -81,9 +81,12 @@ def merge_indexes(spark, src_dirs: list[str], out_dir: str):
     # unsearchable under the merged manifest's single config (bucket
     # pruning filters on term_bucket(term, n_buckets); stem/stopword/
     # translate differences corrupt term matching the same way).
-    # Build-tuning knobs may differ freely.
+    # Build-tuning knobs may differ freely, as do the source-selection
+    # rules (file_filters/title_reject_rules chose WHICH docs were
+    # indexed — those docs are already baked into the copied segments).
     _TUNING = {"bytes_per_partition", "flush_docs", "salt_threshold",
-               "chunk_docs"}
+               "chunk_docs", "salt_partitions", "file_filters",
+               "title_reject_rules"}
     sem0 = {k: v for k, v in metas[0]["config"].items()
             if k not in _TUNING}
     for m, d in zip(metas[1:], src_dirs[1:]):
@@ -559,19 +562,14 @@ def update_documents(spark, pages_df, index_dir: str):
     if not meta.get("complete"):
         raise ValueError("cannot update an incomplete index")
     cfg = IndexConfig(**meta["config"])
-    # replace-detection must consult the manifest file list: a glob of
-    # docs/ would also see retired time-travel generations and
-    # tombstone doc_ids that are live in the current generation
-    docs_rel = (meta.get("files") or {}).get("docs")
-    droot = os.path.join(index_dir, "docs")
-    if docs_rel is None:
-        old_docs = spark.read.parquet(droot)
-    else:
-        old_docs = (spark.read.schema(DOCS_SCHEMA)
-                    .option("basePath", droot)
-                    .parquet(*[os.path.join(index_dir, f)
-                               for f in docs_rel]))
-    superseded = (old_docs.join(
+    # replace-detection goes through the handle: manifest-resolved file
+    # lists (a glob of docs/ would also see retired time-travel
+    # generations) AND net of tombstones — joining the full docs table
+    # would re-tombstone every already-dead copy of an url on each
+    # update, growing removed/ quadratically under a streaming
+    # re-crawl that revisits the same urls every batch
+    handle = IndexHandle(spark, index_dir)
+    superseded = (handle.live_docs().join(
         pages_df.select("url").distinct(), "url", "inner")
         .select("doc_id", "url"))
 

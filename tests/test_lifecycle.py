@@ -207,6 +207,44 @@ class TestMergeUpdateRemove:
         with pytest.raises(ValueError, match="n_buckets"):
             merge_indexes(spark, [a, b], out)
 
+    def test_merge_accepts_tuning_differences(self, spark, tmp_path):
+        """salt_partitions (reducer fan-out) and the source-selection
+        rules are build knobs, not token semantics — indexes differing
+        only there hold byte-compatible segments and must merge."""
+        a, b, out = (str(tmp_path / d) for d in ("tu_a", "tu_b", "tu_m"))
+        pages = generate_pages_df(spark, 60, partitions=2)
+        urls = sorted(r.url for r in pages.select("url").collect())
+        cut = urls[30]
+        build_index(spark, pages.filter(pages.url < cut), a,
+                    IndexConfig(**{**CFG, "salt_partitions": 4}),
+                    n_shards=1)
+        build_index(spark, pages.filter(pages.url >= cut), b,
+                    IndexConfig(**{**CFG, "salt_partitions": 16,
+                                   "file_filters": (("%.gz", "gzip"),)}),
+                    n_shards=1)
+        merge_indexes(spark, [a, b], out)
+        h = IndexHandle(spark, out)
+        assert h.stats["n_docs"] == h.live_docs().count() > 0
+
+    def test_repeated_update_tombstones_live_copy_only(
+            self, spark, tmp_path, corpus300):
+        """Each update of an url appends exactly ONE tombstone (the
+        live copy) — re-tombstoning the already-dead prior copies
+        would grow removed/ quadratically under a streaming re-crawl
+        that resubmits the same urls every batch."""
+        out = str(tmp_path / "requpd")
+        pages = generate_pages_df(spark, 60, partitions=2)
+        build_index(spark, pages, out, IndexConfig(**CFG), n_shards=1)
+        url = sorted(r["url"] for r in corpus300[:60])[0]
+        upd = pages.filter(pages.url == url)
+        for _ in range(3):
+            assert update_documents(spark, upd, out)["replaced"] == 1
+        h = IndexHandle(spark, out)
+        removed = h.removed()
+        assert removed.filter(removed.url == url).count() == 3
+        live = h.live_docs()
+        assert live.filter(live.url == url).count() == 1
+
     def test_merge_carries_auto_stopwords(self, spark, tmp_path):
         from swish_e_spark.index.maintenance import apply_ignore_limit
 

@@ -265,6 +265,52 @@ class TestTombstoneAdoption:
             assert _result_set(eng, q) == _oracle_set(oracle, q), q
 
 
+class TestCommitOrdering:
+    def test_snapshot_written_before_pointer(self, tmp_path,
+                                             monkeypatch):
+        """commit_manifest writes the immutable snapshots/v{N}.json
+        BEFORE the mutable index.json pointer: a crash between the two
+        must never yield a committed current version whose snapshot
+        manifest is missing (as-of reads of it would fail forever).
+        The reverse orphan is benign — re-commit overwrites it."""
+        from swish_e_spark.index import builder
+
+        d = str(tmp_path / "ord")
+        os.makedirs(builder._manifest_dir(d))
+        real = builder._atomic_write_json
+        order = []
+
+        def spy(path, obj):
+            order.append(os.path.basename(path))
+            real(path, obj)
+
+        monkeypatch.setattr(builder, "_atomic_write_json", spy)
+        builder.commit_manifest(d, {"complete": True})
+        assert order == ["v1.json", "index.json"]
+
+        # crash window: v2.json lands, index.json write dies → pointer
+        # still v1; a retried commit (fresh meta load) re-bumps to v2
+        # and atomically replaces the orphan
+        def boom(path, obj):
+            if path.endswith("index.json"):
+                raise RuntimeError("injected crash")
+            real(path, obj)
+
+        monkeypatch.setattr(builder, "_atomic_write_json", boom)
+        import json as _json
+        meta = _json.load(open(os.path.join(builder._manifest_dir(d),
+                                            "index.json")))
+        with pytest.raises(RuntimeError, match="injected"):
+            builder.commit_manifest(d, dict(meta))
+        monkeypatch.setattr(builder, "_atomic_write_json", real)
+        meta = _json.load(open(os.path.join(builder._manifest_dir(d),
+                                            "index.json")))
+        assert meta["snapshot"] == 1
+        done = builder.commit_manifest(d, dict(meta))
+        assert done["snapshot"] == 2
+        assert builder.list_snapshots(d) == [1, 2]
+
+
 class TestConcurrentWriters:
     def test_stale_commit_raises(self, spark, tmp_path, corpus300):
         """Lost-update guard: a mutation based on a manifest another
