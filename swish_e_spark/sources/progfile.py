@@ -35,7 +35,8 @@ _LEADING_INT = re.compile(rb"^\s*([+-]?\d+)")
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string, doctype string, "
-                "no_contents boolean, update_mode string")
+                "no_contents boolean, update_mode string, "
+                "source string, seq long")
 
 
 class ProgProtocolError(ValueError):
@@ -156,20 +157,23 @@ def prog_pages_df(spark, paths):
     Returns a pages DataFrame ready for build_index (urls with a
     Document-Type override get a routing suffix honored by
     doctype_of_url only when the url itself doesn't already imply a
-    type — the doctype column is authoritative for custom pipelines)."""
+    type — the doctype column is authoritative for custom pipelines).
+    ``(source, seq)`` records each document's stream position (shard
+    path, index within shard) so incremental routing can reproduce the
+    reference's sequential last-record-wins semantics."""
     import pandas as pd
 
     from ..shipping import ship_package
 
     ship_package(spark)
     raw = spark.read.format("binaryFile").load(paths) \
-        .select("content")
+        .select("path", "content")
 
     def _parse(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for d in parse_prog_stream(bytes(blob)):
+                for i, d in enumerate(parse_prog_stream(bytes(blob))):
                     rows.append((
                         d["url"],
                         pd.Timestamp(d["mtime"], unit="s")
@@ -179,41 +183,55 @@ def prog_pages_df(spark, paths):
                         "",
                         d["doctype"],
                         d["no_contents"],
-                        d["update_mode"]))
+                        d["update_mode"],
+                        path,
+                        i))
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=["url", "warc_ts", "html", "text",
                                        "lang", "doctype", "no_contents",
-                                       "update_mode"])
+                                       "update_mode", "source", "seq"])
 
     return raw.mapInPandas(_parse, schema=PAGES_SCHEMA)
 
 
 def apply_prog_stream(spark, paths, index_dir: str):
     """Incremental prog ingest against an EXISTING index: Update-Mode
-    routing — 'remove' rows tombstone by url (-r), 'index'/'update'
-    rows become a replace shard (-u). Returns {'updated': n,
-    'removed': n}. The reference's per-doc Update-Mode switch
-    (extprog.c:420-470) becomes two set-wise operations: one remove
-    pass and ONE update shard for the whole stream — at scale the
-    per-doc switch is exactly what you don't want."""
-    from pyspark.sql import functions as F
+    routing — 'remove' tombstones by url (-r), 'index'/'update'
+    becomes a replace shard (-u). Returns {'updated': n, 'removed': n}.
+
+    The reference's per-doc Update-Mode switch (extprog.c:420-470)
+    processes records sequentially, so later records for an url win.
+    That end state is reproduced set-wise: keep only the LAST record
+    per url — stream order is (shard path, position in shard), so
+    shard filenames must sort in capture order — then route it: final
+    'remove' → one tombstone pass, final 'index'/'update' → ONE
+    update shard for the whole stream (at scale the per-doc switch is
+    exactly what you don't want). Document-Type and No-Contents ride
+    along into the shard build, so the incremental path parses a doc
+    exactly like a full prog build would."""
+    from pyspark.sql import Window, functions as F
 
     from ..index.maintenance import remove_documents, update_documents
 
-    pages = prog_pages_df(spark, paths).persist()
+    pages = prog_pages_df(spark, paths)
+    w = Window.partitionBy("url").orderBy(F.desc("source"),
+                                          F.desc("seq"))
+    last = (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn").persist())
     try:
         removed_urls = [r["url"] for r in
-                        pages.filter(F.col("update_mode") == "remove")
+                        last.filter(F.col("update_mode") == "remove")
                         .select("url").collect()]
         n_removed = 0
         if removed_urls:
             n_removed = remove_documents(spark, index_dir, removed_urls)
-        upserts = pages.filter(F.col("update_mode") != "remove") \
-            .select("url", "warc_ts", "html", "text", "lang")
+        upserts = (last.filter(F.col("update_mode") != "remove")
+                   .select("url", "warc_ts", "html", "text", "lang",
+                           "doctype", "no_contents"))
         n_up = upserts.count()
         if n_up:
             update_documents(spark, upserts, index_dir)
         return {"updated": int(n_up), "removed": int(n_removed)}
     finally:
-        pages.unpersist()
+        last.unpersist()

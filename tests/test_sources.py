@@ -306,6 +306,72 @@ class TestProgSource:
         # replace semantics: old content of /b gone
         assert len(_urls_scores(spark, idx, "words")) == 1  # only /a
 
+    def test_apply_prog_stream_last_record_wins(self, spark, tmp_path):
+        """The reference processes records sequentially (extprog.c:
+        420-470): a later record for the same url supersedes an
+        earlier one IN THE SAME STREAM. The set-wise routing must
+        reproduce that end state, not index both copies."""
+        idx = str(tmp_path / "lidx")
+        base = [("/a.txt", b"alpha words"), ("/b.txt", b"bravo words")]
+        build_index(spark, _pages_df(spark, base), idx,
+                    IndexConfig(**CFG))
+        stream = str(tmp_path / "dup.prog")
+        self._write_stream(stream, [
+            # /a updated twice in one stream — only the LAST lands
+            ("/a.txt", b"alpha intermediate", b"Update-Mode: Update\n"),
+            ("/a.txt", b"alpha final quokka", b"Update-Mode: Update\n"),
+            # /b indexed then removed — end state absent
+            ("/b.txt", b"bravo revived", b"Update-Mode: Update\n"),
+            ("/b.txt", b"", b"Update-Mode: Remove\n"),
+            # /e removed then (re)indexed — end state live
+            ("/e.txt", b"", b"Update-Mode: Remove\n"),
+            ("/e.txt", b"echo emu", b"Update-Mode: Index\n"),
+        ])
+        res = apply_prog_stream(spark, stream, idx)
+        assert res == {"updated": 2, "removed": 1}
+        assert [u for u, _ in _urls_scores(spark, idx, "quokka")] \
+            == ["/a.txt"]
+        assert _urls_scores(spark, idx, "intermediate") == []
+        assert _urls_scores(spark, idx, "bravo") == []
+        assert _urls_scores(spark, idx, "revived") == []
+        assert [u for u, _ in _urls_scores(spark, idx, "emu")] \
+            == ["/e.txt"]
+        h = IndexHandle(spark, idx)
+        live = h.live_docs()
+        assert live.filter(live.url == "/a.txt").count() == 1
+
+    def test_apply_prog_stream_honors_doc_headers(self, spark,
+                                                  tmp_path):
+        """Document-Type and No-Contents must survive the INCREMENTAL
+        path: the same stream must index identically whether it goes
+        through build_index or apply_prog_stream."""
+        idx = str(tmp_path / "didx")
+        build_index(spark, _pages_df(spark, [("/a.txt", b"alpha")]),
+                    idx, IndexConfig(**CFG))
+        stream = str(tmp_path / "dt.prog")
+        # body looks like robots-noindex HTML; Document-Type: TXT must
+        # force a literal-text parse (indexed), not an HTML parse
+        # (which would abort the doc on the robots meta)
+        noidx_html = (b"<html><head>"
+                      b"<meta name='robots' content='noindex'></head>"
+                      b"<body>numbat</body></html>")
+        self._write_stream(stream, [
+            ("/data/x.dat", noidx_html,
+             b"Document-Type: TXT\nUpdate-Mode: Index\n"),
+            ("/skip2.html",
+             b"<html><title>Merlin Stoop</title>"
+             b"<body>stoopbody</body></html>",
+             b"No-Contents:\nUpdate-Mode: Index\n"),
+        ])
+        res = apply_prog_stream(spark, stream, idx)
+        assert res["updated"] == 2
+        assert [u for u, _ in _urls_scores(spark, idx, "numbat")] \
+            == ["/data/x.dat"]
+        # No-Contents html: title indexed, body not
+        assert [u for u, _ in _urls_scores(spark, idx, "merlin")] \
+            == ["/skip2.html"]
+        assert _urls_scores(spark, idx, "stoopbody") == []
+
 
 WEB = {
     "http://ex.com/robots.txt":
