@@ -13,7 +13,8 @@ breadth-first rounds:
 
 Each round fetches the whole frontier in parallel (the reference's
 `delay` politeness knob becomes `max_per_host_per_round`, which bounds
-concurrent load per host better than a per-process sleep ever did),
+concurrent load per host better than a per-process sleep ever did;
+the overflow defers to later rounds, it is never dropped),
 and the visited set is a DataFrame anti-join, not a driver-side hash —
 the crawl state scales with the cluster, not the driver heap.
 
@@ -75,7 +76,9 @@ class FileFetcher:
     directory urls resolve to index.html. Content type by suffix."""
 
     def __init__(self, root: str):
-        self.root = root
+        import os
+
+        self.root = os.path.abspath(root)
 
     def __call__(self, url: str) -> FetchResult:
         import os
@@ -85,7 +88,9 @@ class FileFetcher:
             path += "index.html"
         full = os.path.normpath(os.path.join(
             self.root, path.lstrip("/")))
-        if not full.startswith(os.path.abspath(self.root)):
+        # containment = root itself or strictly under root+separator;
+        # a bare prefix test would let /data/web2 escape /data/web
+        if full != self.root and not full.startswith(self.root + os.sep):
             return FetchResult(403, "text/plain", b"")  # no traversal
         try:
             with open(full, "rb") as f:
@@ -219,20 +224,36 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
 
     ship_package(spark)
     cfg = cfg or SpiderConfig()
+    if (cfg.max_per_host_per_round is not None
+            and cfg.max_per_host_per_round < 1):
+        raise ValueError("max_per_host_per_round must be >= 1")
     seeds = [s for s in (_normalize(s, "") for s in seeds) if s]
     if not seeds:
         raise ValueError("no valid http(s) seed urls")
     seed_hosts = {urlsplit(s).netloc for s in seeds}
     allowed_hosts = seed_hosts | set(cfg.extra_hosts)
 
-    # robots.txt once per host, on the driver (hosts are few; rules
-    # broadcast with the closure)
+    # robots.txt once per host, cached on the driver and fetched the
+    # first round a host appears — not just seed hosts: with
+    # same_host_only=False every discovered host needs its rules too.
+    # Fetched under the scheme the host was first seen with (an
+    # https-only host would 404/-1 a forced-http probe and silently
+    # lose its Disallow rules). The cache is per-host state, the same
+    # shape the reference keeps (http.c robots handling).
     robots: dict[str, list[str]] = {}
-    if cfg.obey_robots:
-        for host in sorted(allowed_hosts):
-            r = fetcher(f"http://{host}/robots.txt")
-            robots[host] = (parse_robots(r.body)
-                            if r.status == 200 else [])
+
+    def _learn_robots(host_schemes):
+        if not cfg.obey_robots:
+            return
+        for host, scheme in host_schemes:
+            if host and host not in robots:
+                r = fetcher(f"{scheme or 'http'}://{host}/robots.txt")
+                robots[host] = (parse_robots(r.body)
+                                if r.status == 200 else [])
+
+    _learn_robots(sorted(
+        {(urlsplit(s).netloc, urlsplit(s).scheme) for s in seeds}
+        | {(h, "http") for h in cfg.extra_hosts}))
 
     def allowed(url: str) -> bool:
         parts = urlsplit(url)
@@ -256,23 +277,30 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
     visited = frontier.select("url")
     pages = None
     n_pages = 0
-    depth = 0
     while True:
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        take, deferred = frontier, None
         if cfg.max_per_host_per_round is not None:
+            # the politeness bound DEFERS a host's overflow to later
+            # rounds — dropping it would silently lose documents (the
+            # urls are already in visited and could never re-enqueue)
             from pyspark.sql import Window
 
             w = Window.partitionBy(
                 F.parse_url(F.col("url"), F.lit("HOST"))) \
-                .orderBy("url")
-            frontier = (frontier
-                        .withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn")
-                                <= cfg.max_per_host_per_round)
+                .orderBy("depth", "url")
+            ranked = (frontier
+                      .withColumn("_rn", F.row_number().over(w))
+                      .localCheckpoint())
+            take = (ranked.filter(F.col("_rn")
+                                  <= cfg.max_per_host_per_round)
+                    .drop("_rn"))
+            deferred = (ranked.filter(F.col("_rn")
+                                      > cfg.max_per_host_per_round)
                         .drop("_rn"))
-        fetched = (frontier.repartition(
+        fetched = (take.repartition(
             max(1, min(n_frontier, 64)), "url")
             .mapInPandas(kernel, schema=fetched_schema)
             .localCheckpoint())  # fetch exactly once per round
@@ -287,20 +315,32 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
         pages = got if pages is None else pages.unionByName(got)
         if cfg.max_docs is not None and n_pages >= cfg.max_docs:
             break
-        depth += 1
-        if depth > cfg.max_depth:
-            break
-        # next frontier: explode links, policy-filter, drop seen urls
+        # candidate links: depth = 1 + nearest parent, depth-bounded,
+        # never seen before
+        cand = (fetched.select(F.explode("links").alias("url"),
+                               (F.col("depth") + 1).alias("depth"))
+                .groupBy("url").agg(F.min("depth").alias("depth"))
+                .filter(F.col("depth") <= cfg.max_depth)
+                .join(visited, "url", "left_anti")
+                .localCheckpoint())
+        # robots for hosts first seen this round: driver-side, one
+        # fetch per NEW host ever (the collect is host-cardinality
+        # metadata, not page data)
+        if cfg.obey_robots and not cfg.same_host_only:
+            hs = (cand.select(
+                F.parse_url(F.col("url"), F.lit("HOST")).alias("h"),
+                F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("s"))
+                .distinct().collect())
+            _learn_robots(sorted((r["h"], r["s"]) for r in hs))
         allow_udf = F.udf(allowed, "boolean")
-        nxt = (fetched.select(F.explode("links").alias("url"))
-               .distinct()
-               .filter(allow_udf("url"))
-               .join(visited, "url", "left_anti")
-               .withColumn("depth", F.lit(depth))
-               .localCheckpoint())
-        visited = visited.unionByName(nxt.select("url")) \
+        nxt = cand.filter(allow_udf("url")).localCheckpoint()
+        # every CANDIDATE is marked visited, allowed or not — robots
+        # rules are fetched once, so a disallowed url stays disallowed
+        # and re-examining it every round is pure waste
+        visited = visited.unionByName(cand.select("url")) \
             .localCheckpoint()
-        frontier = nxt
+        frontier = (nxt if deferred is None
+                    else deferred.unionByName(nxt))
     if pages is None:
         return spark.createDataFrame([], PAGES_SCHEMA)
     return pages

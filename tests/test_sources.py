@@ -435,6 +435,59 @@ class TestSpider:
                              "http://ex.com/deep1"}
         assert _urls_scores(spark, idx, "secret") == []
 
+    def test_crawl_per_host_cap_defers_not_drops(self, spark):
+        """The politeness bound spreads a host's frontier over rounds;
+        the final page set must equal the uncapped crawl's (regression:
+        capped-out urls were dropped while already marked visited, so
+        they could never re-enqueue — silent document loss)."""
+        want = {r["url"] for r in
+                crawl(spark, ["http://ex.com/"], DictFetcher(WEB),
+                      SpiderConfig(max_depth=3)).collect()}
+        got = {r["url"] for r in
+               crawl(spark, ["http://ex.com/"], DictFetcher(WEB),
+                     SpiderConfig(max_depth=3,
+                                  max_per_host_per_round=2)).collect()}
+        assert got == want
+        assert "http://ex.com/deep2" in got  # depth 3 still reached
+
+    def test_crawl_robots_on_discovered_hosts(self, spark):
+        """With same_host_only=False, robots.txt of a host discovered
+        mid-crawl must be fetched and honored — not silently skipped
+        because only seed hosts were probed up front."""
+        web = dict(WEB)
+        web["http://other.com/robots.txt"] = (
+            "text/plain", b"User-agent: *\nDisallow: /c\n")
+        web["http://other.com/ok"] = b"<html><body>okpage</body></html>"
+        web["http://ex.com/"] = (
+            b"<html><body>home"
+            b"<a href='http://other.com/c'>blocked</a>"
+            b"<a href='http://other.com/ok'>fine</a></body></html>")
+        got = {r["url"] for r in
+               crawl(spark, ["http://ex.com/"], DictFetcher(web),
+                     SpiderConfig(max_depth=2, same_host_only=False)
+                     ).collect()}
+        assert "http://other.com/ok" in got
+        assert "http://other.com/c" not in got
+
+    def test_crawl_robots_fetched_with_seed_scheme(self, spark):
+        """An https-only host's robots.txt must be fetched over https;
+        a forced-http probe would 404 and silently void the rules."""
+        web = {
+            "https://sec.com/robots.txt": (
+                "text/plain", b"User-agent: *\nDisallow: /private\n"),
+            "https://sec.com/":
+                b"<html><body>shome"
+                b"<a href='/private/x'>p</a>"
+                b"<a href='/pub'>ok</a></body></html>",
+            "https://sec.com/private/x":
+                b"<html><body>sec</body></html>",
+            "https://sec.com/pub": b"<html><body>pub</body></html>",
+        }
+        got = {r["url"] for r in
+               crawl(spark, ["https://sec.com/"], DictFetcher(web),
+                     SpiderConfig(max_depth=2)).collect()}
+        assert got == {"https://sec.com/", "https://sec.com/pub"}
+
     def test_file_fetcher(self, tmp_path):
         root = tmp_path / "web"
         os.makedirs(root / "sub")
@@ -445,3 +498,19 @@ class TestSpider:
         assert f("http://any/sub/p.html").body == b"<p>leaf</p>"
         assert f("http://any/missing.html").status == 404
         assert f("http://any/../etc/passwd").status in (403, 404)
+
+    def test_file_fetcher_containment(self, tmp_path, monkeypatch):
+        """Prefix-sibling escape (root 'web' must not serve 'web2')
+        and relative-root operation."""
+        root = tmp_path / "web"
+        sibling = tmp_path / "web2"
+        os.makedirs(root)
+        os.makedirs(sibling)
+        (root / "index.html").write_bytes(b"<p>in</p>")
+        (sibling / "secret.txt").write_bytes(b"leak")
+        f = FileFetcher(str(root))
+        assert f("http://h/../web2/secret.txt").status == 403
+        monkeypatch.chdir(tmp_path)
+        rel = FileFetcher("web")
+        assert rel("http://h/").body == b"<p>in</p>"
+        assert rel("http://h/../web2/secret.txt").status == 403
