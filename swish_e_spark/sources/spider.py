@@ -40,6 +40,13 @@ from urllib.parse import urldefrag, urljoin, urlsplit
 PAGES_SCHEMA = ("url string, depth int, status int, "
                 "content_type string, html binary")
 
+# JVM-side netloc/path extraction that matches urlsplit(): netloc is
+# everything between :// and the first /?# (KEEPING userinfo and port —
+# Spark's parse_url(..,'HOST') drops the port, so a robots map keyed by
+# urlsplit netloc would never match it), path is the rest up to ?#.
+_NETLOC_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
 
 @dataclass
 class FetchResult:
@@ -289,7 +296,7 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
             from pyspark.sql import Window
 
             w = Window.partitionBy(
-                F.parse_url(F.col("url"), F.lit("HOST"))) \
+                F.regexp_extract("url", _NETLOC_RE, 1)) \
                 .orderBy("depth", "url")
             ranked = (frontier
                       .withColumn("_rn", F.row_number().over(w))
@@ -323,17 +330,41 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
                 .filter(F.col("depth") <= cfg.max_depth)
                 .join(visited, "url", "left_anti")
                 .localCheckpoint())
+        cand = (cand
+                .withColumn("_host",
+                            F.regexp_extract("url", _NETLOC_RE, 1))
+                .withColumn("_path", F.coalesce(
+                    F.nullif(F.regexp_extract("url", _PATH_RE, 1),
+                             F.lit("")), F.lit("/"))))
         # robots for hosts first seen this round: driver-side, one
         # fetch per NEW host ever (the collect is host-cardinality
         # metadata, not page data)
         if cfg.obey_robots and not cfg.same_host_only:
             hs = (cand.select(
-                F.parse_url(F.col("url"), F.lit("HOST")).alias("h"),
+                F.col("_host").alias("h"),
                 F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("s"))
                 .distinct().collect())
             _learn_robots(sorted((r["h"], r["s"]) for r in hs))
-        allow_udf = F.udf(allowed, "boolean")
-        nxt = cand.filter(allow_udf("url")).localCheckpoint()
+        # policy filter stays JVM-side: a per-row Python UDF here is
+        # the crawl's hot path at scale. Host policy is an isin on the
+        # (small) allowed set; robots is a broadcast join of the
+        # host→Disallow-prefixes map with a vectorized prefix test.
+        nxt = cand
+        if cfg.same_host_only:
+            nxt = nxt.filter(F.col("_host").isin(sorted(allowed_hosts)))
+        rob_rows = [(h, ps) for h, ps in sorted(robots.items()) if ps]
+        if cfg.obey_robots and rob_rows:
+            rob_df = spark.createDataFrame(
+                rob_rows, "host string, prefixes array<string>")
+            nxt = (nxt.join(F.broadcast(rob_df),
+                            nxt["_host"] == rob_df["host"], "left")
+                   .filter(~F.coalesce(
+                       F.exists("prefixes",
+                                lambda pfx:
+                                F.col("_path").startswith(pfx)),
+                       F.lit(False)))
+                   .drop("host", "prefixes"))
+        nxt = nxt.drop("_host", "_path").localCheckpoint()
         # every CANDIDATE is marked visited, allowed or not — robots
         # rules are fetched once, so a disallowed url stays disallowed
         # and re-examining it every round is pure waste
