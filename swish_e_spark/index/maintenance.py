@@ -528,13 +528,25 @@ def _adopt_new_removed(index_dir, meta, before: list[str]) -> None:
 def remove_documents(spark, index_dir: str, urls: list[str]):
     """Tombstone docs by url (-r; deleted-doc filter
     /root/reference/src/search.c:1789). Returns number removed."""
+    return remove_documents_df(
+        spark, index_dir,
+        spark.createDataFrame([(u,) for u in urls], "url string"))
+
+
+def remove_documents_df(spark, index_dir: str, urls_df):
+    """DataFrame-native -r: tombstone every live doc whose url appears
+    in ``urls_df`` (column ``url``). The list variant wraps this; prog
+    streams route their 'remove' records here directly, so an
+    unbounded removal set never collects to the driver or inlines
+    into the plan as an isin literal. Returns number removed."""
     from pyspark.sql import functions as F
 
     handle = IndexHandle(spark, index_dir)
     # live_docs, not docs: an url superseded by update_documents is
     # already tombstoned — matching it again would double-count the
     # removal and write duplicate tombstone rows
-    hit = (handle.live_docs().filter(F.col("url").isin(list(urls)))
+    hit = (handle.live_docs()
+           .join(urls_df.select("url").distinct(), "url", "semi")
            .select("doc_id", "url"))
     n = hit.count()
     if n:

@@ -212,7 +212,8 @@ def apply_prog_stream(spark, paths, index_dir: str):
     exactly like a full prog build would."""
     from pyspark.sql import Window, functions as F
 
-    from ..index.maintenance import remove_documents, update_documents
+    from ..index.maintenance import (remove_documents_df,
+                                     update_documents)
 
     pages = prog_pages_df(spark, paths)
     w = Window.partitionBy("url").orderBy(F.desc("source"),
@@ -220,12 +221,13 @@ def apply_prog_stream(spark, paths, index_dir: str):
     last = (pages.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn").persist())
     try:
-        removed_urls = [r["url"] for r in
-                        last.filter(F.col("update_mode") == "remove")
-                        .select("url").collect()]
-        n_removed = 0
-        if removed_urls:
-            n_removed = remove_documents(spark, index_dir, removed_urls)
+        # removals stay a DataFrame end-to-end: a prog stream can carry
+        # millions of Update-Mode: remove records, and the former
+        # collect-to-list put every url on the driver AND in the plan
+        n_removed = remove_documents_df(
+            spark, index_dir,
+            last.filter(F.col("update_mode") == "remove")
+            .select("url"))
         upserts = (last.filter(F.col("update_mode") != "remove")
                    .select("url", "warc_ts", "html", "text", "lang",
                            "doctype", "no_contents"))
