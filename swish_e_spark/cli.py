@@ -225,7 +225,7 @@ def _run_search(p: Params, spark, out) -> int:
     from .query.executor import SparkQueryEngine
     from .query.multi import search_multi
     from .query.output import format_results, ranked_results
-    from .query.parser import parse_query_info
+    from .query.parser import QueryError, parse_query_info
     from .query.swishrank import spark_swish_search
 
     if not p.index_files:
@@ -273,13 +273,22 @@ def _run_search(p: Params, spark, out) -> int:
                               sort=p.sort or None, begin=begin,
                               structure_mask=mask, limits=limits)
     else:
-        # ignore_total_word_count=False: this index format ALWAYS
-        # stores per-doc word counts (doc_len), so the reference's
-        # "-R 1 on a count-less index" error state cannot arise
-        pairs = spark_swish_search(engines[0], p.query, k=begin + k,
-                                   scheme=p.rank_scheme, scaled=True,
-                                   ignore_total_word_count=False,
-                                   structure_mask=mask, limits=limits)
+        # IgnoreTotalWordCountWhenRanking is recorded in the manifest
+        # at build time (reference default 1): -R 0 ranks without the
+        # word-count normalization and -R 1 refuses, exactly like the
+        # binary ("must be 0 to use IDF ranking", rank.c getrankIDF —
+        # pinned in tests/test_refbin.py). Parquet always stores
+        # doc_len physically; this is a semantics switch, not storage.
+        twc_ignored = bool(getattr(engines[0].handle.cfg,
+                                   "ignore_total_word_count", True))
+        try:
+            pairs = spark_swish_search(
+                engines[0], p.query, k=begin + k,
+                scheme=p.rank_scheme, scaled=True,
+                ignore_total_word_count=twc_ignored,
+                structure_mask=mask, limits=limits)
+        except QueryError as e:
+            raise CliError(str(e)) from None
         hits = [(0, d, s) for d, s in pairs]
         rows = _fetch_prop_rows(engines, hits, props)
         if p.sort:

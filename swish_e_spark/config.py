@@ -161,6 +161,22 @@ def parse_config(text: str, base_dir: str = ".") -> SwishConfig:
     _parse_into(conf, text, base_dir, depth=0)
     # UseStemming/UseSoundex are legacy switches that lose to an
     # explicit FuzzyIndexingMode (the reference warns and overrides)
+    kw = conf.kwargs
+    if kw.get("metanames") is not None:
+        # directives that addMetaEntry() implicitly make their target
+        # a declared MetaName (ExtractPath/ExtractPathDefault
+        # parse_conffile.c:510,527; ImageLinksMetaName :680;
+        # HTMLLinksMetaName parser.c links_meta lookup-or-add) —
+        # order-independent, so resolved after the full parse
+        implied = [m for m, _ in kw.get("extract_path", ())]
+        implied += [m for m, _ in kw.get("extract_path_defaults", ())]
+        if kw.get("images_field"):
+            implied.append(kw["images_field"])
+        if kw.get("index_links"):
+            implied.append(kw.get("links_field", "links"))
+        have = set(kw["metanames"])
+        kw["metanames"] += tuple(m for m in dict.fromkeys(implied)
+                                 if m not in have)
     return conf
 
 
@@ -275,6 +291,77 @@ def _parse_into(conf: SwishConfig, text: str, base_dir: str,
             need(1)
             kw["metanames"] = tuple(kw.get("metanames") or ()) + tuple(
                 w.lower() for w in words)
+        elif dl == "metanamealias":
+            # MetaNameAlias <base> <alias>... — aliases resolve to the
+            # base on BOTH sides; alias-of-alias and redefining an
+            # existing name are refused (parse_conffile.c:571-581)
+            need(2)
+            base = words[0].lower()
+            cur = dict(kw.get("meta_aliases") or ())
+            if base in cur:
+                raise ConfigError(
+                    f"line {lineno}: MetaNameAlias: name {base!r} "
+                    f"must not be an alias")
+            declared = kw.get("metanames")
+            if declared is not None and base not in declared:
+                raise ConfigError(
+                    f"line {lineno}: MetaNameAlias: name {base!r} "
+                    f"not a MetaName")
+            for w in words[1:]:
+                a = w.lower()
+                if a in cur or a == base \
+                        or (declared is not None and a in declared):
+                    raise ConfigError(
+                        f"line {lineno}: MetaNameAlias: name {a!r} is "
+                        f"already a MetaName or MetaNameAlias")
+                cur[a] = base
+            kw["meta_aliases"] = tuple(cur.items())
+        elif dl == "ignoremetatags":
+            # IgnoreMetaTags <name>... — section content dropped, tag
+            # bumps stay (parser.c:994-1006)
+            need(1)
+            kw["ignore_meta_tags"] = tuple(
+                kw.get("ignore_meta_tags") or ()) + tuple(
+                w.lower() for w in words)
+        elif dl == "bumppositioncountercharacters":
+            need(1)
+            kw["bump_pos_chars"] = value
+        elif dl == "truncatedocsize":
+            need(1, exact=True)
+            kw["truncate_doc_size"] = int(words[0])
+        elif dl == "absolutelinks":
+            need(1, exact=True)
+            kw["absolute_links"] = _yesno(d0, words[0])
+        elif dl == "ignoretotalwordcountwhenranking":
+            need(1, exact=True)
+            kw["ignore_total_word_count"] = _yesno(d0, words[0])
+        elif dl == "extractpath":
+            # ExtractPath <metaname> <op> <args...> — one list entry
+            # per directive, walked in order (parse_conffile.c:502-557)
+            need(3)
+            meta = words[0].lower()
+            op = words[1].lower()
+            if op not in ("replace", "remove", "prepend", "append",
+                          "regex"):
+                raise ConfigError(
+                    f"line {lineno}: ExtractPath: bad op {words[1]!r}")
+            if op == "replace" and len(words) != 4:
+                raise ConfigError(
+                    f"line {lineno}: ExtractPath replace needs old new")
+            kw.setdefault("extract_path", ())
+            kw["extract_path"] += ((meta, (op,) + tuple(words[2:])),)
+        elif dl == "extractpathdefault":
+            # ExtractPathDefault <metaname> <default_value> — exactly
+            # two values, redefinition refused (parse_conffile.c:
+            # 520-533)
+            need(2, exact=True)
+            meta = words[0].lower()
+            if meta in dict(kw.get("extract_path_defaults") or ()):
+                raise ConfigError(
+                    f"line {lineno}: ExtractPathDefault already "
+                    f"defined for meta {meta!r}")
+            kw.setdefault("extract_path_defaults", ())
+            kw["extract_path_defaults"] += ((meta, words[1]),)
         elif dl == "metanamesrank":
             # MetaNamesRank <bias> <name>... (parse_conffile.c)
             need(2)
@@ -370,11 +457,24 @@ def _parse_into(conf: SwishConfig, text: str, base_dir: str,
             need(1, exact=True)
             kw["index_comments"] = _yesno(d0, words[0])
         elif dl == "htmllinksmetaname":
+            # HTMLLinksMetaName <name>: href words index under <name>
+            # (sw->links_meta, parser.c:640-652)
             need(1, exact=True)
             kw["index_links"] = True
+            kw["links_field"] = words[0].lower()
+        elif dl == "imagelinksmetaname":
+            # ImageLinksMetaName <name>: <img src> under <name>
+            # (sw->images_meta, parser.c:653-657)
+            need(1, exact=True)
+            kw["images_field"] = words[0].lower()
         elif dl == "indexalttagmetaname":
+            # IndexAltTagMetaName <name|as-text>: alt text under a
+            # metaname, or inline into the open token run
+            # (sw->IndexAltTag/IndexAltTagMeta, parser.c:1800-1817)
             need(1, exact=True)
             kw["index_alt"] = True
+            v = words[0].lower()
+            kw["alt_field"] = None if v == "as-text" else v
         elif dl == "undefinedmetatags":
             need(1, exact=True)
             v = words[0].lower()

@@ -49,6 +49,7 @@ import pandas as pd
 
 from ..codec.postings import pack_posting_list, unpack_posting_list
 from ..textproc.extractor import extract
+from ..textproc.pathparts import merge_path_postings
 from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
 
 DOCS_SCHEMA_COLS = ["doc_id", "url", "title", "doc_len", "size",
@@ -133,6 +134,36 @@ class IndexConfig:
                               # reference evaluates it (fs.c title
                               # check after parse; only knowable
                               # post-parse, unlike path rules)
+    meta_aliases: tuple = ()  # ((alias, base), ...) MetaNameAlias:
+                              # both sides resolve alias -> base
+                              # (getMetaNameByName follows ->alias,
+                              # /root/reference/src/metanames.c:347)
+    ignore_meta_tags: tuple = ()  # IgnoreMetaTags: section content
+                              # dropped, tag bumps stay
+                              # (/root/reference/src/parser.c:994,1171)
+    links_field: str = "links"     # HTMLLinksMetaName target
+    images_field: str | None = None  # ImageLinksMetaName: <img src>
+                              # under this metaname when set
+                              # (/root/reference/src/parser.c:653)
+    alt_field: str | None = "alt"  # IndexAltTagMetaName; None =
+                              # "as-text" (alt joins the open run,
+                              # /root/reference/src/parser.c:1800)
+    absolute_links: bool = False  # AbsoluteLinks: fix up href/src
+                              # against <base> or the doc url; OFF
+                              # indexes them verbatim (parser.c:1845)
+    truncate_doc_size: int | None = None  # TruncateDocSize: byte cap
+                              # on the content handed to the parser
+                              # (/root/reference/src/parse_conffile.c:
+                              # 1223; applied at read, fs.c)
+    extract_path: tuple = ()  # ((metaname, (op, args...)), ...) —
+                              # ExtractPath (textproc/pathparts.py)
+    extract_path_defaults: tuple = ()  # ((metaname, default), ...)
+    bump_pos_chars: str = ""  # BumpPositionCounterCharacters
+    ignore_total_word_count: bool = True  # IgnoreTotalWordCount-
+                              # WhenRanking (reference default yes,
+                              # /root/reference/src/swish.c init) —
+                              # recorded in the manifest; -R 0 reads
+                              # it, -R 1 refuses a yes-index
     rank_biases: tuple = ()   # ((metaname, bias), ...) with bias in
                               # [-10, 10] — metaEntry rank_bias for the
                               # swish-compat rank schemes (MetaNamesRank,
@@ -157,6 +188,14 @@ class IndexConfig:
         elif self.translate_from:
             extra["translate"] = str.maketrans(self.translate_from,
                                                self.translate_to)
+        if self.bump_pos_chars:
+            extra["bump_pos_chars"] = self.bump_pos_chars
+        if self.meta_aliases:
+            # MetaNameAlias reaches the query parser through the
+            # manifest-persisted tokenizer config (field= resolution,
+            # /root/reference/src/metanames.c:347-358)
+            extra["meta_aliases"] = tuple(
+                (str(a), str(b)) for a, b in self.meta_aliases)
         for knob in ("min_word_len", "max_word_len", "max_consec",
                      "max_repeat"):
             val = getattr(self, knob)
@@ -282,6 +321,12 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
             if filter_rules:
                 from ..sources.filters import apply_filters
                 blob, eff_url = apply_filters(url, blob, filter_rules)
+            if cfg.truncate_doc_size is not None:
+                # TruncateDocSize: hard byte cap on what the parser
+                # sees — the reference cuts mid-word and indexes the
+                # partial word (verified: 14-byte cap over
+                # 'aaa bbb ccc ddd…' indexes 'dd')
+                blob = blob[:cfg.truncate_doc_size]
             if nc:
                 # No-Contents: index only the title (HTML) or the url
                 # itself, structure IN_FILE (index_no_content,
@@ -306,13 +351,24 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                     xml_nested_metanames=cfg.xml_nested_metanames,
                     dont_bump_tags=frozenset(cfg.dont_bump_tags),
                     metanames=(None if cfg.metanames is None
-                               else frozenset(cfg.metanames)))
+                               else frozenset(cfg.metanames)),
+                    meta_aliases=dict(cfg.meta_aliases),
+                    ignore_meta_tags=frozenset(cfg.ignore_meta_tags),
+                    links_field=cfg.links_field,
+                    images_field=cfg.images_field,
+                    alt_field=cfg.alt_field,
+                    absolute_links=cfg.absolute_links,
+                    doc_url=eff_url)
             if doc.noindex:
                 continue
             if title_rejects and any(rx.search(doc.title)
                                      for rx in title_rejects):
                 continue  # FileRules title (post-parse, fs.c)
             postings, doc_len = tokenize_doc(doc, tok_cfg)
+            if cfg.extract_path:
+                merge_path_postings(postings, eff_url,
+                                    cfg.extract_path,
+                                    cfg.extract_path_defaults, tok_cfg)
             for key, p in postings.items():
                 slot = acc.get(key)
                 if slot is None:

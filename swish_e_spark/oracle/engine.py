@@ -48,7 +48,10 @@ class OracleIndex:
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
                  dont_bump_tags: frozenset = frozenset(),
-                 metanames: frozenset | None = None):
+                 metanames: frozenset | None = None,
+                 extract_path: tuple = (),
+                 extract_path_defaults: tuple = (),
+                 **extract_opts):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
         self.index_links = index_links
@@ -58,6 +61,12 @@ class OracleIndex:
         self.xml_nested_metanames = xml_nested_metanames
         self.dont_bump_tags = dont_bump_tags
         self.metanames = metanames
+        self.extract_path = extract_path
+        self.extract_path_defaults = extract_path_defaults
+        self.extract_opts = extract_opts  # meta_aliases,
+        # ignore_meta_tags, links_field, images_field, alt_field,
+        # absolute_links — passed straight to extract() so the oracle
+        # shares the directive surface with the Spark engine
         self._staged = []  # (url, html, doctype, props)
         self.docs = {}     # doc_id -> props dict (url, title, doc_len, …)
         self.url_to_id = {}
@@ -84,11 +93,18 @@ class OracleIndex:
                           xml_class_attributes=self.xml_class_attributes,
                           xml_nested_metanames=self.xml_nested_metanames,
                           dont_bump_tags=self.dont_bump_tags,
-                          metanames=self.metanames)
+                          metanames=self.metanames,
+                          doc_url=url, **self.extract_opts)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)
             postings, doc_len = tokenize_doc(doc, self.cfg)
+            if self.extract_path:
+                from ..textproc.pathparts import merge_path_postings
+
+                merge_path_postings(postings, url, self.extract_path,
+                                    self.extract_path_defaults,
+                                    self.cfg)
             self.docs[doc_id] = {
                 "url": url, "title": doc.title, "doc_len": doc_len,
                 "description": doc.description, **props,

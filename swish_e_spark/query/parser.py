@@ -147,6 +147,9 @@ class _Parser:
         self.default_field = default_field
         self.dropped_stopwords = 0
         self.kept_terms = 0
+        self._aliases = dict(cfg.meta_aliases)  # MetaNameAlias: query
+        # field= resolves to the base metaname like the index side
+        # (getMetaNameByName, /root/reference/src/metanames.c:347)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -242,6 +245,7 @@ class _Parser:
         if self.peek() == "=":
             self.next()
             fname = t.lower()
+            fname = self._aliases.get(fname, fname)
             nxt = self.peek()
             if nxt == "(":
                 self.next()

@@ -228,11 +228,41 @@ class _SwishHTMLParser(HTMLParser):
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
                  dont_bump_tags: frozenset = frozenset(),
-                 metanames: frozenset | None = None) -> None:
+                 metanames: frozenset | None = None,
+                 meta_aliases: dict | None = None,
+                 ignore_meta_tags: frozenset = frozenset(),
+                 links_field: str = LINKS_FIELD,
+                 images_field: str | None = None,
+                 alt_field: str | None = ALT_FIELD,
+                 absolute_links: bool = False,
+                 doc_url: str | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
+        self.meta_aliases = meta_aliases or {}  # alias -> base
+                            # (MetaNameAlias; getMetaNameByName follows
+                            # ->alias, /root/reference/src/metanames.c:
+                            # 347-358 — both index and query side)
+        self.ignore_meta_tags = ignore_meta_tags  # IgnoreMetaTags:
+                            # content dropped, tag bumps stay
+                            # (isIgnoreMetaName check BEFORE the
+                            # metaname lookup, parser.c:994-1006;
+                            # checked on the RAW tag, not the alias)
+        self.links_field = links_field    # HTMLLinksMetaName
+        self.images_field = images_field  # ImageLinksMetaName
+        self.alt_field = alt_field        # IndexAltTagMetaName; None =
+                                          # "as-text" (alt joins the
+                                          # open token run)
+        self.absolute_links = absolute_links  # AbsoluteLinks: OFF
+                            # indexes hrefs verbatim — even with a
+                            # <base> tag present (extract_html_links,
+                            # parser.c:1845-1852: xmlBuildURI only
+                            # under sw->AbsoluteLinks)
+        self.doc_url = doc_url  # AbsoluteLinks base fallback when no
+                                # <base> (fprop->real_path analogue)
+        self._ignore_stack: list[str] = []  # open IgnoreMetaTags
+                                            # sections (endtag names)
         self.xml_attributes = xml_attributes
         self.xml_class_attributes = xml_class_attributes
         self.xml_nested_metanames = xml_nested_metanames
@@ -266,8 +296,15 @@ class _SwishHTMLParser(HTMLParser):
         self._buf_bits = 0
         self._buf_field = DEFAULT_FIELD
 
+    def _alias(self, name: str) -> str:
+        """MetaNameAlias resolution: index under the BASE metaname
+        (one level — the reference refuses alias-of-alias,
+        parse_conffile.c:571-581)."""
+        return self.meta_aliases.get(name, name)
+
     def _declared(self, name: str) -> bool:
-        return self.metanames is None or name in self.metanames
+        return self.metanames is None or name in self.metanames \
+            or self._alias(name) in self.metanames
 
     def _bits(self) -> int:
         b = IN_FILE
@@ -405,8 +442,11 @@ class _SwishHTMLParser(HTMLParser):
             self._open_blocks.pop()
 
     def handle_data(self, data: str) -> None:
-        if self._noindex_depth:
-            return
+        if self._noindex_depth or self._ignore_stack:
+            return  # IgnoreMetaTags: text inside the section is
+                    # dropped (including under nested declared
+                    # metanames — verified against the binary); tag
+                    # bumps continue normally via the tag handlers
         if self.xml_mode:
             fld = self._field_now()
             if fld != self._buf_field and "".join(self._buf).strip():
@@ -442,29 +482,38 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
-        field_name = tag
+        if tag in self.ignore_meta_tags:
+            # IgnoreMetaTags section: tags inside keep bumping, text
+            # is dropped until the matching end tag (start_metaTag
+            # ignore push, parser.c:994-1006)
+            self._ignore_stack.append(tag)
+        field_name = self._alias(tag)
         attrs_d = dict(attrs)
         if self.xml_class_attributes and attrs_d.get("class"):
             # <foo class=bar> content indexes under foo.bar
             # (start_XML_ClassAttributes, parser.c:1325-1376)
-            field_name = f"{tag}.{attrs_d['class']}"
+            field_name = self._alias(f"{tag}.{attrs_d['class']}")
         self._xml_stack.append(field_name)
         if self._declared(field_name):
             self._xml_meta_stack.append(field_name)
-        if self.xml_attributes:
+        if self.xml_attributes and not self._ignore_stack:
             # <foo bar="baz"> -> "baz" under metaname foo.bar
             # (index_XML_attributes, parser.c:1413-1472)
             for k, v in attrs:
                 if v and not (self.xml_class_attributes
                               and k == "class"):
-                    self._emit_island(f"{tag}.{k}", v,
+                    self._emit_island(self._alias(f"{tag}.{k}"), v,
                                       IN_FILE | IN_META, 1, 1)
 
     def _xml_end(self, tag: str) -> None:
+        if self._ignore_stack and self._ignore_stack[-1] == tag:
+            self._ignore_stack.pop()
+        rt = self._alias(tag)
         declared_top = bool(self._xml_meta_stack) and self._xml_stack \
             and self._xml_stack[-1] == self._xml_meta_stack[-1] \
-            and (self._xml_stack[-1] == tag
-                 or self._xml_stack[-1].startswith(tag + "."))
+            and (self._xml_stack[-1] in (tag, rt)
+                 or self._xml_stack[-1].startswith((tag + ".",
+                                                    rt + ".")))
         if declared_top:
             # pop of an open meta flushes its content BEFORE the end
             # bump (pop_stack → flush, end_metaTag parser.c:1100-1121)
@@ -476,8 +525,9 @@ class _SwishHTMLParser(HTMLParser):
                 self._pending += 1
             self._flush()
         if self._xml_stack and (
-                self._xml_stack[-1] == tag
-                or self._xml_stack[-1].startswith(tag + ".")):
+                self._xml_stack[-1] in (tag, rt)
+                or self._xml_stack[-1].startswith((tag + ".",
+                                                   rt + "."))):
             popped = self._xml_stack.pop()
             if self._xml_meta_stack \
                     and self._xml_meta_stack[-1] == popped:
@@ -512,10 +562,21 @@ class _SwishHTMLParser(HTMLParser):
             if name == "robots" and "noindex" in content.lower():
                 self.doc.noindex = True  # doc-level abort: always acts
                 return
+            if name and content and name in self.ignore_meta_tags:
+                # IgnoreMetaTags: content dropped, start+end bumps stay
+                # (start_metaTag ignore push + end_metaTag,
+                # parser.c:994-1006; verified: +2, nothing indexed)
+                self._flush()
+                self._pending += 2
+                return
             if name and content:
                 self._flush()
                 bits = self._bits()
-                if self._declared(name):
+                name = self._alias(name)
+                if self._ignore_stack:
+                    # meta inside an ignored section: bumps only
+                    self._pending += 2
+                elif self._declared(name):
                     self._emit_island(name, content, bits | IN_META,
                                       1, 1)
                 else:
@@ -535,22 +596,58 @@ class _SwishHTMLParser(HTMLParser):
             return
         if tag == "a" and self.index_links:
             href = dict(attrs).get("href")
-            if href:
-                if self._base_url:
+            if href and not self._ignore_stack:
+                # href words take positions at the TAG, before the
+                # open token run flushes, with NO extra bumps and NO
+                # META bit (extract_html_links → indexstring directly,
+                # parser.c:1820-1867; verified: link@5-7, run@8+).
+                # AbsoluteLinks OFF indexes the href verbatim — the
+                # <base> fixup only applies when the directive is on.
+                if self.absolute_links:
                     from urllib.parse import urljoin
 
-                    href = urljoin(self._base_url, href)
-                self._emit_island(LINKS_FIELD, href,
-                                  self._bits() | IN_META, 1, 1)
+                    base = self._base_url or self.doc_url
+                    if base:
+                        href = urljoin(base, href)
+                self._emit_island(self.links_field, href,
+                                  self._bits(), 0, 0)
             return
-        if tag == "img" and self.index_alt:
-            alt = dict(attrs).get("alt")
-            if alt:
-                self._emit_island(ALT_FIELD, alt,
-                                  self._bits() | IN_META, 1, 1)
-                self._buf.append(" ")  # img still separates words
-                return
-            self._buf.append(" ")
+        if tag == "img" and (self.index_alt or self.images_field):
+            d = dict(attrs)
+            alt = d.get("alt") if self.index_alt else None
+            if alt and not self._ignore_stack:
+                if self.alt_field is None:
+                    # "as-text": alt joins the open token run with no
+                    # flush and no bumps (index_alt_tab char_hndl path,
+                    # parser.c:1800-1817)
+                    self._buf.append(alt)
+                    self._buf_bits |= self._bits()
+                elif self._declared(self.alt_field):
+                    # named metaname: flush, then the island indexes
+                    # under the field like a declared meta
+                    self._flush()
+                    self._emit_island(self._alias(self.alt_field), alt,
+                                      self._bits() | IN_META, 1, 1)
+                else:
+                    # named but undeclared: undeclared-meta semantics
+                    # (plain text, both bumps before the content)
+                    self._flush()
+                    self._emit_island(DEFAULT_FIELD, alt,
+                                      self._bits(), 2, 0)
+            src = d.get("src") if self.images_field else None
+            if src and not self._ignore_stack:
+                # img src via the same link path as <a href>
+                # (extract_html_links with sw->images_meta,
+                # parser.c:653-657), AFTER the alt handling
+                if self.absolute_links:
+                    from urllib.parse import urljoin
+
+                    base = self._base_url or self.doc_url
+                    if base:
+                        src = urljoin(base, src)
+                self._emit_island(self.images_field, src,
+                                  self._bits(), 0, 0)
+            self._buf.append(" ")  # img still separates words
             return
         if tag == "title":
             self._flush()
@@ -606,12 +703,19 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
-        if self.metanames is not None and tag in self.metanames:
+        if tag in self.ignore_meta_tags:
+            # IgnoreMetaTags element section: bumps continue, text
+            # drops until the matching end tag (parser.c:994-1006)
+            self._ignore_stack.append(tag)
+        elif self.metanames is not None \
+                and (tag in self.metanames
+                     or self._alias(tag) in self.metanames):
             # a DECLARED metaname as an html element scopes its
             # subtree (start_metaTag with a metaEntry): words index
             # under the field with IN_META (verified: <meta3> inside
-            # an html doc → field meta3, struct META|BODY|FILE)
-            self._html_meta_stack.append(tag)
+            # an html doc → field meta3, struct META|BODY|FILE);
+            # aliases resolve to the BASE field
+            self._html_meta_stack.append(self._alias(tag))
         self._open_blocks.append(tag)
 
     def handle_endtag(self, tag) -> None:
@@ -652,7 +756,17 @@ class _SwishHTMLParser(HTMLParser):
             self._close_down_to(tag)  # implied </li> etc. bump first
             self._pending += 1
             return
-        if self._html_meta_stack and self._html_meta_stack[-1] == tag:
+        if self._ignore_stack and self._ignore_stack[-1] == tag:
+            # end of an IgnoreMetaTags section: pop on the FIRST
+            # matching end tag (pop_stack_ifMatch), normal end bump
+            self._ignore_stack.pop()
+            self._close_down_to(tag)
+            if tag not in self.dont_bump_tags:
+                self._pending += 1
+            self._flush()
+            return
+        if self._html_meta_stack \
+                and self._html_meta_stack[-1] == self._alias(tag):
             # declared-meta pop flushes the scoped content BEFORE the
             # end bump (pop_stack → flush, end_metaTag)
             self._flush()
@@ -916,8 +1030,14 @@ def extract_html(html: bytes | str, index_comments: bool = False,
                  xml_class_attributes: bool = False,
                  xml_nested_metanames: bool = False,
                  dont_bump_tags: frozenset = frozenset(),
-                 metanames: frozenset | None = None) -> ExtractedDoc:
-    """Extract an HTML/XML document into ordered field/structure events."""
+                 metanames: frozenset | None = None,
+                 **opts) -> ExtractedDoc:
+    """Extract an HTML/XML document into ordered field/structure events.
+
+    ``opts`` passes through to :class:`_SwishHTMLParser` — the
+    directive-shaped options (``meta_aliases``, ``ignore_meta_tags``,
+    ``links_field``, ``images_field``, ``alt_field``,
+    ``absolute_links``, ``doc_url``)."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
 
     def _mk():
@@ -927,7 +1047,8 @@ def extract_html(html: bytes | str, index_comments: bool = False,
             xml_attributes=xml_attributes,
             xml_class_attributes=xml_class_attributes,
             xml_nested_metanames=xml_nested_metanames,
-            dont_bump_tags=dont_bump_tags, metanames=metanames)
+            dont_bump_tags=dont_bump_tags, metanames=metanames,
+            **opts)
 
     p = _mk()
     ok = False if xml_mode else _fast_feed(p, raw)
@@ -971,7 +1092,8 @@ def extract(content: bytes | str, doctype: str = "html",
             xml_class_attributes: bool = False,
             xml_nested_metanames: bool = False,
             dont_bump_tags: frozenset = frozenset(),
-            metanames: frozenset | None = None) -> ExtractedDoc:
+            metanames: frozenset | None = None,
+            **opts) -> ExtractedDoc:
     if doctype == "txt":
         return extract_txt(content)
     if doctype == "xml":
@@ -981,8 +1103,8 @@ def extract(content: bytes | str, doctype: str = "html",
                             xml_class_attributes=xml_class_attributes,
                             xml_nested_metanames=xml_nested_metanames,
                             dont_bump_tags=dont_bump_tags,
-                            metanames=metanames)
+                            metanames=metanames, **opts)
     return extract_html(content, index_comments=index_comments,
                         index_links=index_links, index_alt=index_alt,
                         dont_bump_tags=dont_bump_tags,
-                        metanames=metanames)
+                        metanames=metanames, **opts)

@@ -132,6 +132,18 @@ class TokenizerConfig:
     max_consec: int = 60   # max consecutive vowels/consonants/digits
     max_repeat: int = 100  # max times one char may repeat
                      # (isokword sanity, /root/reference/src/check.c:56-150)
+    meta_aliases: tuple = ()  # ((alias, base), ...) MetaNameAlias:
+                     # the query parser resolves a field= alias to its
+                     # base exactly like the index side
+                     # (getMetaNameByName follows ->alias,
+                     # /root/reference/src/metanames.c:347-358)
+    bump_pos_chars: str = ""  # BumpPositionCounterCharacters: one
+                     # extra position bump per next_swish_word
+                     # extraction that saw any of these chars in its
+                     # leading separator run or inside the word — at
+                     # most ONE per extraction, applied even when the
+                     # token is later dropped, query side unaffected
+                     # (/root/reference/src/index.c:2444-2492)
 
     def char_checks_ok(self, tok: str) -> bool:
         """NumberChars / Begin/EndCharacters / isokword sanity filters."""
@@ -327,6 +339,51 @@ def split_words(text: str, cfg: TokenizerConfig):
                 yield tok
 
 
+def _split_words_bumps(text: str, cfg: TokenizerConfig):
+    """``split_words`` with BumpPositionCounterCharacters parity
+    (next_swish_word, /root/reference/src/index.c:2444-2492): yields
+    ``(token_or_None, bumps)`` pairs. Each extraction call consumes
+    one [separator-run][wordchar-run]; it owes ONE bump when any bump
+    char appears in either part (bump_flag saturates at 1), applied
+    even when the token is later dropped by length/stopword checks. A
+    trailing separator run gets a final bump-only call (token None).
+    Buzzwords take the addword shortcut before any splitting — no
+    bump (index.c:2598-2625)."""
+    bump = set(cfg.bump_pos_chars)
+    word_re = cfg.word_re()
+    strip_f, strip_l = cfg.ignore_first_chars, cfg.ignore_last_chars
+    for word in _WS_RE.split(text):
+        if not word:
+            continue
+        low = _lat_lower(word)
+        if cfg.buzzwords:
+            sw = low
+            if strip_l:
+                sw = sw.rstrip(strip_l)
+            if strip_f:
+                sw = sw.lstrip(strip_f)
+            if sw in cfg.buzzwords:
+                yield sw, 0
+                continue
+        if cfg.translate is not None:
+            low = low.translate(cfg.translate)
+        i, n = 0, len(low)
+        while i < n:
+            m = word_re.search(low, i)
+            if m is None:
+                # trailing separators: final call, bump check only
+                yield None, int(any(c in bump for c in low[i:]))
+                break
+            b = int(any(c in bump for c in low[i:m.end()]))
+            tok = m.group()
+            if strip_f:
+                tok = tok.lstrip(strip_f)
+            if strip_l:
+                tok = tok.rstrip(strip_l)
+            yield (tok if tok else None), b
+            i = m.end()
+
+
 def tokenize_query_text(text: str, cfg: TokenizerConfig):
     """Tokenize a query word through the same pipeline; stopwords return
     None placeholders so phrase matching can keep positional gaps
@@ -424,18 +481,21 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
     # hot-path eligibility: no dual-emission, no allowlist, no
     # per-token char checks — the inner loop then has no per-token
     # branching beyond length/stopword (build throughput path)
-    plain = (multi_fn is None and not char_checks)
+    bump_mode = bool(cfg.bump_pos_chars)
+    plain = (multi_fn is None and not char_checks and not bump_mode)
     for ev in doc.events:
         pos += ev.bumps  # structural position gaps (never matchable)
         field = ev.field_name
         fan_fields = ev.fields if ev.fields else None
         structure = ev.structure
         low = _lat_lower(ev.text)
-        if custom_split or (buzz and any(b in low for b in buzz)):
+        if bump_mode:
+            toks = None  # dedicated (token, bump) path below
+        elif custom_split or (buzz and any(b in low for b in buzz)):
             toks = split_words(ev.text, cfg)
         else:
             toks = findall(low if trans is None else low.translate(trans))
-        if plain and fan_fields is None:
+        if toks is not None and plain and fan_fields is None:
             fdict = by_field.get(field)
             if fdict is None:
                 fdict = by_field[field] = {}
@@ -472,8 +532,14 @@ def tokenize_doc(doc: ExtractedDoc, cfg: TokenizerConfig):
                     p.positions.append(pos)
                     p.structures.append(structure)
             continue
+        pairs = (_split_words_bumps(ev.text, cfg) if bump_mode
+                 else ((t, 0) for t in toks))
         fdict = None
-        for raw in toks:
+        for raw, bmp in pairs:
+            pos += bmp  # BumpPositionCounterCharacters gap — applies
+            #             even when the token is dropped below
+            if raw is None:
+                continue
             if buzz and raw in buzz:
                 # verbatim buzzword: bypasses every check and stem
                 pos += 1

@@ -284,7 +284,10 @@ def cli_index(spark, doc_tree, tmp_path_factory):
     conf = root / "swish.conf"
     conf.write_text("IndexOnly .html\n"
                     "FileRules filename contains ^temp_\n"
-                    "IgnoreWords the a of\n")
+                    "IgnoreWords the a of\n"
+                    # stored word counts: -R 1 allowed (the reference
+                    # default 1 makes -R 1 refuse, pinned below)
+                    "IgnoreTotalWordCountWhenRanking 0\n")
     idx = str(root / "idx")
     out = io.StringIO()
     rc = main(["-c", str(conf), "-i", doc_tree, "-f", idx, "-v", "1"],
@@ -335,6 +338,27 @@ class TestCli:
         assert ranks == sorted(ranks, reverse=True)
         assert all(1 <= r <= 1000 for r in ranks)
 
+    def test_r1_refused_on_ignore_twc_index(self, spark, doc_tree,
+                                            tmp_path):
+        # an index built WITHOUT IgnoreTotalWordCountWhenRanking 0
+        # (reference default 1) refuses -R 1 like the binary
+        # ("must be 0 to use IDF ranking", rank.c getrankIDF)
+        from swish_e_spark.cli import main
+
+        idx = str(tmp_path / "twc_idx")
+        rc = main(["-i", doc_tree, "-f", idx], spark=spark,
+                  out=io.StringIO())
+        assert rc == 0
+        with pytest.raises(SystemExit):
+            main(["-w", "wolf", "-f", idx, "-R", "1"],
+                 spark=spark, out=io.StringIO())
+        # -R 0 still ranks (without the word-count normalization)
+        out = io.StringIO()
+        rc = main(["-w", "wolf", "-f", idx, "-R", "0", "-H", "0"],
+                  spark=spark, out=out)
+        assert rc == 0
+        assert any(l and l != "." for l in out.getvalue().splitlines())
+
     def test_search_bm25_sort_and_begin(self, spark, cli_index):
         rc, out = self._run(spark, [
             "-w", "wolf", "-f", cli_index, "-R", "2",
@@ -384,7 +408,8 @@ class TestCli:
         conf = root / "swish.conf"
         conf.write_text("IndexOnly .html\n"
                         "FileRules filename contains ^temp_\n"
-                        "IgnoreWords the a of\n")
+                        "IgnoreWords the a of\n"
+                        "IgnoreTotalWordCountWhenRanking 0\n")
         idx2 = str(root / "idx2")
         out = io.StringIO()
         assert main(["-c", str(conf), "-i", doc_tree, "-f", idx2,

@@ -205,10 +205,20 @@ class TestLinksAlt:
         doc = extract(self.HTML, index_links=True, index_alt=True)
         links = [e.text for e in doc.events
                  if e.field_name == LINKS_FIELD]
-        assert links == ["https://ex.com/dir/page.html",
-                         "https://other.org/x"]
+        # AbsoluteLinks defaults OFF: hrefs index VERBATIM even with a
+        # <base> tag (extract_html_links only calls xmlBuildURI under
+        # sw->AbsoluteLinks, /root/reference/src/parser.c:1845-1852)
+        assert links == ["page.html", "https://other.org/x"]
         alts = [e.text for e in doc.events if e.field_name == ALT_FIELD]
         assert alts == ["cute kitten"]
+        # AbsoluteLinks ON resolves against <base> (falling back to
+        # the doc url when absent)
+        fixed = extract(self.HTML, index_links=True, index_alt=True,
+                        absolute_links=True, doc_url="http://me/a.html")
+        flinks = [e.text for e in fixed.events
+                  if e.field_name == LINKS_FIELD]
+        assert flinks == ["https://ex.com/dir/page.html",
+                          "https://other.org/x"]
         # off by default: no link/alt events, body text unchanged
         plain = extract(self.HTML)
         assert not [e for e in plain.events
