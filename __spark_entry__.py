@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_snapshot_diff": engineq.engine_snapshot_diff,
         "engine_merged_bm25": engineq.engine_merged_bm25,
         "engine_multi_index": engineq.engine_multi_index,
+        # r4 (late): user doc properties (PropertyNames family) —
+        # typed docs columns captured from meta tags; -L typed ranges
+        # with IgnoreCase fold; -s fold-sorted
+        "engine_user_props": engineq.engine_user_props,
+        "engine_prop_sort_user": engineq.engine_prop_sort_user,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -409,6 +414,29 @@ select doc_id, 'replaced' as change from documents
 where doc_id % 11 = 0
 order by doc_id""",
         # r4 merge (-M): merged halves carry the SAME global stats as a
+        # r4 (late): user properties — the prop index wraps doc_id <
+        # 2000 with meta tags cat=lang-source (string, IgnoreCase),
+        # nchars=n_chars (numeric), stamp=1000000000+doc_id (date
+        # epoch); -L applies the numeric range AND the case-folded
+        # string range (docprop.c:1139-1200)
+        "engine_user_props": """
+select doc_id,
+       (lang || '-' || source) as prop_cat,
+       n_chars as prop_nchars,
+       (1000000000 + doc_id) as prop_stamp
+from documents
+where doc_id < 2000
+  and n_chars between 200 and 400
+  and lower(lang || '-' || source) between 'a' and 'm'
+order by doc_id""",
+        "engine_prop_sort_user": f"""
+with {toks},
+m as (select distinct doc_id from toks
+      where t = 'hash' and doc_id < 2000)
+select m.doc_id, (d.lang || '-' || d.source) as cat
+from m join documents d using (doc_id)
+order by lower(d.lang || '-' || d.source) asc, m.doc_id asc
+limit 25""",
         # from-scratch build, so the oracle is engine_bm25_topk's SQL
         "engine_merged_bm25": _bm25_sql("'hash','join'", 2),
         # r4 multi-index tape merge: PER-INDEX statistics (each half's

@@ -242,9 +242,32 @@ def _run_search(p: Params, spark, out) -> int:
 
     mask = _structure_mask(p.structure) if p.structure else None
     limits = dict(_typed_limit(*t) for t in p.limits) or None
+    from .query.output import user_props
+    uprops = user_props(engines[0].handle.cfg)
+    if limits:
+        # -L on a user property: resolve the docs column and type the
+        # bounds from the PropSpec (numeric/date need int epochs,
+        # setlimit_params, /root/reference/src/proplimit.c)
+        lm = {}
+        for prop, (lo, hi) in limits.items():
+            if prop in uprops:
+                col, spec = uprops[prop]
+                if spec.kind != "string":
+                    try:
+                        lo, hi = int(lo), int(hi)
+                    except (TypeError, ValueError) as e:
+                        raise CliError(f"-L {prop}: {e}") from None
+                lm[col] = (lo, hi)
+            else:
+                lm[prop] = (lo, hi)
+        limits = lm
     k = (1 << 20) if p.max_hits < 0 else p.max_hits
     begin = max(0, p.begin - 1) if p.begin else 0  # -b is 1-based
-    fmt = p.fmt if p.fmt is not None else '%r %p "%t" %l'
+    # -p appends quoted property values to the default line
+    # (binary: '-p cat' prints '1000 path "title" size "Mango"')
+    fmt = p.fmt if p.fmt is not None else (
+        '%r %p "%t" %l' + "".join(f' "<{pr}>"' for pr in (p.props
+                                                          or [])))
     props = list(dict.fromkeys(
         (p.props or ["url", "title"]) + _fmt_props(fmt)))
 
@@ -292,11 +315,19 @@ def _run_search(p: Params, spark, out) -> int:
         hits = [(0, d, s) for d, s in pairs]
         rows = _fetch_prop_rows(engines, hits, props)
         if p.sort:
+            from .textproc.docprops import sort_key
+
             for prop, direction in reversed(p.sort):
                 key = prop if prop != "swishrank" else "rank"
-                rows.sort(key=lambda r, k2=key: (r.get(k2) is None,
-                                                 r.get(k2)),
-                          reverse=direction.startswith("d"))
+                spec = uprops[prop][1] if prop in uprops else None
+                if spec is not None:
+                    rows.sort(key=lambda r, k2=key, s=spec:
+                              sort_key(s, r.get(k2)),
+                              reverse=direction.startswith("d"))
+                else:
+                    rows.sort(key=lambda r, k2=key: (r.get(k2) is None,
+                                                     r.get(k2)),
+                              reverse=direction.startswith("d"))
         rows = rows[begin:begin + k]
         for n, r in enumerate(rows):
             r["reccount"] = begin + n + 1
@@ -323,9 +354,12 @@ def _fmt_props(fmt: str) -> list[str]:
     for m in _FMT_RE.finditer(fmt.replace("\\n", "\n")):
         tag, prop = m.group(1), m.group(2)
         name = _TAG_MAP.get(tag) if tag else prop
-        # only DOC columns; computed keys (rank/reccount) are already
-        # on every hit row and must not be overwritten by a None fetch
-        if name and _prop_col(name) in set(PROP_COLS):
+        # doc columns AND user properties (resolved later against the
+        # index config); computed keys (rank/reccount) are already on
+        # every hit row and must not be overwritten by a None fetch
+        if name and name not in ("rank", "reccount", "%") \
+                and (tag is None
+                     or _prop_col(name) in set(PROP_COLS)):
             out.append(name)
     return out
 
@@ -356,20 +390,34 @@ def _removed_words(q: str, cfg) -> list[str]:
 
 def _fetch_prop_rows(engines, hits, props) -> list[dict]:
     """doc-id hits → property dicts (one bounded IN-filter scan per
-    index, like api.SwishSparkEngine._fetch_props)."""
-    from .query.output import PROP_COLS, _prop_col
+    index, like api.SwishSparkEngine._fetch_props). User properties
+    (PropertyNames) resolve per-index and land in the row under the
+    REQUESTED name, date values already display-rendered."""
+    from .query.output import PROP_COLS, _prop_col, user_props
+    from .textproc.docprops import display
 
-    wanted = sorted({_prop_col(pr) for pr in props}
-                    & set(PROP_COLS) | {"url", "title"})
+    base_wanted = sorted({_prop_col(pr) for pr in props}
+                         & set(PROP_COLS) | {"url", "title"})
     by_engine: dict = {}
     for i, d, _s in hits:
         by_engine.setdefault(i, []).append(int(d))
     lookup: dict = {}
     for i, ids in by_engine.items():
+        u = user_props(engines[i].handle.cfg)
+        upicks = {pr: u[pr] for pr in props if pr in u}
+        wanted = sorted(set(base_wanted)
+                        | {c for c, _ in upicks.values()})
         docs = engines[i].handle.docs()
         for r in (docs.filter(docs.doc_id.isin(ids))
                   .select("doc_id", *wanted).collect()):
-            lookup[(i, r["doc_id"])] = {c: r[c] for c in wanted}
+            row = {c: r[c] for c in base_wanted}
+            for pr, (col, spec) in upicks.items():
+                v = r[col]
+                # dates render as the reference's display string (ISO
+                # order-preserving); ints stay raw so -s sorts numeric
+                row[pr] = (display(spec, v) if spec.kind == "date"
+                           else v) if v is not None else None
+            lookup[(i, r["doc_id"])] = row
     rows = []
     for n, (i, d, s) in enumerate(hits):
         row = {"doc_id": d, "rank": s, "reccount": n + 1,

@@ -89,6 +89,35 @@ class SwishConfig:
         return IndexConfig(**kw)
 
 
+def _prop_find(kw, name: str):
+    """Declared PropSpec by name from kw['properties'], or None."""
+    from .textproc.docprops import spec_of
+
+    for t in kw.get("properties") or ():
+        s = spec_of(t)
+        if s.name == name:
+            return s
+    return None
+
+
+def _prop_upsert(kw, name: str, **changes) -> None:
+    """Create or update one property spec in kw['properties']."""
+    from dataclasses import replace
+
+    from .textproc.docprops import PropSpec, spec_of
+
+    out, found = [], False
+    for t in kw.get("properties") or ():
+        s = spec_of(t)
+        if s.name == name:
+            s = replace(s, **changes)
+            found = True
+        out.append(s.to_tuple())
+    if not found:
+        out.append(PropSpec(name, **changes).to_tuple())
+    kw["properties"] = tuple(out)
+
+
 def _words(value: str) -> list[str]:
     """Reference value tokenization: whitespace-split with
     double-quoted strings kept whole (build_string_list,
@@ -371,18 +400,96 @@ def _parse_into(conf: SwishConfig, text: str, base_dir: str,
                                        for w in words[1:])
         elif dl in ("propertynames", "propertynamesnumeric",
                     "propertynamesdate"):
-            # engine properties live in the docs table; names recorded
-            # for the result surface
+            # user doc properties: typed docs-table columns
+            # (parse_conffile.c:709-880 — redefinition refused)
             need(1)
+            kind = {"propertynames": "string",
+                    "propertynamesnumeric": "int",
+                    "propertynamesdate": "date"}[dl]
+            for w in words:
+                nm = w.lower()
+                if _prop_find(kw, nm) is not None:
+                    raise ConfigError(
+                        f"line {lineno}: {d0} - name {nm!r} is "
+                        f"already a PropertyName")
+                _prop_upsert(kw, nm, kind=kind)
             conf.header.setdefault("property_names", []).extend(
                 w.lower() for w in words)
+        elif dl in ("propertynamesignorecase",
+                    "propertynamescomparecase",
+                    "propertynamesusestrcoll",
+                    "propertynamesnostripchars",
+                    "propertynamesstripchars"):
+            # string-prop flags; auto-create if unseen
+            # (parse_conffile.c:726-850)
+            need(1)
+            flag = {"propertynamesignorecase": ("ignore_case", True),
+                    "propertynamescomparecase": ("ignore_case", False),
+                    "propertynamesusestrcoll": ("use_strcoll", True),
+                    "propertynamesnostripchars": ("nostrip", True),
+                    "propertynamesstripchars": ("nostrip", False)}[dl]
+            for w in words:
+                nm = w.lower()
+                sp = _prop_find(kw, nm)
+                if sp is not None and sp.kind != "string":
+                    raise ConfigError(
+                        f"line {lineno}: {d0} - name {nm!r} is not a "
+                        f"STRING type of Property")
+                _prop_upsert(kw, nm, **{flag[0]: flag[1]})
+        elif dl in ("propertynamesmaxlength",
+                    "propertynamessortkeylength"):
+            # <length> <name>... (parse_conffile.c:931-1006)
+            need(2)
+            length = int(words[0])
+            attr = ("max_len" if dl == "propertynamesmaxlength"
+                    else "sort_len")
+            for w in words[1:]:
+                nm = w.lower()
+                sp = _prop_find(kw, nm)
+                if sp is not None and sp.kind != "string":
+                    raise ConfigError(
+                        f"line {lineno}: {d0} - name {nm!r} is not a "
+                        f"STRING type of Property")
+                _prop_upsert(kw, nm, **{attr: length})
+        elif dl == "propertynamealias":
+            # <base> <alias>... — base must exist and not be an alias
+            # (parse_conffile.c:887-918)
+            need(2)
+            base = words[0].lower()
+            cur = dict(kw.get("prop_aliases") or ())
+            if _prop_find(kw, base) is None or base in cur:
+                raise ConfigError(
+                    f"line {lineno}: PropertyNameAlias - name "
+                    f"{base!r} not a PropertyName")
+            for w in words[1:]:
+                a = w.lower()
+                if a in cur or _prop_find(kw, a) is not None:
+                    raise ConfigError(
+                        f"line {lineno}: PropertyNameAlias - name "
+                        f"{a!r} is already a PropertyName or "
+                        f"PropertyNameAlias")
+                cur[a] = base
+            kw["prop_aliases"] = tuple(cur.items())
         elif dl in ("dontbumppositiononmetatags",
                     "dontbumppositiononstarttags",
                     "dontbumppositiononendtags"):
             need(1)
             kw.setdefault("dont_bump_tags", ())
             kw["dont_bump_tags"] += tuple(w.lower() for w in words)
-        elif dl == "ignorewords":
+        elif dl == "swishprogparameters":
+            # arguments handed to the -S prog program (grabCmdOptions,
+            # /root/reference/src/extprog.c:100)
+            need(1)
+            conf.header.setdefault("prog_parameters", []).extend(words)
+        elif dl in ("delay", "maxdepth", "spiderdirectory",
+                    "equivalentserver"):
+            # -S http spider knobs (/root/reference/src/http.c);
+            # consumed by sources/spider.py policy
+            need(1)
+            conf.header.setdefault("spider", {})[dl] = (
+                int(words[0]) if dl in ("delay", "maxdepth")
+                else value)
+        elif dl in ("ignorewords", "stopwords"):
             need(1)
             if len(words) == 1 and words[0].lower() == "swishdefault":
                 pass  # the engine default list IS SwishDefault

@@ -59,6 +59,20 @@ DOCS_SCHEMA = ("doc_id long, url string, title string, doc_len long, "
                "size long, warc_ts timestamp, description string, "
                "lang string")
 
+
+def docs_schema(cfg) -> str:
+    """Docs-table read/write schema: the fixed built-in columns plus
+    one typed column per declared user property (PropertyNames —
+    string properties as string, numeric/date as long epoch). Real
+    columns, not a map: parquet min/max pushdown then prunes -L
+    property-range scans at the row-group level."""
+    from ..textproc.docprops import specs_of
+
+    specs = specs_of(getattr(cfg, "properties", ()))
+    extra = "".join(f", `{s.column}` {s.spark_type}"
+                    for s in specs.values())
+    return DOCS_SCHEMA + extra
+
 TERMS_SCHEMA = "term_bucket int, term string, field string, df long, cf long"
 
 CHUNK_SCHEMA = (
@@ -70,11 +84,14 @@ CHUNK_SCHEMA = (
 )
 
 # one staged union row type: kind=0 doc rows, kind=1 locally-packed
-# chunk rows (doc ids local to the partition; rebased at merge)
+# chunk rows (doc ids local to the partition; rebased at merge).
+# User properties travel as ONE static json column (props_json) so the
+# staged schema stays config-independent; the final docs write explodes
+# it into typed per-property columns (docs_schema).
 STAGED_SCHEMA = (
     "kind int, pid int, local_idx long, url string, title string, "
     "doc_len long, size long, warc_ts timestamp, description string, "
-    "lang string, " + CHUNK_SCHEMA
+    "lang string, props_json string, " + CHUNK_SCHEMA
 )
 
 
@@ -158,6 +175,11 @@ class IndexConfig:
     extract_path: tuple = ()  # ((metaname, (op, args...)), ...) —
                               # ExtractPath (textproc/pathparts.py)
     extract_path_defaults: tuple = ()  # ((metaname, default), ...)
+    properties: tuple = ()    # user doc properties (PropertyNames
+                              # family): PropSpec tuples
+                              # (textproc/docprops.py) — typed docs
+                              # columns prop_<name>
+    prop_aliases: tuple = ()  # ((alias, base), ...) PropertyNameAlias
     bump_pos_chars: str = ""  # BumpPositionCounterCharacters
     ignore_total_word_count: bool = True  # IgnoreTotalWordCount-
                               # WhenRanking (reference default yes,
@@ -241,7 +263,7 @@ _CHUNK_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
                for c in CHUNK_SCHEMA.split(", ")]
 _STAGED_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
                 for c in STAGED_SCHEMA.split(", ")]
-_N_DOC_COLS = 10  # kind..lang prefix of STAGED_SCHEMA
+_N_DOC_COLS = 11  # kind..props_json prefix of STAGED_SCHEMA
 
 
 def _extract_pack_iter(batches, cfg: IndexConfig):
@@ -301,6 +323,10 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
         from ..sources.filters import compile_rules
         filter_rules = compile_rules(cfg.file_filters)
     title_rejects = [re.compile(rx) for rx in cfg.title_reject_rules]
+    from ..textproc.docprops import finalize_all, specs_of
+    prop_specs = specs_of(cfg.properties)
+    prop_names = frozenset(prop_specs)
+    prop_alias_map = dict(cfg.prop_aliases)
     for pdf in batches:
         # optional per-page doctype override (prog Document-Type
         # header, sources/progfile.py; extprog.c:400-412) — absent or
@@ -358,7 +384,9 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                     images_field=cfg.images_field,
                     alt_field=cfg.alt_field,
                     absolute_links=cfg.absolute_links,
-                    doc_url=eff_url)
+                    doc_url=eff_url,
+                    properties=prop_names,
+                    prop_aliases=prop_alias_map)
             if doc.noindex:
                 continue
             if title_rejects and any(rx.search(doc.title)
@@ -378,10 +406,15 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                 slot[2].extend(p.positions)
                 slot[3].extend(p.structures)
                 slot[4].append(doc_len)
+            pj = None
+            if prop_specs:
+                vals = finalize_all(doc.prop_chunks, prop_specs)
+                if vals:
+                    pj = json.dumps(vals, separators=(",", ":"))
             for c, v in zip(doc_col_names,
                             (0, pid, local_idx, url, doc.title, doc_len,
                              source_size, warc_ts, doc.description,
-                             lang)):
+                             lang, pj)):
                 dcols[c].append(v)
             local_idx += 1
             since_flush += 1
@@ -799,11 +832,24 @@ def _build_shard(spark, shard_df, out_dir, cfg: IndexConfig,
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, doc_base)],
         "pid int, base long")
 
-    # docs table
+    # docs table (+ typed user-property columns exploded from the
+    # staged props_json — real columns give parquet min/max pushdown
+    # for -L property ranges)
     docs = (staged.filter(F.col("kind") == 0)
             .join(F.broadcast(offs_df), "pid")
-            .withColumn("doc_id", F.col("base") + F.col("local_idx"))
-            .select(*DOCS_SCHEMA_COLS))
+            .withColumn("doc_id", F.col("base") + F.col("local_idx")))
+    prop_cols = []
+    if cfg.properties:
+        from ..textproc.docprops import specs_of
+
+        specs = list(specs_of(cfg.properties).values())
+        struct = ", ".join(f"`{s.column}` {s.spark_type}"
+                           for s in specs)
+        docs = docs.withColumn(
+            "_pj", F.from_json("props_json", f"struct<{struct}>"))
+        prop_cols = [F.col(f"_pj.{s.column}").alias(s.column)
+                     for s in specs]
+    docs = docs.select(*DOCS_SCHEMA_COLS, *prop_cols)
     docs_tmp = os.path.join(out_dir, f"_tmp_docs_{shard_id}")
 
     # chunk rows: rebase ranges JVM-side, salted merge shuffle, rebase
@@ -987,8 +1033,9 @@ class IndexHandle:
 
     def docs(self):
         # explicit schemas throughout: empty shards write no data files
-        # and schema inference would fail on a 0-doc index
-        return self._read_listed("docs", DOCS_SCHEMA)
+        # and schema inference would fail on a 0-doc index; the schema
+        # includes any user-property columns declared at build time
+        return self._read_listed("docs", docs_schema(self.cfg))
 
     def removed(self):
         """Tombstoned doc_ids (index/maintenance.py) or None."""

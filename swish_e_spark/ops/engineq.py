@@ -554,3 +554,89 @@ def engine_multi_index(spark, sf_dir, q="dup"):
         data or [(None, None, None)],
         "engine_idx int, doc_id long, score double") \
         .where("doc_id is not null").orderBy("doc_id")
+
+
+# round 4 (late): user document properties (PropertyNames family —
+# typed docs-table columns captured from meta tags, parse_conffile.c
+# PropertyNames*/PropertyNameAlias, value pipeline docprop.c).
+
+
+def _prop_index_for(spark, sf_dir):
+    """Small index (doc_id < 2000) whose HTML wrapper derives three
+    user properties deterministically from the documents table:
+    ``cat`` (string) = lang||'-'||source, ``nchars`` (numeric) =
+    n_chars, ``stamp`` (date epoch) = 1000000000 + doc_id — so the
+    DuckDB oracle can re-derive every stored value relationally."""
+    from pyspark.sql import functions as F
+
+    from ..index.builder import IndexConfig, IndexHandle, build_index
+    from ..textproc.docprops import PropSpec
+
+    key = ("props", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 2000))
+    html = F.concat(
+        F.lit('<html><head><meta name="cat" content="'),
+        F.col("lang"), F.lit("-"), F.col("source"),
+        F.lit('"><meta name="nchars" content="'), F.col("n_chars"),
+        F.lit('"><meta name="stamp" content="'),
+        (F.lit(1000000000) + F.col("doc_id")).cast("string"),
+        F.lit('"></head><body>'), F.col("text"),
+        F.lit("</body></html>"))
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    out = tempfile.mkdtemp(prefix="swish_entry_props_")
+    cfg = IndexConfig(
+        n_buckets=8, stopwords=(),
+        properties=(PropSpec("cat").to_tuple(),
+                    PropSpec("nchars", kind="int").to_tuple(),
+                    PropSpec("stamp", kind="date").to_tuple()))
+    build_index(spark, pages, out, cfg, n_shards=1)
+    handle = IndexHandle(spark, out)
+    _CACHE[key] = handle
+    return handle
+
+
+def engine_user_props(spark, sf_dir, lo=200, hi=400):
+    """User-property storage + -L range semantics: docs passing BOTH a
+    numeric range (nchars between lo..hi — parquet min/max prunable
+    typed column) and a case-folded string range (cat between 'a'..'m'
+    — META_IGNORE_CASE strncasecmp, docprop.c:1168-1177), returning
+    the stored typed values for a full value-hash compare."""
+    from pyspark.sql import functions as F
+
+    from ..query.proplimit import limits_cond
+
+    handle = _prop_index_for(spark, sf_dir)
+    docs = handle.docs()
+    cond = limits_cond({"prop_nchars": (lo, hi),
+                        "prop_cat": ("a", "m")}, handle.cfg)
+    return (docs.filter(cond)
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    "prop_cat", "prop_nchars", "prop_stamp")
+            .orderBy("doc_id"))
+
+
+def engine_prop_sort_user(spark, sf_dir, q="hash", k=25):
+    """-s on a user STRING property with IgnoreCase semantics (default
+    PropertyNames flag): ranked matches ordered by ASCII-case-folded
+    cat, doc_id tiebreak — binary-pinned fold (apple < Mango < ZEBRA).
+    Returns (doc_id, cat) pairs for a value compare."""
+    from pyspark.sql import functions as F
+
+    from ..query.executor import SparkQueryEngine
+    from ..query.output import ranked_results
+
+    handle = _prop_index_for(spark, sf_dir)
+    eng = SparkQueryEngine(spark, handle)
+    rows = ranked_results(eng, q, k=k, props=["url", "cat"],
+                          sort=[("cat", "asc")])
+    data = [(int(r["url"]), r["cat"]) for r in rows]
+    return spark.createDataFrame(
+        data or [(None, None)], "doc_id long, cat string") \
+        .where("doc_id is not null")

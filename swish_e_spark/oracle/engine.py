@@ -51,6 +51,8 @@ class OracleIndex:
                  metanames: frozenset | None = None,
                  extract_path: tuple = (),
                  extract_path_defaults: tuple = (),
+                 properties: tuple = (),
+                 prop_aliases: tuple = (),
                  **extract_opts):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
@@ -63,6 +65,11 @@ class OracleIndex:
         self.metanames = metanames
         self.extract_path = extract_path
         self.extract_path_defaults = extract_path_defaults
+        from ..textproc.docprops import specs_of
+
+        self.properties = tuple(properties)  # PropSpec tuples
+        self._prop_specs = specs_of(self.properties)
+        self._prop_aliases = dict(prop_aliases)
         self.extract_opts = extract_opts  # meta_aliases,
         # ignore_meta_tags, links_field, images_field, alt_field,
         # absolute_links — passed straight to extract() so the oracle
@@ -94,7 +101,10 @@ class OracleIndex:
                           xml_nested_metanames=self.xml_nested_metanames,
                           dont_bump_tags=self.dont_bump_tags,
                           metanames=self.metanames,
-                          doc_url=url, **self.extract_opts)
+                          doc_url=url,
+                          properties=frozenset(self._prop_specs),
+                          prop_aliases=self._prop_aliases,
+                          **self.extract_opts)
             if doc.noindex:
                 continue
             doc_id = len(self.docs)
@@ -109,6 +119,11 @@ class OracleIndex:
                 "url": url, "title": doc.title, "doc_len": doc_len,
                 "description": doc.description, **props,
             }
+            if self._prop_specs:
+                from ..textproc.docprops import finalize_all
+
+                self.docs[doc_id].update(
+                    finalize_all(doc.prop_chunks, self._prop_specs))
             self.url_to_id[url] = doc_id
             for (field, term), p in postings.items():
                 slot = self.postings.setdefault((field, term), {})
@@ -296,12 +311,12 @@ class OracleIndex:
         node = parse_query(q, self.cfg)
         results = self._eval(node, structure_mask)
         if limits:
-            from ..query.proplimit import limit_value_ok
+            from ..query.proplimit import limits_value_ok
 
             results = {
                 d: v for d, v in results.items()
-                if all(limit_value_ok(p, self.docs[d].get(p), lo, hi)
-                       for p, (lo, hi) in limits.items())
+                if limits_value_ok(self.docs[d], limits,
+                                   self.properties)
             }
         ranked = sorted(results.items(), key=lambda kv: (-kv[1][0], kv[0]))
         return [(d, sc) for d, (sc, _) in ranked[:k]]

@@ -46,7 +46,7 @@ import pandas as pd
 from ..codec.postings import B, K1
 from ..index.builder import IndexHandle, term_bucket
 from ..oracle.engine import bm25_idf
-from .proplimit import limit_cond
+from .proplimit import limits_cond
 from .parser import (
     And, AndNot, Near, Not, Or, Pattern, Phrase, Prefix, Term,
     parse_query,
@@ -1318,12 +1318,9 @@ class SparkQueryEngine:
         result = self._eval(node, decoded, df_by_leaf, stats)
         if limits:
             docs = self.handle.live_docs()
-            lcond = None
-            for prop, (lo2, hi2) in limits.items():
-                c = limit_cond(prop, lo2, hi2)
-                lcond = c if lcond is None else lcond & c
             result = result.join(
-                docs.filter(lcond).select("doc_id"),
+                docs.filter(limits_cond(limits, self.handle.cfg))
+                .select("doc_id"),
                 "doc_id", "left_semi")
         return result
 
@@ -1509,12 +1506,9 @@ class SparkQueryEngine:
             result = self._eval(node, decoded, dfs, stats)
             if limits:
                 docs = self.handle.live_docs()
-                cond = None
-                for prop, (lo, hi) in limits.items():
-                    c = limit_cond(prop, lo, hi)
-                    cond = c if cond is None else cond & c
-                result = result.join(docs.filter(cond).select("doc_id"),
-                                     "doc_id", "left_semi")
+                result = result.join(
+                    docs.filter(limits_cond(limits, self.handle.cfg))
+                    .select("doc_id"), "doc_id", "left_semi")
             out = (result.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(k))
@@ -1575,12 +1569,9 @@ class SparkQueryEngine:
             result = self._eval(node, decoded, dfs, stats)
             if limits:
                 docs = self.handle.live_docs()
-                cond = None
-                for prop, (lo, hi) in limits.items():
-                    c = limit_cond(prop, lo, hi)
-                    cond = c if cond is None else cond & c
-                result = result.join(docs.filter(cond).select("doc_id"),
-                                     "doc_id", "left_semi")
+                result = result.join(
+                    docs.filter(limits_cond(limits, self.handle.cfg))
+                    .select("doc_id"), "doc_id", "left_semi")
             result = result.select("doc_id", "score")
             return result if single else result.localCheckpoint()
         finally:

@@ -64,17 +64,29 @@ def ranked_results(engine, q: str, k: int = 10, props=None,
         result = engine.match_df(q, structure_mask, limits)
 
     docs = engine.handle.docs()
+    user = user_props(engine.handle.cfg)  # name/alias -> (col, spec)
     needed = sorted({c for c in props if c in set(PROP_COLS)}
+                    | {user[p][0] for p in props if p in user}
                     | {_prop_col(p) for p, _ in sort
-                       if _prop_col(p) in set(PROP_COLS)})
+                       if _prop_col(p) in set(PROP_COLS)}
+                    | {user[p][0] for p, _ in sort if p in user})
     joined = result.join(
         F.broadcast(docs.select("doc_id", *needed)) if needed
         else docs.select("doc_id"), "doc_id", "left")
 
     order = []
     for prop, direction in sort:
-        col = F.col("score") if prop == "swishrank" \
-            else F.col(_prop_col(prop))
+        if prop == "swishrank":
+            col = F.col("score")
+        elif prop in user:
+            # IgnoreCase/CompareCase/SortKeyLength sort semantics
+            # (Compare_Properties, docprop.c:1139-1200)
+            from ..textproc.docprops import sort_col
+
+            pcol, spec = user[prop]
+            col = sort_col(spec, F.col(pcol))
+        else:
+            col = F.col(_prop_col(prop))
         order.append(col.desc() if direction.lower().startswith("d")
                      else col.asc())
     order.append(F.col("doc_id").asc())  # total order under ties
@@ -85,8 +97,35 @@ def ranked_results(engine, q: str, k: int = 10, props=None,
         d = {"doc_id": r["doc_id"], "rank": r["score"],
              "reccount": begin + i + 1}
         for p in props:
-            d[p] = r[p] if p in r.__fields__ else None
+            if p in user:
+                from ..textproc.docprops import display
+
+                pcol, spec = user[p]
+                v = r[pcol] if pcol in r.__fields__ else None
+                # dates render as the reference display string; other
+                # kinds stay raw (numeric stays sortable/formattable)
+                d[p] = (display(spec, v) if spec.kind == "date"
+                        else v) if v is not None else None
+            else:
+                d[p] = r[p] if p in r.__fields__ else None
         out.append(d)
+    return out
+
+
+def user_props(cfg) -> dict:
+    """User-property resolution map for the result surface:
+    {name_or_alias: (docs_column, PropSpec)} from the index config
+    (PropertyNames + PropertyNameAlias)."""
+    from ..textproc.docprops import specs_of
+
+    if cfg is None:
+        return {}
+    specs = specs_of(getattr(cfg, "properties", ()))
+    out = {name: (s.column, s) for name, s in specs.items()}
+    for alias, base in getattr(cfg, "prop_aliases", ()) or ():
+        if base in specs:
+            s = specs[base]
+            out[alias] = (s.column, s)
     return out
 
 

@@ -36,3 +36,47 @@ def limit_value_ok(prop, value, lo, hi) -> bool:
         return (str(lo).translate(_FOLD) <= value.translate(_FOLD)
                 <= str(hi).translate(_FOLD))
     return lo <= value <= hi
+
+
+def _specs_by_col(cfg):
+    """cfg may be an IndexConfig (``.properties``) or the raw
+    PropertyNames spec tuple itself."""
+    from ..textproc.docprops import specs_of
+
+    if cfg is None:
+        return {}
+    props = getattr(cfg, "properties", cfg)
+    return {s.column: s for s in specs_of(props or ()).values()}
+
+
+def limits_cond(limits, cfg=None):
+    """AND of every -L range → ONE pyspark Column. Built-in docs
+    columns use limit_cond; user-property columns (PropertyNames)
+    resolve their PropSpec from the index config so IgnoreCase /
+    CompareCase / numeric semantics apply
+    (Compare_Properties, /root/reference/src/docprop.c:1139-1200)."""
+    from ..textproc.docprops import limit_cond_user
+
+    by_col = _specs_by_col(cfg)
+    cond = None
+    for prop, (lo, hi) in limits.items():
+        spec = by_col.get(prop)
+        c = (limit_cond_user(spec, lo, hi) if spec is not None
+             else limit_cond(prop, lo, hi))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def limits_value_ok(docprops_row: dict, limits, cfg=None) -> bool:
+    """Oracle/python mirror of limits_cond over one doc's props."""
+    from ..textproc.docprops import compare_value_ok
+
+    by_col = _specs_by_col(cfg)
+    for p, (lo, hi) in limits.items():
+        spec = by_col.get(p)
+        v = docprops_row.get(p)
+        ok = (compare_value_ok(spec, v, lo, hi) if spec is not None
+              else limit_value_ok(p, v, lo, hi))
+        if not ok:
+            return False
+    return True

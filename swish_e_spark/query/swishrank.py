@@ -213,12 +213,12 @@ def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
     results = _o_eval(oidx, node, (scheme, ignore_total_word_count,
                                    rank_biases or {}, structure_mask))
     if limits:
-        from .proplimit import limit_value_ok
+        from .proplimit import limits_value_ok
 
         results = {
             d: v for d, v in results.items()
-            if all(limit_value_ok(p, oidx.docs[d].get(p), lo, hi)
-                   for p, (lo, hi) in limits.items())}
+            if limits_value_ok(oidx.docs[d], limits,
+                               getattr(oidx, "properties", ()))}
     ranked = sorted(((d, r) for d, (r, _) in results.items()),
                     key=lambda t: (-t[1], t[0]))[:k]
     return display_scale(ranked) if scaled else ranked
@@ -427,15 +427,12 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
         from pyspark.sql import functions as F
 
         if limits:
-            from .proplimit import limit_cond
+            from .proplimit import limits_cond
 
             docs = engine.handle.live_docs()
-            cond = None
-            for prop, (lo, hi) in limits.items():
-                c = limit_cond(prop, lo, hi)
-                cond = c if cond is None else cond & c
-            result = result.join(docs.filter(cond).select("doc_id"),
-                                 "doc_id", "left_semi")
+            result = result.join(
+                docs.filter(limits_cond(limits, engine.handle.cfg))
+                .select("doc_id"), "doc_id", "left_semi")
         rows = (result.select("doc_id", "rank")
                 .orderBy(F.desc("rank"), F.asc("doc_id"))
                 .limit(k).collect())

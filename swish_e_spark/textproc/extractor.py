@@ -166,6 +166,9 @@ class ExtractedDoc:
     events: list = field(default_factory=list)
     noindex: bool = False
     xml: bool = False
+    prop_chunks: dict = field(default_factory=dict)  # user property
+    # capture (PropertyNames): base name -> raw flush-unit chunks, in
+    # document order; finalized by textproc/docprops.py
 
     def body_text(self) -> str:
         """Canonical extracted text (the byte-identity artifact): body
@@ -235,8 +238,21 @@ class _SwishHTMLParser(HTMLParser):
                  images_field: str | None = None,
                  alt_field: str | None = ALT_FIELD,
                  absolute_links: bool = False,
-                 doc_url: str | None = None) -> None:
+                 doc_url: str | None = None,
+                 properties: frozenset = frozenset(),
+                 prop_aliases: dict | None = None) -> None:
         super().__init__(convert_charrefs=True)
+        self.properties = properties      # PropertyNames base names
+        self.prop_aliases = prop_aliases or {}  # PropertyNameAlias
+        self._open_props: list = []       # [(endtag, base), ...] open
+        # property elements. Property values capture the SAME text
+        # buffer the indexer flushes (addDocProperties is called from
+        # flush_buffer with buf->buffer, parser.c:1627), so capture
+        # rides on _flush(): one chunk per emitted event, for every
+        # open property. Binary-verified consequences: text inside an
+        # IgnoreMetaTags section is NOT captured (the ignored flush
+        # never runs), and <meta content=...> captures into both the
+        # named property and every enclosing open property.
         self.index_comments = index_comments
         self.index_links = index_links
         self.index_alt = index_alt
@@ -306,6 +322,27 @@ class _SwishHTMLParser(HTMLParser):
         return self.metanames is None or name in self.metanames \
             or self._alias(name) in self.metanames
 
+    def _prop_of(self, name: str):
+        """PropertyNameAlias resolution against the RAW tag name
+        (getPropNameByName follows ->alias in the property namespace,
+        separate from the metaname namespace)."""
+        base = self.prop_aliases.get(name, name)
+        return base if base in self.properties else None
+
+    def _prop_capture(self, text: str, named: str | None = None) -> None:
+        """Out-of-buffer capture (meta ``content=``): the value chunks
+        into the named property AND every enclosing open property
+        (binary: <cat>aa <meta name=other content=mc> bb</cat> gives
+        cat='aa mc bb', other='mc')."""
+        lat = to_latin1_text(text)
+        if not lat.strip():
+            return
+        for _t, base in self._open_props:
+            self.doc.prop_chunks.setdefault(base, []).append(lat)
+        if named is not None and all(b != named
+                                     for _t, b in self._open_props):
+            self.doc.prop_chunks.setdefault(named, []).append(lat)
+
     def _bits(self) -> int:
         b = IN_FILE
         if self.xml_mode:
@@ -335,10 +372,19 @@ class _SwishHTMLParser(HTMLParser):
             text = "".join(self._buf)
             if text.strip():
                 fields = self._fan_fields()
+                lat = to_latin1_text(text)
                 self.doc.events.append(
-                    Event(self._buf_field, to_latin1_text(text),
+                    Event(self._buf_field, lat,
                           self._buf_bits, self._pending, fields))
                 self._pending = 0
+                if self._open_props:
+                    # properties capture the flushed buffer
+                    # (addDocProperties from flush_buffer,
+                    # parser.c:1627); finalize() trims each chunk and
+                    # joins with single spaces (binary-pinned)
+                    for _t, base in self._open_props:
+                        self.doc.prop_chunks.setdefault(
+                            base, []).append(lat)
             self._buf = []
             self._buf_bits = 0
         if self._em_defer:  # a flush is a word boundary
@@ -482,6 +528,9 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
+        pb = self._prop_of(tag)
+        if pb is not None:
+            self._open_props.append((tag, pb))
         if tag in self.ignore_meta_tags:
             # IgnoreMetaTags section: tags inside keep bumping, text
             # is dropped until the matching end tag (start_metaTag
@@ -524,6 +573,7 @@ class _SwishHTMLParser(HTMLParser):
             if tag not in self.dont_bump_tags:
                 self._pending += 1
             self._flush()
+        self._prop_pop(tag)  # after the end-tag flush above
         if self._xml_stack and (
                 self._xml_stack[-1] in (tag, rt)
                 or self._xml_stack[-1].startswith((tag + ".",
@@ -572,6 +622,13 @@ class _SwishHTMLParser(HTMLParser):
             if name and content:
                 self._flush()
                 bits = self._bits()
+                if not self._ignore_stack:
+                    # property capture: content chunks into the named
+                    # property (raw-name lookup in the PROPERTY alias
+                    # namespace) and every enclosing open property;
+                    # an ignored section suppresses capture (binary:
+                    # doc in tests/test_properties_user.py)
+                    self._prop_capture(content, self._prop_of(name))
                 name = self._alias(name)
                 if self._ignore_stack:
                     # meta inside an ignored section: bumps only
@@ -681,6 +738,10 @@ class _SwishHTMLParser(HTMLParser):
         if tag in _KNOWN_HTML_TAGS or header:
             # known non-inline: flush FIRST, then bump
             self._flush()
+            pb = self._prop_of(tag)  # a known html element can be a
+            # property (PropertyNameAlias description td h1 ...)
+            if pb is not None:
+                self._open_props.append((tag, pb))
             if tag in _HEAD_TAGS or (tag == "style"
                                      and self._head_open):
                 self._open_head()
@@ -703,6 +764,9 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
+        pb = self._prop_of(tag)
+        if pb is not None:
+            self._open_props.append((tag, pb))
         if tag in self.ignore_meta_tags:
             # IgnoreMetaTags element section: bumps continue, text
             # drops until the matching end tag (parser.c:994-1006)
@@ -751,6 +815,7 @@ class _SwishHTMLParser(HTMLParser):
         header = _HEADER_RE.match(tag) is not None
         if tag in _KNOWN_HTML_TAGS or header:
             self._flush()
+            self._prop_pop(tag)
             if header:
                 self._header_depth = max(0, self._header_depth - 1)
             self._close_down_to(tag)  # implied </li> etc. bump first
@@ -764,12 +829,14 @@ class _SwishHTMLParser(HTMLParser):
             if tag not in self.dont_bump_tags:
                 self._pending += 1
             self._flush()
+            self._prop_pop(tag)
             return
         if self._html_meta_stack \
                 and self._html_meta_stack[-1] == self._alias(tag):
             # declared-meta pop flushes the scoped content BEFORE the
             # end bump (pop_stack → flush, end_metaTag)
             self._flush()
+            self._prop_pop(tag)
             self._html_meta_stack.pop()
             self._close_down_to(tag)
             if tag not in self.dont_bump_tags:
@@ -780,6 +847,13 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
+        self._prop_pop(tag)
+
+    def _prop_pop(self, tag: str) -> None:
+        """Close a property element on its FIRST matching end tag,
+        AFTER the end-tag flush captured the final chunk."""
+        if self._open_props and self._open_props[-1][0] == tag:
+            self._open_props.pop()
 
     def _em_toggle_on(self) -> None:
         # flush completed words; a partial token stays open and will
@@ -812,6 +886,10 @@ class _SwishHTMLParser(HTMLParser):
         if self.xml_mode:
             # XML self-closing tags pop their metaname scope
             self.handle_endtag(tag)
+        else:
+            # a self-closing HTML property element has no end tag to
+            # pop on — close it immediately (no content to capture)
+            self._prop_pop(tag.lower())
 
     def parse_bogus_comment(self, i, report=1):
         """libxml2 passes a bogus declaration (`<!META ...>`, the
