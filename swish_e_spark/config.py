@@ -53,7 +53,7 @@ for _lang in ("de", "dk", "en1", "en2", "es", "fi", "fr", "hu", "it",
 _IGNORED = {
     "indexreport", "indexverbose", "parserwarnlevel",
     "compresspositions", "propcompressionlevel", "tmpdir",
-    "indexpointer", "followsymlinks", "obeyrobotsnoindex",
+    "indexpointer", "followsymlinks",
     "swishsearchoperators", "swishsearchdefaultrule",
     "resultextformatname", "filerules directory",
 }
@@ -358,6 +358,12 @@ def _parse_into(conf: SwishConfig, text: str, base_dir: str,
         elif dl == "truncatedocsize":
             need(1, exact=True)
             kw["truncate_doc_size"] = int(words[0])
+        elif dl == "obeyrobotsnoindex":
+            # the engine default is yes (web pipeline); the directive
+            # restores the binary's no-obey (parse_conffile.c:481 area;
+            # checked in process_htmlmeta, parser.c:1507-1516)
+            need(1, exact=True)
+            kw["obey_robots_noindex"] = _yesno(d0, words[0])
         elif dl == "absolutelinks":
             need(1, exact=True)
             kw["absolute_links"] = _yesno(d0, words[0])
@@ -606,8 +612,30 @@ def _parse_into(conf: SwishConfig, text: str, base_dir: str,
             need(1)
             conf.header[dl[len("index"):]] = value
         elif dl == "storedescription":
-            # StoreDescription HTML <desc> 200000 — the extractor
-            # stores descriptions unconditionally; length caps noted
+            # StoreDescription HTML* <desc> [size]: swishdescription
+            # = text captured under <desc>, byte-capped
+            # (parse_conffile.c StoreDescription → SUMMARY_INFO,
+            # parser.c:1631-1639). TXT form has no tag: first n bytes.
+            need(2)
+            t = words[0].lower()
+            if t not in _DOC_TYPES:
+                raise ConfigError(
+                    f"line {lineno}: StoreDescription: bad type "
+                    f"{words[0]!r}")
+            dt = _DOC_TYPES[t]
+            tag, size = None, None
+            rest = words[1:]
+            if rest and rest[0].startswith("<"):
+                tag = rest[0].strip("<>").lower()
+                rest = rest[1:]
+            if rest:
+                size = int(rest[0])
+            if dt != "txt" and tag is None:
+                raise ConfigError(
+                    f"line {lineno}: StoreDescription {words[0]}: "
+                    f"needs a <tag>")
+            kw.setdefault("store_description", ())
+            kw["store_description"] += ((dt, tag, size),)
             conf.header.setdefault("store_description", []).append(
                 tuple(words))
         elif dl in _IGNORED or f"{dl} {value.split(' ')[0].lower()}" \

@@ -180,6 +180,14 @@ class IndexConfig:
                               # (textproc/docprops.py) — typed docs
                               # columns prop_<name>
     prop_aliases: tuple = ()  # ((alias, base), ...) PropertyNameAlias
+    obey_robots_noindex: bool = True  # obeyRobotsNoIndex — engine
+                              # default True (web pipeline); the
+                              # BINARY defaults no (parser.c:1507)
+    store_description: tuple = ()  # ((doctype, tag|None, size|None),
+                              # ...) StoreDescription: description =
+                              # text under <tag> byte-capped at size
+                              # (summary capture, parser.c:1631-1639);
+                              # () keeps the body-prefix default
     bump_pos_chars: str = ""  # BumpPositionCounterCharacters
     ignore_total_word_count: bool = True  # IgnoreTotalWordCount-
                               # WhenRanking (reference default yes,
@@ -327,6 +335,8 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
     prop_specs = specs_of(cfg.properties)
     prop_names = frozenset(prop_specs)
     prop_alias_map = dict(cfg.prop_aliases)
+    store_desc_map = {dt: (tag, size)
+                      for dt, tag, size in cfg.store_description}
     for pdf in batches:
         # optional per-page doctype override (prog Document-Type
         # header, sources/progfile.py; extprog.c:400-412) — absent or
@@ -367,8 +377,14 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                     Event(DEFAULT_FIELD, t if t else url, IN_FILE, 0)])
                 blob = b""  # content itself is not parsed further
             else:
+                dtype = dt or doctype_of_url(eff_url)
+                sd_extra = {}
+                sd = store_desc_map.get(dtype)
+                if sd is not None and dtype != "txt":
+                    sd_extra = {"description_tag": sd[0],
+                                "description_size": sd[1]}
                 doc = extract(
-                    blob, doctype=(dt or doctype_of_url(eff_url)),
+                    blob, doctype=dtype,
                     index_comments=cfg.index_comments,
                     index_links=cfg.index_links,
                     index_alt=cfg.index_alt,
@@ -386,7 +402,13 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                     absolute_links=cfg.absolute_links,
                     doc_url=eff_url,
                     properties=prop_names,
-                    prop_aliases=prop_alias_map)
+                    prop_aliases=prop_alias_map,
+                    obey_robots_noindex=cfg.obey_robots_noindex,
+                    **sd_extra)
+                if sd is not None and dtype == "txt":
+                    # StoreDescription TXT n: first n bytes of the
+                    # text stream
+                    doc.description = doc.body_text()[:sd[1]]
             if doc.noindex:
                 continue
             if title_rejects and any(rx.search(doc.title)

@@ -53,6 +53,7 @@ class OracleIndex:
                  extract_path_defaults: tuple = (),
                  properties: tuple = (),
                  prop_aliases: tuple = (),
+                 store_description: tuple = (),
                  **extract_opts):
         self.cfg = cfg or TokenizerConfig()
         self.index_comments = index_comments
@@ -70,6 +71,8 @@ class OracleIndex:
         self.properties = tuple(properties)  # PropSpec tuples
         self._prop_specs = specs_of(self.properties)
         self._prop_aliases = dict(prop_aliases)
+        self._store_desc = {dt: (tag, size)
+                            for dt, tag, size in store_description}
         self.extract_opts = extract_opts  # meta_aliases,
         # ignore_meta_tags, links_field, images_field, alt_field,
         # absolute_links — passed straight to extract() so the oracle
@@ -92,7 +95,11 @@ class OracleIndex:
         """Assign dense doc_ids ordered by url, tokenize, accumulate."""
         self._staged.sort(key=lambda r: r[0])
         for url, content, doctype, props in self._staged:
-            doc = extract(content, doctype=doctype,
+            sd = self._store_desc.get(doctype)
+            sd_extra = ({"description_tag": sd[0],
+                         "description_size": sd[1]}
+                        if sd is not None and doctype != "txt" else {})
+            doc = extract(content, doctype=doctype, **sd_extra,
                           index_comments=self.index_comments,
                           index_links=self.index_links,
                           index_alt=self.index_alt,
@@ -107,6 +114,8 @@ class OracleIndex:
                           **self.extract_opts)
             if doc.noindex:
                 continue
+            if sd is not None and doctype == "txt":
+                doc.description = doc.body_text()[:sd[1]]
             doc_id = len(self.docs)
             postings, doc_len = tokenize_doc(doc, self.cfg)
             if self.extract_path:

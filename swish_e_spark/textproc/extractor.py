@@ -118,7 +118,9 @@ _EMPH_TAGS = frozenset({"b", "i", "em", "strong"})
 # x=1;</script>' indexes 'var', 'x', '1')
 _CDATA_TAGS = frozenset({"script", "style"})
 
-DESCRIPTION_MAX = 200  # StoreDescription cap (chars of body text)
+DESCRIPTION_MAX = 200  # default description cap (chars of body text)
+DESC_KEY = "\x00desc"  # internal prop_chunks key for StoreDescription
+#                        capture (cannot collide with a PropertyName)
 
 
 _NON_LATIN1_RE = re.compile("[^\x00-\xff]")
@@ -240,8 +242,22 @@ class _SwishHTMLParser(HTMLParser):
                  absolute_links: bool = False,
                  doc_url: str | None = None,
                  properties: frozenset = frozenset(),
-                 prop_aliases: dict | None = None) -> None:
+                 prop_aliases: dict | None = None,
+                 obey_robots_noindex: bool = True,
+                 description_tag: str | None = None) -> None:
         super().__init__(convert_charrefs=True)
+        self.description_tag = description_tag  # StoreDescription
+        # <tag>: swishdescription = text captured under this element
+        # via the SAME summary/property append machinery
+        # (SUMMARY_INFO rides addDocProperty, parser.c:1631-1639);
+        # None keeps this engine's body-prefix default
+        self.obey_robots_noindex = obey_robots_noindex
+        # obeyRobotsNoIndex (process_htmlmeta, parser.c:1507-1516;
+        # default set in swish.c). The BINARY defaults to NO-obey;
+        # this engine deliberately defaults to obey=True — a web-scale
+        # pipeline must respect robots by default — and the directive
+        # restores either behavior. Either way the robots meta itself
+        # emits nothing and bumps nothing (binary-pinned positions).
         self.properties = properties      # PropertyNames base names
         self.prop_aliases = prop_aliases or {}  # PropertyNameAlias
         self._open_props: list = []       # [(endtag, base), ...] open
@@ -528,9 +544,7 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
-        pb = self._prop_of(tag)
-        if pb is not None:
-            self._open_props.append((tag, pb))
+        self._prop_push(tag)
         if tag in self.ignore_meta_tags:
             # IgnoreMetaTags section: tags inside keep bumping, text
             # is dropped until the matching end tag (start_metaTag
@@ -610,8 +624,10 @@ class _SwishHTMLParser(HTMLParser):
             name = (d.get("name") or "").lower()
             content = d.get("content") or ""
             if name == "robots" and "noindex" in content.lower():
-                self.doc.noindex = True  # doc-level abort: always acts
-                return
+                if self.obey_robots_noindex:
+                    self.doc.noindex = True  # doc-level abort
+                return  # the robots meta never indexes or bumps
+                # (process_htmlmeta returns before start_metaTag)
             if name and content and name in self.ignore_meta_tags:
                 # IgnoreMetaTags: content dropped, start+end bumps stay
                 # (start_metaTag ignore push + end_metaTag,
@@ -708,16 +724,19 @@ class _SwishHTMLParser(HTMLParser):
             return
         if tag == "title":
             self._flush()
+            self._prop_push(tag)
             self._open_head()
             self._in_title = True
             self._pending += 2  # title branch + non-inline element
             return
         if tag == "head":
             self._flush()
+            self._prop_push(tag)
             self._open_head()
             return
         if tag == "body":
             self._flush()
+            self._prop_push(tag)
             self._ensure_html()
             if self._head_open:
                 self._head_open = False
@@ -738,10 +757,9 @@ class _SwishHTMLParser(HTMLParser):
         if tag in _KNOWN_HTML_TAGS or header:
             # known non-inline: flush FIRST, then bump
             self._flush()
-            pb = self._prop_of(tag)  # a known html element can be a
-            # property (PropertyNameAlias description td h1 ...)
-            if pb is not None:
-                self._open_props.append((tag, pb))
+            # a known html element can be a property or the
+            # StoreDescription tag (PropertyNameAlias description td…)
+            self._prop_push(tag)
             if tag in _HEAD_TAGS or (tag == "style"
                                      and self._head_open):
                 self._open_head()
@@ -764,9 +782,7 @@ class _SwishHTMLParser(HTMLParser):
         if tag not in self.dont_bump_tags:
             self._pending += 1
         self._flush()
-        pb = self._prop_of(tag)
-        if pb is not None:
-            self._open_props.append((tag, pb))
+        self._prop_push(tag)
         if tag in self.ignore_meta_tags:
             # IgnoreMetaTags element section: bumps continue, text
             # drops until the matching end tag (parser.c:994-1006)
@@ -795,16 +811,19 @@ class _SwishHTMLParser(HTMLParser):
             return  # closed at start (end_hndl, parser.c:730-734)
         if tag == "title":
             self._flush()
+            self._prop_pop(tag)
             self._in_title = False
             self._pending += 2
             return
         if tag == "head":
             self._flush()
+            self._prop_pop(tag)
             self._head_open = False
             self._pending += 1
             return
         if tag == "body":
             self._flush()
+            self._prop_pop(tag)
             self._pending += 2
             return
         if tag in _EMPH_TAGS:
@@ -849,11 +868,32 @@ class _SwishHTMLParser(HTMLParser):
         self._flush()
         self._prop_pop(tag)
 
+    def _prop_push(self, tag: str) -> None:
+        """Open property / StoreDescription capture for ``tag`` (one
+        tag can open both — e.g. the desc tag is also a declared
+        property)."""
+        pb = self._prop_of(tag)
+        if pb is not None:
+            self._open_props.append((tag, pb))
+        if tag == self.description_tag:
+            self._open_props.append((tag, DESC_KEY))
+
     def _prop_pop(self, tag: str) -> None:
-        """Close a property element on its FIRST matching end tag,
-        AFTER the end-tag flush captured the final chunk."""
-        if self._open_props and self._open_props[-1][0] == tag:
-            self._open_props.pop()
+        """Close capture on the FIRST matching end tag, AFTER the
+        end-tag flush captured the final chunk. At most one property
+        entry and one description entry pop per end tag (nested
+        same-name elements each own their pop)."""
+        popped_desc = popped_prop = False
+        while self._open_props and self._open_props[-1][0] == tag:
+            is_desc = self._open_props[-1][1] == DESC_KEY
+            if is_desc and not popped_desc:
+                self._open_props.pop()
+                popped_desc = True
+            elif not is_desc and not popped_prop:
+                self._open_props.pop()
+                popped_prop = True
+            else:
+                break
 
     def _em_toggle_on(self) -> None:
         # flush completed words; a partial token stays open and will
@@ -1117,6 +1157,10 @@ def extract_html(html: bytes | str, index_comments: bool = False,
     ``links_field``, ``images_field``, ``alt_field``,
     ``absolute_links``, ``doc_url``)."""
     raw = _decode_bytes(html) if isinstance(html, (bytes, bytearray)) else html
+    desc_size = opts.pop("description_size", None)  # StoreDescription
+    # byte cap — applied to the captured chunks below, not in the
+    # parser (the binary caps at append time; same algorithm as
+    # property MaxLength, docprops.finalize)
 
     def _mk():
         return _SwishHTMLParser(
@@ -1144,8 +1188,19 @@ def extract_html(html: bytes | str, index_comments: bool = False,
         if ev.structure & IN_TITLE
     ]
     doc.title = " ".join(t for t in title_parts if t)
-    body = doc.body_text()
-    doc.description = body[:DESCRIPTION_MAX]
+    if p.description_tag is not None:
+        # StoreDescription <tag> [size]: swishdescription = text
+        # captured under the tag, byte-capped exactly like a property
+        # append (binary: '<desc> 12' over 'This is the Description
+        # text' stores 'This is the ' — trailing space kept)
+        from .docprops import PropSpec, finalize
+
+        doc.description = finalize(
+            PropSpec("swishdescription", max_len=desc_size),
+            doc.prop_chunks.pop(DESC_KEY, ())) or ""
+    else:
+        body = doc.body_text()
+        doc.description = body[:DESCRIPTION_MAX]
     return doc
 
 

@@ -252,6 +252,69 @@ class TestLinksAltImages:
                 if e.field_name == "links"] == ["http://h/d/p.html"]
 
 
+class TestStoreDescription:
+    RAW = (b"<html><head><title>T</title></head><body>\n"
+           b"intro words <desc>This is the Description text</desc>"
+           b" outro words\n</body></html>")
+
+    def test_tag_capture_byte_cap(self):
+        # binary: 'StoreDescription HTML* <desc> 12' stores exactly
+        # 'This is the ' (byte cap keeps the trailing space)
+        d = extract(self.RAW, description_tag="desc",
+                    description_size=12)
+        assert d.description == "This is the "
+
+    def test_body_tag_spans_children(self):
+        # binary: '<body> 30' → 'intro words This is the Descri'
+        d = extract(self.RAW, description_tag="body",
+                    description_size=30)
+        assert d.description == "intro words This is the Descri"
+
+    def test_absent_tag_empty(self):
+        d = extract(self.RAW, description_tag="nosuch",
+                    description_size=30)
+        assert d.description == ""
+
+    def test_directive_parse(self):
+        conf = parse_config("StoreDescription HTML* <desc> 12\n"
+                            "StoreDescription TXT* 500\n")
+        assert conf.kwargs["store_description"] == \
+            (("html", "desc", 12), ("txt", None, 500))
+        conf.to_index_config()
+
+    def test_directive_requires_tag_for_html(self):
+        with pytest.raises(ConfigError):
+            parse_config("StoreDescription HTML 99\n")
+
+    def test_xml_mode(self):
+        d = extract(b"<all><summary>short text here</summary>"
+                    b"<rest>more</rest></all>", doctype="xml",
+                    description_tag="summary")
+        assert d.description == "short text here"
+
+
+class TestObeyRobotsNoIndex:
+    RAW = (b'<html><head><meta name="robots" content="noindex">'
+           b"</head><body>secretbody words</body></html>")
+
+    def test_engine_default_obeys(self):
+        assert extract(self.RAW).noindex is True
+
+    def test_no_obey_indexes_with_binary_positions(self):
+        # binary default (obeyRobotsNoIndex 0): page indexed,
+        # secretbody@6 words@7, the robots meta bumps nothing
+        doc = extract(self.RAW, obey_robots_noindex=False)
+        assert doc.noindex is False
+        toks, _ = _stream(doc)
+        assert toks == [("swishdefault", "secretbody", 6),
+                        ("swishdefault", "words", 7)]
+
+    def test_directive(self):
+        conf = parse_config("obeyRobotsNoIndex no\n")
+        assert conf.kwargs["obey_robots_noindex"] is False
+        assert not conf.unknown and not conf.ignored
+
+
 # ------------------------------------------------------------- config
 
 class TestConfigDirectives:
