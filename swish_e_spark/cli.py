@@ -421,7 +421,9 @@ def _fetch_prop_rows(engines, hits, props) -> list[dict]:
     rows = []
     for n, (i, d, s) in enumerate(hits):
         row = {"doc_id": d, "rank": s, "reccount": n + 1,
-               "index": i}
+               "index": i, "filenum": int(d) + 1,
+               "dbfile": os.path.basename(os.path.normpath(
+                   engines[i].handle.out_dir))}
         row.update(lookup.get((i, d), {}))
         rows.append(row)
     return rows

@@ -65,7 +65,8 @@ def ranked_results(engine, q: str, k: int = 10, props=None,
 
     docs = engine.handle.docs()
     user = user_props(engine.handle.cfg)  # name/alias -> (col, spec)
-    needed = sorted({c for c in props if c in set(PROP_COLS)}
+    needed = sorted({_prop_col(p) for p in props
+                     if _prop_col(p) in set(PROP_COLS)}
                     | {user[p][0] for p in props if p in user}
                     | {_prop_col(p) for p, _ in sort
                        if _prop_col(p) in set(PROP_COLS)}
@@ -92,10 +93,17 @@ def ranked_results(engine, q: str, k: int = 10, props=None,
     order.append(F.col("doc_id").asc())  # total order under ties
     rows = joined.orderBy(*order).limit(begin + k).collect()[begin:]
 
+    import os as _os
+
+    dbfile = _os.path.basename(
+        _os.path.normpath(engine.handle.out_dir))
     out = []
     for i, r in enumerate(rows):
         d = {"doc_id": r["doc_id"], "rank": r["score"],
-             "reccount": begin + i + 1}
+             "reccount": begin + i + 1,
+             # swishfilenum = 1-based internal file number; swishdbfile
+             # = the index name (result_output.c auto-properties)
+             "filenum": int(r["doc_id"]) + 1, "dbfile": dbfile}
         for p in props:
             if p in user:
                 from ..textproc.docprops import display
@@ -107,7 +115,8 @@ def ranked_results(engine, q: str, k: int = 10, props=None,
                 d[p] = (display(spec, v) if spec.kind == "date"
                         else v) if v is not None else None
             else:
-                d[p] = r[p] if p in r.__fields__ else None
+                c = _prop_col(p)
+                d[p] = r[c] if c in r.__fields__ else d.get(c)
         out.append(d)
     return out
 
@@ -133,7 +142,9 @@ def _prop_col(prop: str) -> str:
     return {"swishdocpath": "url", "swishtitle": "title",
             "swishdocsize": "size", "swishlastmodified": "warc_ts",
             "swishdescription": "description",
-            "swishreccount": "reccount"}.get(prop, prop)
+            "swishreccount": "reccount",
+            "swishfilenum": "filenum",  # 1-based internal file number
+            "swishdbfile": "dbfile"}.get(prop, prop)
 
 
 _FMT_RE = re.compile(r"%(.)|<([A-Za-z_][\w]*)(?:\s+fmt=/([^/]*)/)?>")
@@ -181,6 +192,11 @@ def _fmt_val(v, pfmt) -> str:
             return str(v)
     if isinstance(v, float):
         return f"{v:.6g}"
+    if hasattr(v, "strftime"):
+        # default date rendering matches the binary: '%Y-%m-%d
+        # %H:%M:%S UTC' (getResultPropValue date branch,
+        # /root/reference/src/result_output.c:1074-1086)
+        return v.strftime("%Y-%m-%d %H:%M:%S UTC")
     return str(v)
 
 

@@ -315,6 +315,26 @@ class TestObeyRobotsNoIndex:
         assert not conf.unknown and not conf.ignored
 
 
+class TestAutoProperties:
+    def test_fmt_val_date_default(self):
+        # binary default date rendering: '%Y-%m-%d %H:%M:%S UTC'
+        # (getResultPropValue, result_output.c:1074-1086)
+        import datetime as dt
+
+        from swish_e_spark.query.output import _fmt_val
+
+        v = dt.datetime(2026, 8, 19, 9, 10, 19, 328000)
+        assert _fmt_val(v, None) == "2026-08-19 09:10:19 UTC"
+        assert _fmt_val(v, "%Y") == "2026"
+
+    def test_prop_col_auto_names(self):
+        from swish_e_spark.query.output import _prop_col
+
+        assert _prop_col("swishfilenum") == "filenum"
+        assert _prop_col("swishdbfile") == "dbfile"
+        assert _prop_col("swishlastmodified") == "warc_ts"
+
+
 # ------------------------------------------------------------- config
 
 class TestConfigDirectives:
