@@ -61,6 +61,7 @@ class Params:
     update_mode: str | None = None    # -u update / -r remove
     verbose: int = 0                  # -v
     economy: bool = False             # -e (no-op: staged parquet)
+    phrase_delim: str = '"'           # -P phrase delimiter char
     version: bool = False             # -V
     # snapshot extensions (no reference analogue — the lakehouse side
     # of the index; see index/builder.py commit_manifest)
@@ -164,7 +165,12 @@ def _parse_argv(argv: list[str]) -> Params:
             p.show_snapshots = True
         elif flag == "-expire":
             p.expire_keep = int(vals("-expire", 1)[0])
-        elif flag in ("l", "a", "o", "E", "W", "P", "D", "T"):
+        elif flag == "P":
+            # -P: phrase delimiter char (swish.c:666-672; first char
+            # of the param is used)
+            w = vals("P", 1)[0]
+            p.phrase_delim = w[0]
+        elif flag in ("l", "a", "o", "E", "W", "D", "T"):
             vals(flag, 0)  # accepted for compat; no-op here
         elif flag == "V":
             p.version = True
@@ -240,6 +246,13 @@ def _run_search(p: Params, spark, out) -> int:
     except ValueError as e:  # unknown/expired --as-of version
         raise CliError(str(e), 2) from None
 
+    if p.phrase_delim != '"':
+        # -P: the chosen char becomes the phrase delimiter and '"'
+        # becomes an ordinary character the tokenizer strips
+        # (binary-verified: -P \' makes 'aa bb' a phrase and leaves a
+        # stray " harmless)
+        p.query = p.query.replace('"', " ").replace(p.phrase_delim,
+                                                    '"')
     mask = _structure_mask(p.structure) if p.structure else None
     limits = dict(_typed_limit(*t) for t in p.limits) or None
     from .query.output import user_props

@@ -315,6 +315,34 @@ class TestObeyRobotsNoIndex:
         assert not conf.unknown and not conf.ignored
 
 
+class TestPhraseDelimiter:
+    def test_cli_P(self, spark, tmp_path):
+        # binary: -P \' makes 'aa bb' a phrase; a stray " is harmless
+        import io
+
+        from swish_e_spark.cli import main
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "x.html").write_bytes(
+            b"<html><body>alpha beta gamma</body></html>")
+        idx = str(tmp_path / "idx")
+        assert main(["-i", str(d), "-f", idx], spark=spark,
+                    out=io.StringIO()) == 0
+
+        def hits(q, *extra):
+            out = io.StringIO()
+            rc = main(["-w", q, "-f", idx, "-H", "0", *extra],
+                      spark=spark, out=out)
+            assert rc == 0
+            return [l for l in out.getvalue().splitlines()
+                    if l and l != "." and not l.startswith("err")]
+
+        assert hits("'alpha beta'", "-P", "'")        # adjacent
+        assert not hits("'alpha gamma'", "-P", "'")   # not adjacent
+        assert hits('alpha "beta', "-P", "'")         # stray " ok
+
+
 class TestAutoProperties:
     def test_fmt_val_date_default(self):
         # binary default date rendering: '%Y-%m-%d %H:%M:%S UTC'
