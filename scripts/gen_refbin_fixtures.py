@@ -170,6 +170,34 @@ BATTERY_DM = {
 }
 
 
+# corpus F ("dir"): the same 300 pages indexed with the round-4
+# directive surface active — MetaNameAlias (query via alias),
+# IgnoreMetaTags (meta2 content dropped, bumps stay),
+# BumpPositionCounterCharacters (token-stream positions shift),
+# ExtractPath/ExtractPathDefault (path-derived metanames over the
+# fixture FILENAMES), PropertyNames meta1 (-L/-s on the captured
+# property), IgnoreTotalWordCountWhenRanking 0 (enables -R 1).
+BATTERY_DIR = {
+    "dir_alias_q": {"w": "m1alias=metatest1"},
+    "dir_alias_q2": {"w": "m1alias=common0"},
+    "dir_base_q": {"w": "meta1=metatest1"},
+    "dir_ignored_meta": {"w": "meta2=metatest2"},
+    "dir_path_seg0": {"w": "pathmeta=d0"},
+    "dir_path_seg1": {"w": "pathmeta=d1"},
+    "dir_path_seg2": {"w": "pathmeta=d2"},
+    "dir_path_default": {"w": "rootm=everydoc"},
+    "dir_phrase_bump": {"w": '"three little pigs"'},
+    "dir_near_bump": {"w": "little NEAR5 wolf"},
+    "dir_and": {"w": "common0 AND common1"},
+    "dir_rank_r1": {"w": "common1", "R": "1"},
+    "dir_sort_prop": {"w": "meta1=metatest1", "s": "meta1"},
+    "dir_limit_prop": {"w": "meta1=metatest1",
+                   "L": ["meta1", "metatest1 a", "metatest1 m"]},
+    "dir_limit_all": {"w": "meta1=metatest1",
+                  "L": ["meta1", "a", "z"]},
+}
+
+
 def run(args, **kw):
     # swish-e output is Latin-1 (it folds UTF-8 input to Latin-1)
     return subprocess.run(args, capture_output=True, text=True,
@@ -320,6 +348,34 @@ IgnoreWords {stop}
         json.dump(battery,
                   open(os.path.join(OUT_DIR, f"battery_{tag}.json"),
                        "w"), indent=1)
+    # ---- corpus F: same pages, round-4 directive surface ----
+    wd = tempfile.mkdtemp(prefix="refpin_dir_")
+    for name in files_b:
+        shutil.copy(os.path.join(wb, name), wd)
+    cfg_d = f"""
+IndexOnly .html .txt .xml
+MetaNames meta1 meta2 meta3
+MetaNameAlias meta1 m1alias
+IgnoreMetaTags meta2
+BumpPositionCounterCharacters .-
+ExtractPath pathmeta regex !^000([0-9]).*$!d$1!
+ExtractPath rootm replace neverzzz yyy
+ExtractPathDefault rootm everydoc
+PropertyNames meta1
+IgnoreTotalWordCountWhenRanking 0
+IndexContents TXT* .txt
+IndexContents XML* .xml
+IndexContents HTML* .htm .html
+obeyRobotsNoIndex yes
+IgnoreWords {stop}
+"""
+    tokens = index_corpus(wd, cfg_d, files_b)
+    write_tsv(os.path.join(OUT_DIR, "tokens_dir.tsv"), tokens)
+    write_tsv(os.path.join(OUT_DIR, "queries_dir.tsv"),
+              run_battery(wd, BATTERY_DIR))
+    json.dump(BATTERY_DIR,
+              open(os.path.join(OUT_DIR, "battery_dir.json"), "w"),
+              indent=1)
     print(f"fixtures written to {OUT_DIR}")
 
 

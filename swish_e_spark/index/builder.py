@@ -53,11 +53,17 @@ from ..textproc.pathparts import merge_path_postings
 from ..textproc.tokenizer import TokenizerConfig, tokenize_doc
 
 DOCS_SCHEMA_COLS = ["doc_id", "url", "title", "doc_len", "size",
-                    "warc_ts", "description", "lang"]
+                    "warc_ts", "description", "lang", "extra_pos"]
 
+# extra_pos = posting positions beyond doc_len for this doc (ExtractPath
+# words, metaname fan-out, dual fuzzy codes): the reference's scheme-1
+# TotalWordPos counts ADDENTRY calls (index.c:1298), so the corpus
+# total is Σ(doc_len + extra_pos) while the per-doc word count used by
+# the length reductions stays doc_len (TotalWordsPerFile). Old indexes
+# read null here (treated as 0).
 DOCS_SCHEMA = ("doc_id long, url string, title string, doc_len long, "
                "size long, warc_ts timestamp, description string, "
-               "lang string")
+               "lang string, extra_pos long")
 
 
 def docs_schema(cfg) -> str:
@@ -91,7 +97,7 @@ CHUNK_SCHEMA = (
 STAGED_SCHEMA = (
     "kind int, pid int, local_idx long, url string, title string, "
     "doc_len long, size long, warc_ts timestamp, description string, "
-    "lang string, props_json string, " + CHUNK_SCHEMA
+    "lang string, props_json string, extra_pos long, " + CHUNK_SCHEMA
 )
 
 
@@ -271,7 +277,7 @@ _CHUNK_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
                for c in CHUNK_SCHEMA.split(", ")]
 _STAGED_COLS = [c.rsplit(" ", 1)[0].split(" ")[0].strip()
                 for c in STAGED_SCHEMA.split(", ")]
-_N_DOC_COLS = 11  # kind..props_json prefix of STAGED_SCHEMA
+_N_DOC_COLS = 12  # kind..extra_pos prefix of STAGED_SCHEMA
 
 
 def _extract_pack_iter(batches, cfg: IndexConfig):
@@ -433,10 +439,14 @@ def _extract_pack_iter(batches, cfg: IndexConfig):
                 vals = finalize_all(doc.prop_chunks, prop_specs)
                 if vals:
                     pj = json.dumps(vals, separators=(",", ":"))
+            # addentry-call count beyond doc_len (path words, fan-out,
+            # dual fuzzy codes) — scheme-1's corpus TotalWordPos
+            extra_pos = sum(len(p.positions)
+                            for p in postings.values()) - doc_len
             for c, v in zip(doc_col_names,
                             (0, pid, local_idx, url, doc.title, doc_len,
                              source_size, warc_ts, doc.description,
-                             lang, pj)):
+                             lang, pj, extra_pos)):
                 dcols[c].append(v)
             local_idx += 1
             since_flush += 1
@@ -1112,14 +1122,21 @@ class IndexHandle:
 
             row = self.live_docs().agg(
                 F.count("*").alias("n"),
-                F.sum("doc_len").alias("total_len")).collect()[0]
+                F.sum("doc_len").alias("total_len"),
+                F.sum(F.coalesce(F.col("extra_pos"),
+                                 F.lit(0))).alias("extra")).collect()[0]
             n = row["n"] or 0
             self._stats = {
                 "n_docs": int(n),
                 "avgdl": float(row["total_len"] / n) if n else 0.0,
-                # Σ doc_len over LIVE docs — TotalWordPos for swish
-                # scheme-1 ranking (/root/reference/src/rank.c:648)
                 "total_len": int(row["total_len"] or 0),
+                # Σ(doc_len + extra_pos) over LIVE docs — the
+                # reference's TotalWordPos counts ADDENTRY calls
+                # (index.c:1298: path words, fan-out, dual fuzzy codes
+                # included), which scheme-1 divides by
+                # (/root/reference/src/rank.c:638-648)
+                "total_pos": int((row["total_len"] or 0)
+                                 + (row["extra"] or 0)),
             }
         return self._stats
 

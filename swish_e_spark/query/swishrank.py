@@ -225,14 +225,13 @@ def oracle_swish_query(oidx, q: str, k: int = 10, scheme: int = 0,
 
 
 def _o_total_words(oidx) -> int:
-    """Σ doc_len — the TOTALWORDSPERFILE total the reference divides by
-    (setTotalWordsPerFile, /root/reference/src/db_write.c:773); same
-    quantity as the engine manifest's token_count."""
-    cached = getattr(oidx, "_swish_total_words", None)
-    if cached is None:
-        cached = sum(d["doc_len"] for d in oidx.docs.values())
-        oidx._swish_total_words = cached
-    return cached
+    """TotalWordPos — the reference counts ADDENTRY calls
+    (index.c:1298), i.e. every posting position including ExtractPath
+    words, metaname fan-out, and dual fuzzy codes. The oracle's
+    total_positions accumulator is exactly that (Σ len(positions) over
+    all (field, term) posting lists); the engine mirrors it as
+    Σ(doc_len + extra_pos) over live docs."""
+    return oidx.total_positions
 
 
 def _scheme_opts(scheme):
@@ -415,12 +414,14 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
     try:
         dfs = engine._term_stats(node, decoded, structure_mask)
         stats = engine.handle.stats
-        # TotalWordPos over LIVE docs (sum of doc_len net of
-        # tombstones, same quantity as the oracle's _o_total_words) —
-        # the manifest token_count still counts superseded docs after
-        # an update/merge (sw->TotalWordPos,
-        # /root/reference/src/rank.c:648)
-        total_positions = stats["total_len"]
+        # TotalWordPos over LIVE docs: Σ(doc_len + extra_pos) net of
+        # tombstones — the reference counts ADDENTRY calls
+        # (index.c:1298), so ExtractPath/link/fan-out/dual-fuzzy
+        # postings count here even though the per-doc word count
+        # (TotalWordsPerFile) excludes them (sw->TotalWordPos,
+        # /root/reference/src/rank.c:638-648; same quantity as the
+        # oracle's total_positions)
+        total_positions = stats.get("total_pos", stats["total_len"])
         result = _s_eval(engine, node, decoded, dfs, stats,
                          total_positions,
                          (scheme, ignore_total_word_count, rank_biases))

@@ -166,7 +166,7 @@ class TestEdgeCorpora:
         eng = SparkQueryEngine(spark, IndexHandle(spark, out))
         assert eng.search("anything", k=5) == []
         assert eng.handle.stats == {"n_docs": 0, "avgdl": 0.0,
-                                    "total_len": 0}
+                                    "total_len": 0, "total_pos": 0}
 
     def test_all_noindex_corpus(self, spark, tmp_path):
         out = str(tmp_path / "noidx")

@@ -46,7 +46,8 @@ from swish_e_spark.textproc.tokenizer import TokenizerConfig, tokenize_doc
 FIX = os.path.join(os.path.dirname(__file__), "fixtures", "refbin")
 REF_TESTS = "/root/reference/tests"
 META = frozenset({"meta1", "meta2", "meta3"})
-PROP_MAP = {"swishtitle": "title", "swishdocpath": "url"}
+PROP_MAP = {"swishtitle": "title", "swishdocpath": "url",
+            "meta1": "prop_meta1"}  # corpus "dir" user property
 ALLK = 1 << 20  # the battery ran with no -m cap: return everything
 
 
@@ -357,5 +358,151 @@ class TestFuzzyBatteryEngine:
                     spark_swish_search(engine, q, scaled=True, **kw)
                 continue
             got = spark_swish_search(engine, q, scaled=True, **kw)
+            ours = {(rank, docs[d]) for d, rank in got}
+            assert ours == expect[qid], qid
+
+
+# ---- directive corpus ("dir"): the SAME 300 pages indexed by the
+# binary with the round-4 directive surface active — MetaNameAlias,
+# IgnoreMetaTags, BumpPositionCounterCharacters, ExtractPath/
+# ExtractPathDefault (over the fixture FILENAMES, so docs here index
+# under their file name, not their url), PropertyNames meta1 (-L/-s on
+# the captured property), IgnoreTotalWordCountWhenRanking 0 (-R 1 on).
+
+DIR_META_ALIASES = (("m1alias", "meta1"),)
+DIR_IGNORE_TAGS = frozenset({"meta2"})
+DIR_BUMP_CHARS = ".-"
+DIR_EXTRACT_PATH = (("pathmeta", ("regex", "!^000([0-9]).*$!d$1!")),
+                    ("rootm", ("replace", "neverzzz", "yyy")))
+DIR_EXTRACT_DEFAULTS = (("rootm", "everydoc"),)
+
+
+def _dir_props():
+    from swish_e_spark.textproc.docprops import PropSpec
+
+    return (PropSpec("meta1").to_tuple(),)
+
+
+def _dir_cfg():
+    return TokenizerConfig(stopwords=DEFAULT_STOPWORDS,
+                           meta_aliases=DIR_META_ALIASES,
+                           bump_pos_chars=DIR_BUMP_CHARS)
+
+
+def _gen_names(gen_corpus):
+    return [f"{i:06d}.{doctype_of_url(row['url'])}"
+            for i, row in enumerate(gen_corpus)]
+
+
+@pytest.fixture(scope="module")
+def dir_oracle(gen_corpus):
+    if not os.path.exists(os.path.join(FIX, "tokens_dir.tsv")):
+        pytest.skip("fixtures for dir not generated")
+    idx = OracleIndex(_dir_cfg(), metanames=META,
+                      meta_aliases=dict(DIR_META_ALIASES),
+                      ignore_meta_tags=DIR_IGNORE_TAGS,
+                      extract_path=DIR_EXTRACT_PATH,
+                      extract_path_defaults=DIR_EXTRACT_DEFAULTS,
+                      properties=_dir_props())
+    for name, row in zip(_gen_names(gen_corpus), gen_corpus):
+        # url = the fixture FILE NAME (ExtractPath operates on it)
+        idx.add(name, row["html"],
+                doctype=doctype_of_url(row["url"]))
+    return idx.build()
+
+
+class TestDirectiveTokenStream:
+    def test_stream_matches_binary(self, gen_corpus):
+        if not os.path.exists(os.path.join(FIX, "tokens_dir.tsv")):
+            pytest.skip("fixtures for dir not generated")
+        from swish_e_spark.textproc.pathparts import (
+            merge_path_postings,
+        )
+
+        fix = _load_tokens(os.path.join(FIX, "tokens_dir.tsv"))
+        cfg = _dir_cfg()
+        mismatched = []
+        for name, row in zip(_gen_names(gen_corpus), gen_corpus):
+            dt = name.rsplit(".", 1)[1]
+            doc = extract(row["html"], doctype=dt, metanames=META,
+                          meta_aliases=dict(DIR_META_ALIASES),
+                          ignore_meta_tags=DIR_IGNORE_TAGS)
+            if doc.noindex:
+                ours = []
+            else:
+                postings, _dl = tokenize_doc(doc, cfg)
+                merge_path_postings(postings, name,
+                                    DIR_EXTRACT_PATH,
+                                    DIR_EXTRACT_DEFAULTS, cfg)
+                ours = sorted(
+                    ((f, t, int(pos), int(st))
+                     for (f, t), pl in postings.items()
+                     for pos, st in zip(pl.positions, pl.structures)),
+                    key=lambda t: (t[2], t[0], t[1]))
+            theirs = sorted(fix.get(name, []),
+                            key=lambda t: (t[2], t[0], t[1]))
+            if ours != theirs:
+                mismatched.append(name)
+        assert mismatched == []
+
+
+class TestDirectiveBatteryOracle:
+    _run = TestBatteryOracle._run
+
+    def test_dir(self, dir_oracle):
+        # IgnoreTotalWordCountWhenRanking 0: R 0 normalizes by word
+        # count and R 1 is allowed — like corpus "ref"
+        id_to_name = {d: p["url"] for d, p in dir_oracle.docs.items()}
+        self._run(dir_oracle, "dir", id_to_name, ignore_twc=False)
+
+
+class TestDirectiveBatteryEngine:
+    @pytest.fixture(scope="class")
+    def dir_engine(self, spark, gen_corpus, tmp_path_factory):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.index.builder import (
+            IndexConfig, IndexHandle, build_index,
+        )
+        from swish_e_spark.query.executor import SparkQueryEngine
+
+        if not os.path.exists(os.path.join(FIX, "tokens_dir.tsv")):
+            pytest.skip("fixtures for dir not generated")
+        rows = [(name, bytes(row["html"]))
+                for name, row in zip(_gen_names(gen_corpus),
+                                     gen_corpus)]
+        pages = (spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "blob"]))
+            .select("url",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("warc_ts"),
+                    F.col("blob").alias("html"),
+                    F.lit("").alias("text"), F.lit("en").alias("lang")))
+        out = str(tmp_path_factory.mktemp("refbin_dir_idx"))
+        cfg = IndexConfig(
+            n_buckets=8, metanames=("meta1", "meta2", "meta3"),
+            meta_aliases=DIR_META_ALIASES,
+            ignore_meta_tags=tuple(DIR_IGNORE_TAGS),
+            bump_pos_chars=DIR_BUMP_CHARS,
+            extract_path=DIR_EXTRACT_PATH,
+            extract_path_defaults=DIR_EXTRACT_DEFAULTS,
+            properties=_dir_props(),
+            ignore_total_word_count=False)
+        build_index(spark, pages, out, cfg, n_shards=2)
+        return SparkQueryEngine(spark, IndexHandle(spark, out))
+
+    def test_dir(self, dir_engine):
+        from swish_e_spark.query.swishrank import spark_swish_search
+
+        docs = {r["doc_id"]: r["url"]
+                for r in dir_engine.handle.docs()
+                .select("doc_id", "url").collect()}
+        spec, expect = _load_battery("dir")
+        for qid, s in sorted(spec.items()):
+            q, kw = _spec_to_kwargs(s)
+            got = spark_swish_search(dir_engine, q, scaled=True,
+                                     ignore_total_word_count=False,
+                                     **kw)
             ours = {(rank, docs[d]) for d, rank in got}
             assert ours == expect[qid], qid
