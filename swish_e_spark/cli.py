@@ -62,6 +62,7 @@ class Params:
     verbose: int = 0                  # -v
     economy: bool = False             # -e (no-op: staged parquet)
     phrase_delim: str = '"'           # -P phrase delimiter char
+    debug_opts: list = field(default_factory=list)  # -T dumps
     version: bool = False             # -V
     # snapshot extensions (no reference analogue — the lakehouse side
     # of the index; see index/builder.py commit_manifest)
@@ -170,7 +171,10 @@ def _parse_argv(argv: list[str]) -> Params:
             # of the param is used)
             w = vals("P", 1)[0]
             p.phrase_delim = w[0]
-        elif flag in ("l", "a", "o", "E", "W", "D", "T"):
+        elif flag == "T":
+            # -T index introspection dumps (dump.c; -T help lists)
+            p.debug_opts.extend(w.lower() for w in vals("T", 1))
+        elif flag in ("l", "a", "o", "E", "W", "D"):
             vals(flag, 0)  # accepted for compat; no-op here
         elif flag == "V":
             p.version = True
@@ -567,6 +571,134 @@ def _run_keywords(p: Params, spark, out) -> int:
     return 0
 
 
+_T_OPTS = ("index_header", "index_words", "index_words_only",
+           "index_words_meta", "index_words_full", "index_stopwords",
+           "index_files", "index_word_count", "index_metanames",
+           "index_all", "list_fuzzy_modes", "help")
+
+
+def _run_debug(p: Params, spark, out) -> int:
+    """-T index introspection (dump.c surface). Formats follow the
+    reference's shapes; metaIDs print as FIELD NAMES (this engine's
+    postings carry names, not numeric ids — documented divergence)."""
+    from .index.builder import IndexHandle
+    from .query.output import info
+
+    opts = set(p.debug_opts)
+    unknown = opts - set(_T_OPTS)
+    if unknown:
+        raise CliError(f"-T: unknown option(s) {sorted(unknown)} "
+                       f"(try -T help)")
+    if "help" in opts:
+        for o in _T_OPTS[:-1]:
+            print(f"  {o.upper()}", file=out)
+        return 0
+    if "list_fuzzy_modes" in opts:
+        from .config import _FUZZY_MODES
+
+        for m in sorted(set(_FUZZY_MODES.values()) | {"none"}):
+            print(m, file=out)
+        opts.discard("list_fuzzy_modes")
+        if not opts:
+            return 0
+    if not p.index_files:
+        raise CliError("specify an index with -f")
+    handle = IndexHandle(spark, p.index_files[0],
+                         snapshot=p.as_of)
+    if "index_all" in opts:
+        opts |= {"index_header", "index_words", "index_stopwords",
+                 "index_files", "index_word_count", "index_metanames"}
+    if "index_header" in opts:
+        i = info(handle)
+        cfg = handle.cfg
+        print(f"# Name: {i['config'].get('index_name', '')}", file=out)
+        print(f"# Saved as: {handle.out_dir}", file=out)
+        # "# Total Words" is the UNIQUE word count in the reference
+        # header dump (verified: 14 uniques / 18 positions on a probe)
+        n_terms = handle.terms().select("term").distinct().count()
+        print(f"# Total Words: {n_terms}", file=out)
+        print(f"# Total Files: {i['doc_count']}", file=out)
+        print(f"# Removed Files: {i['removed_count']}", file=out)
+        print(f"# Total Word Pos: {handle.stats['total_pos']}",
+              file=out)
+        print(f"# Shards: {i['n_shards']}", file=out)
+        print(f"# FuzzyIndexingMode: {cfg.fuzzy or 'NoFuzzy'}",
+              file=out)
+        print(f"# MinWordLimit: {cfg.min_word_len}", file=out)
+        print(f"# MaxWordLimit: {cfg.max_word_len}", file=out)
+        print("# IgnoreTotalWordCountWhenRanking: "
+              f"{int(bool(cfg.ignore_total_word_count))}", file=out)
+    if "index_metanames" in opts:
+        from .textproc.docprops import specs_of
+
+        print(f"\n-----> METANAMES for {handle.out_dir} <-----",
+              file=out)
+        names = (["swishdefault"] + sorted(handle.cfg.metanames or ()))
+        for n in dict.fromkeys(names):
+            print(f"{n:>20} : META_INDEX", file=out)
+        for a, b in handle.cfg.meta_aliases or ():
+            print(f"{a:>20} : META_INDEX alias -> {b}", file=out)
+        for s in specs_of(handle.cfg.properties).values():
+            kind = {"string": "STRING", "int": "NUMBER",
+                    "date": "DATE"}[s.kind]
+            flags = "" if s.kind != "string" else (
+                " META_IGNORE_CASE" if s.ignore_case else "")
+            print(f"{s.name:>20} : META_PROP:{kind}{flags}", file=out)
+    if "index_stopwords" in opts:
+        from .textproc.stopwords import DEFAULT_STOPWORDS
+
+        sw = (DEFAULT_STOPWORDS if handle.cfg.stopwords is None
+              else handle.cfg.stopwords)
+        for w in sorted(sw):
+            print(w, file=out)
+    if opts & {"index_words", "index_words_only", "index_words_meta",
+               "index_words_full"}:
+        from pyspark.sql import functions as F
+
+        terms = handle.terms()
+        if "index_words_only" in opts:
+            for r in (terms.select("term").distinct()
+                      .orderBy("term").collect()):
+                print(r["term"], file=out)
+        if "index_words_meta" in opts:
+            for r in (terms.select("term", "field").distinct()
+                      .orderBy("term", "field").collect()):
+                print(f"{r['term']}\t{r['field']}", file=out)
+        if opts & {"index_words", "index_words_full"}:
+            print(f"\n-----> WORD INFO in index {handle.out_dir} "
+                  f"<-----\n", file=out)
+            rows = (terms.groupBy("term", "field")
+                    .agg(F.sum("df").alias("df"),
+                         F.sum("cf").alias("cf"))
+                    .orderBy("term", "field").collect())
+            for r in rows:
+                print(f"{r['term']} [{r['field']} df={r['df']} "
+                      f"cf={r['cf']}]", file=out)
+    if "index_word_count" in opts:
+        # per-file word totals (the reference refuses unless counts
+        # were stored; this format always stores doc_len)
+        for r in (handle.docs().select("url", "doc_len")
+                  .orderBy("url").collect()):
+            print(f"{r['doc_len']:8d} {r['url']}", file=out)
+    if "index_files" in opts:
+        from .query.output import PROP_COLS, user_props
+
+        u = user_props(handle.cfg)
+        ucols = sorted({c for c, _ in u.values()})
+        print(f"\n-----> FILES in index {handle.out_dir} <-----",
+              file=out)
+        for r in (handle.docs()
+                  .select("doc_id", *PROP_COLS, *ucols)
+                  .orderBy("doc_id").collect()):
+            print(f"Dumping File Properties for File Number: "
+                  f"{r['doc_id'] + 1}", file=out)
+            for c in PROP_COLS + ucols:
+                v = r[c]
+                if v is not None and v != "":
+                    print(f"  {c}: {v}", file=out)
+    return 0
+
+
 def _run_snapshots(p: Params, out) -> int:
     """--snapshots: list committed versions of an index (driver-side
     manifest listing, no Spark session needed)."""
@@ -621,6 +753,10 @@ def main(argv=None, spark=None, out=None) -> int:
             return _run_merge(p, _get_spark(spark), out)
         if p.keyword_char is not None:
             return _run_keywords(p, _get_spark(spark), out)
+        if p.debug_opts and p.query is None:
+            if set(p.debug_opts) <= {"help", "list_fuzzy_modes"}:
+                return _run_debug(p, None, out)
+            return _run_debug(p, _get_spark(spark), out)
         if p.query is not None:
             return _run_search(p, _get_spark(spark), out)
         if p.index_dirs or p.config_files:

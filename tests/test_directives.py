@@ -343,6 +343,54 @@ class TestPhraseDelimiter:
         assert hits('alpha "beta', "-P", "'")         # stray " ok
 
 
+class TestDebugDumps:
+    def test_T_surface(self, spark, tmp_path):
+        # -T introspection dumps (dump.c surface): header counts,
+        # words-only byte order (numbers before letters, like the
+        # binary), per-file word counts, metanames table
+        import io
+
+        from swish_e_spark.cli import main
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "x.html").write_bytes(
+            b'<html><body><meta name="n" content="42">zeta alpha 9'
+            b"</body></html>")
+        idx = str(tmp_path / "idx")
+        conf = tmp_path / "c"
+        conf.write_text("PropertyNamesNumeric n\nMetaNames m\n"
+                        "MetaNameAlias m malias\n")
+        assert main(["-c", str(conf), "-i", str(d), "-f", idx],
+                    spark=spark, out=io.StringIO()) == 0
+
+        def run(*t):
+            out = io.StringIO()
+            assert main(["-f", idx, *t], spark=spark, out=out) == 0
+            return out.getvalue().splitlines()
+
+        words = run("-T", "index_words_only")
+        assert words == sorted(words)           # byte order
+        assert "42" in words and "zeta" in words
+        hdr = run("-T", "index_header")
+        assert any(l.startswith("# Total Words: ") for l in hdr)
+        assert any(l == "# Total Files: 1" for l in hdr)
+        wc = run("-T", "index_word_count")
+        assert wc and wc[0].strip().startswith("4 ")  # 42 zeta alpha 9
+        meta = run("-T", "index_metanames")
+        assert any("META_PROP:NUMBER" in l for l in meta)
+        assert any("alias -> m" in l for l in meta)
+        files = run("-T", "index_files")
+        assert any("File Number: 1" in l for l in files)
+        assert any("prop_n: 42" in l for l in files)
+        # unknown option refused like the binary
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            main(["-f", idx, "-T", "bogus_opt"], spark=spark,
+                 out=io.StringIO())
+
+
 class TestAutoProperties:
     def test_fmt_val_date_default(self):
         # binary default date rendering: '%Y-%m-%d %H:%M:%S UTC'
