@@ -182,6 +182,26 @@ class TestConfig:
         with pytest.raises(ConfigError):
             parse_config("PropertyNameAlias nosuch x\n")
 
+    def test_reference_shipped_configs_parse(self):
+        # a reference user's config file works: the repo's own shipped
+        # configs parse with ZERO unknown directives (example3 uses
+        # 'UndefinedMetaNames', stale even for the 2.5.8 binary —
+        # parse_conffile.c only accepts UndefinedMetaTags)
+        import glob
+        import os
+
+        from swish_e_spark.config import parse_config_file
+
+        confs = (glob.glob("/root/reference/conf/example[1-3].config")
+                 + glob.glob("/root/reference/tests/*.config"))
+        if not confs:
+            pytest.skip("reference tree not available")
+        for f in sorted(confs):
+            conf = parse_config_file(f)
+            unknown = [d for d, _ in conf.unknown
+                       if d.lower() != "undefinedmetanames"]
+            assert unknown == [], os.path.basename(f)
+
     def test_stopwords_synonym(self):
         conf = parse_config("StopWords foo bar\n")
         assert set(conf.kwargs["stopwords"]) == {"foo", "bar"}
