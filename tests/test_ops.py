@@ -742,6 +742,32 @@ class TestMp4Container:
 class TestMpegAudio:
     """MPEG audio frame-walk pins (ops/mpegaudio.py)."""
 
+    REAL_MP3 = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/"
+                "tests/test_data/test.mp3")
+
+    def test_real_world_mp3(self):
+        # a third-party MP3 found on this host (ID3v2 tag + MPEG-2
+        # Layer III, 22.05 kHz mono): the walker must survive the tag
+        # prefix and produce consistent stream info — the self-built
+        # fixtures alone can't prove real-file robustness
+        import os
+
+        from swish_e_spark.ops.mpegaudio import (
+            mpeg_audio_info, walk_frames,
+        )
+
+        if not os.path.exists(self.REAL_MP3):
+            pytest.skip("host test.mp3 not available")
+        raw = open(self.REAL_MP3, "rb").read()
+        info = mpeg_audio_info(raw)
+        assert info["layer"] == 3 and info["version"] == "2"
+        assert info["samplerate"] == 22050 and info["channels"] == 1
+        assert info["n_frames"] == 45
+        assert info["duration_ms"] == 1175
+        frames = list(walk_frames(raw))
+        assert len(frames) == 45
+        assert frames[0][0] == 32  # first frame right after the tag
+
     def test_build_walk_roundtrip(self):
         from swish_e_spark.ops.mpegaudio import build_mp3, walk_frames
 
