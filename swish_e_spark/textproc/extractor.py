@@ -484,6 +484,10 @@ class _SwishHTMLParser(HTMLParser):
             if closers is None or new_tag in closers:
                 self._open_blocks.pop()
                 self._flush()
+                # libxml2 fires the end-element callback for implied
+                # closes too, so an open property element (e.g. an
+                # aliased <td>) closes here as well
+                self._prop_pop(top)
                 self._pending += 1
             else:
                 break
@@ -499,6 +503,7 @@ class _SwishHTMLParser(HTMLParser):
                 break
             self._open_blocks.pop()
             self._flush()
+            self._prop_pop(top)  # implied close ends its capture too
             self._pending += 1
         if self._open_blocks and self._open_blocks[-1] == tag:
             self._open_blocks.pop()

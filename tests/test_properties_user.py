@@ -94,6 +94,18 @@ class TestCapture:
         ch = chunks(html, {"cat"}, aliases={"kitty": "cat"})
         assert finalize(S("cat"), ch["cat"]) == "v"
 
+    def test_implied_close_bounds_capture(self):
+        # binary (PropertyNameAlias description td): unclosed <td>
+        # cells close at the next <td>/</tr>, so the property is
+        # 'one cell two cell' — NOT the trailing body text (libxml2
+        # fires end callbacks for implied closes)
+        html = (b"<html><body><table><tr><td>one cell<td>two cell"
+                b"</tr></table> after tail</body></html>")
+        ch = chunks(html, {"description"},
+                    aliases={"td": "description"})
+        assert finalize(S("description"), ch["description"]) == \
+            "one cell two cell"
+
     def test_xml_mode_capture(self):
         doc = extract(b"<all><cat>apple pie</cat><t>z</t></all>",
                       doctype="xml", properties=frozenset({"cat"}))
