@@ -486,8 +486,11 @@ class _SwishHTMLParser(HTMLParser):
                 self._flush()
                 # libxml2 fires the end-element callback for implied
                 # closes too, so an open property element (e.g. an
-                # aliased <td>) closes here as well
+                # aliased <td>) and an open IgnoreMetaTags section
+                # close here as well
                 self._prop_pop(top)
+                if self._ignore_stack and self._ignore_stack[-1] == top:
+                    self._ignore_stack.pop()
                 self._pending += 1
             else:
                 break
@@ -504,6 +507,8 @@ class _SwishHTMLParser(HTMLParser):
             self._open_blocks.pop()
             self._flush()
             self._prop_pop(top)  # implied close ends its capture too
+            if self._ignore_stack and self._ignore_stack[-1] == top:
+                self._ignore_stack.pop()
             self._pending += 1
         if self._open_blocks and self._open_blocks[-1] == tag:
             self._open_blocks.pop()
@@ -762,9 +767,13 @@ class _SwishHTMLParser(HTMLParser):
         if tag in _KNOWN_HTML_TAGS or header:
             # known non-inline: flush FIRST, then bump
             self._flush()
-            # a known html element can be a property or the
-            # StoreDescription tag (PropertyNameAlias description td…)
+            # a known html element can be a property, the
+            # StoreDescription tag (PropertyNameAlias description td…),
+            # or an IgnoreMetaTags section (binary: 'IgnoreMetaTags li'
+            # drops every list item's text)
             self._prop_push(tag)
+            if tag in self.ignore_meta_tags:
+                self._ignore_stack.append(tag)
             if tag in _HEAD_TAGS or (tag == "style"
                                      and self._head_open):
                 self._open_head()
@@ -840,6 +849,8 @@ class _SwishHTMLParser(HTMLParser):
         if tag in _KNOWN_HTML_TAGS or header:
             self._flush()
             self._prop_pop(tag)
+            if self._ignore_stack and self._ignore_stack[-1] == tag:
+                self._ignore_stack.pop()
             if header:
                 self._header_depth = max(0, self._header_depth - 1)
             self._close_down_to(tag)  # implied </li> etc. bump first

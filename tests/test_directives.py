@@ -50,6 +50,17 @@ class TestIgnoreMetaTags:
         assert toks == [("swishdefault", "aa", 4),
                         ("swishdefault", "bb", 7)]
 
+    def test_known_html_tag_section(self):
+        # binary (IgnoreMetaTags li): every list item's text drops —
+        # including items closed IMPLICITLY by the next <li>/</ul> —
+        # and the tail indexes at visible@10 tail@11
+        doc = extract(b"<html><body><ul><li>secret words<li>second "
+                      b"cell</ul> visible tail</body></html>",
+                      ignore_meta_tags=frozenset({"li"}))
+        toks, _ = _stream(doc)
+        assert toks == [("swishdefault", "visible", 10),
+                        ("swishdefault", "tail", 11)]
+
     def test_nested_declared_meta_also_dropped(self):
         # text under a declared metaname inside the ignored section
         # is dropped too (the ignore stack wins)
