@@ -491,6 +491,10 @@ class _SwishHTMLParser(HTMLParser):
                 self._prop_pop(top)
                 if self._ignore_stack and self._ignore_stack[-1] == top:
                     self._ignore_stack.pop()
+                if self._html_meta_stack \
+                        and self._html_meta_stack[-1] == \
+                        self._alias(top):
+                    self._html_meta_stack.pop()
                 self._pending += 1
             else:
                 break
@@ -509,6 +513,9 @@ class _SwishHTMLParser(HTMLParser):
             self._prop_pop(top)  # implied close ends its capture too
             if self._ignore_stack and self._ignore_stack[-1] == top:
                 self._ignore_stack.pop()
+            if self._html_meta_stack \
+                    and self._html_meta_stack[-1] == self._alias(top):
+                self._html_meta_stack.pop()
             self._pending += 1
         if self._open_blocks and self._open_blocks[-1] == tag:
             self._open_blocks.pop()
@@ -781,6 +788,14 @@ class _SwishHTMLParser(HTMLParser):
                 self._close_implied_p()
                 self._implied_close_for_start(tag)
                 self._ensure_body()
+                if tag not in self.ignore_meta_tags \
+                        and self.metanames is not None \
+                        and (tag in self.metanames
+                             or self._alias(tag) in self.metanames):
+                    # a DECLARED metaname that is also a known html
+                    # element scopes its subtree (binary: MetaNames li
+                    # puts item text under field li with IN_META)
+                    self._html_meta_stack.append(self._alias(tag))
                 self._open_blocks.append(tag)
             self._pending += 1
             if header:
@@ -851,6 +866,9 @@ class _SwishHTMLParser(HTMLParser):
             self._prop_pop(tag)
             if self._ignore_stack and self._ignore_stack[-1] == tag:
                 self._ignore_stack.pop()
+            if self._html_meta_stack \
+                    and self._html_meta_stack[-1] == self._alias(tag):
+                self._html_meta_stack.pop()
             if header:
                 self._header_depth = max(0, self._header_depth - 1)
             self._close_down_to(tag)  # implied </li> etc. bump first

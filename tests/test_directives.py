@@ -72,6 +72,25 @@ class TestIgnoreMetaTags:
         assert [(f, t) for f, t, _ in toks] == [("swishdefault", "out")]
 
 
+class TestKnownTagMetaScope:
+    def test_declared_known_element_scopes(self):
+        # binary (MetaNames li): item text indexes under field li with
+        # the META bit — item@6 one@7 / item@10 two@11 (implicit
+        # closes), plain@14 tail@15 back in swishdefault
+        from swish_e_spark.textproc.extractor import IN_META
+
+        doc = extract(b"<html><body><ul><li>item one<li>item two</ul>"
+                      b" plain tail</body></html>",
+                      metanames=frozenset({"li"}))
+        toks, _ = _stream(doc)
+        assert toks == [("li", "item", 6), ("li", "one", 7),
+                        ("li", "item", 10), ("li", "two", 11),
+                        ("swishdefault", "plain", 14),
+                        ("swishdefault", "tail", 15)]
+        p, _n = tokenize_doc(doc, CFG)
+        assert p[("li", "item")].structures[0] & IN_META
+
+
 class TestBumpPositionCounterChars:
     def test_binary_positions(self):
         # binary -T index_words over the same doc, chars ".,-":
