@@ -10,10 +10,12 @@ that is per-query fixed cost:
    query's leaves (terms + expanded prefixes/patterns),
 2. ONE decode pass (positions only if some query is positional),
 3. ONE shuffle co-locating each doc's leaf rows,
-4. a per-doc evaluation kernel that runs every query's AST against the
-   doc's leaf map (document-at-a-time over the whole battery — the
-   DAAT loop of the reference, /root/reference/src/search.c:2249-2637,
-   widened across queries),
+4. a per-partition evaluation kernel: non-positional queries (Term /
+   Prefix / Pattern / AND / OR / AND-NOT) evaluate as numpy column
+   arithmetic over factorized (doc, leaf) codes — zero Python per doc;
+   queries with phrase/NEAR nodes fall back to a per-doc AST walk (the
+   DAAT loop of the reference, /root/reference/src/search.c:2249-2637)
+   restricted to the docs that contain at least one of their leaves,
 5. per-partition top-k, then one tiny per-query merge.
 
 The per-doc evaluator mirrors ``oracle.engine.OracleIndex._eval``
@@ -192,36 +194,160 @@ def eval_doc(node, entries, dl, idf, avgdl, expansions):
     raise TypeError(f"unsupported node in batch eval: {node!r}")
 
 
+def _is_positional(node) -> bool:
+    """True if the AST contains a Phrase or NEAR node anywhere —
+    those need per-doc position arrays; everything else is pointwise
+    arithmetic on (tf, dl) and vectorizes."""
+    if isinstance(node, (Phrase, Near)):
+        return True
+    if isinstance(node, (And, Or, AndNot)):
+        return _is_positional(node.left) or _is_positional(node.right)
+    if isinstance(node, Not):
+        return _is_positional(node.child)
+    return False
+
+
+def _leaf_vec(field, term, cols, n_docs, np):
+    score = np.zeros(n_docs)
+    present = np.zeros(n_docs, dtype=bool)
+    e = cols.get((field, term))
+    if e is not None:
+        di, sc = e
+        score[di] = sc
+        present[di] = True
+    return score, present
+
+
+def _eval_vec(node, cols, n_docs, expansions, np):
+    """Vectorized ``eval_doc`` over every doc in the partition at once.
+
+    Returns (score: float64[n_docs], present: bool[n_docs]) with score
+    zeroed wherever present is False. Float op order per doc is
+    identical to the scalar walk: leaves scatter exact row scores,
+    Prefix/Pattern accumulate members sequentially in the same sorted
+    vocab order, and `x + 0.0 == x` makes the zero-filled absent sides
+    of AND/OR additions bit-neutral (BM25 scores are finite, never
+    -0.0)."""
+    if isinstance(node, Term):
+        return _leaf_vec(node.field, node.term, cols, n_docs, np)
+    if isinstance(node, (Prefix, Pattern)):
+        score = np.zeros(n_docs)
+        present = np.zeros(n_docs, dtype=bool)
+        for t in expansions[_expansion_key(node)]:
+            s, m = _leaf_vec(node.field, t, cols, n_docs, np)
+            score = score + s
+            present |= m
+        return score, present
+    if isinstance(node, And):
+        ls, lp = _eval_vec(node.left, cols, n_docs, expansions, np)
+        rs, rp = _eval_vec(node.right, cols, n_docs, expansions, np)
+        p = lp & rp
+        return np.where(p, ls + rs, 0.0), p
+    if isinstance(node, Or):
+        ls, lp = _eval_vec(node.left, cols, n_docs, expansions, np)
+        rs, rp = _eval_vec(node.right, cols, n_docs, expansions, np)
+        # both sides are zeroed outside their own presence, so ls + rs
+        # equals the present side exactly when only one matched
+        return ls + rs, lp | rp
+    if isinstance(node, AndNot):
+        ls, lp = _eval_vec(node.left, cols, n_docs, expansions, np)
+        _, rp = _eval_vec(node.right, cols, n_docs, expansions, np)
+        p = lp & ~rp
+        return np.where(p, ls, 0.0), p
+    raise TypeError(f"non-vectorizable node in batch eval: {node!r}")
+
+
 def _batch_kernel(batches, asts, idf, avgdl, expansions, trigger, k):
-    """Per-partition DAAT loop: group rows by doc, evaluate the
-    candidate queries (those with ≥1 leaf present), keep the local
-    top-k per query."""
+    """Per-partition kernel: numpy column evaluation for the
+    non-positional queries, per-doc DAAT walk (restricted to trigger
+    docs) for the positional ones; local top-k per query."""
+    import numpy as np
     import pandas as pd
 
     parts = list(batches)
     if not parts:
         return
     df = pd.concat(parts, ignore_index=True)
+    if not len(df):
+        return
+    vec_asts = [(qid, n) for qid, n in asts if not _is_positional(n)]
+    pos_asts = [(qid, n) for qid, n in asts if _is_positional(n)]
+
+    # factorize docs and leaves; exact per-row BM25 contribution
+    doc_codes, doc_vals = pd.factorize(df["doc_id"])
+    n_docs = len(doc_vals)
+    tf = df["tf"].to_numpy(dtype=np.float64)
+    dl = df["dl"].to_numpy(dtype=np.float64)
+    ad = max(avgdl, 1e-9)
+    impact = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / ad))
+
+    # group rows by (field, term) leaf without string keys (pandas
+    # str concat mangles control-char separators): combine the two
+    # factorized code spaces into one integer leaf code
+    f_codes, f_vals = pd.factorize(df["field"])
+    t_codes, t_vals = pd.factorize(df["term"])
+    nt = len(t_vals)
+    leaf_code = f_codes.astype(np.int64) * nt + t_codes
+    order = np.argsort(leaf_code, kind="stable")
+    sk = leaf_code[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    ends = np.r_[starts[1:], len(sk)]
+    dc_sorted = doc_codes[order]
+    imp_sorted = impact[order]
+    cols = {}  # (field, term) -> (doc_code[], exact row score[])
+    for s0, e0 in zip(starts, ends):
+        f = f_vals[sk[s0] // nt]
+        t = t_vals[sk[s0] % nt]
+        idfv = idf.get((f, t), 0.0)
+        cols[(f, t)] = (dc_sorted[s0:e0], idfv * imp_sorted[s0:e0])
+
     per_query: dict = {qid: [] for qid, _ in asts}
-    ast_by_id = dict(asts)
-    for doc_id, g in df.groupby("doc_id", sort=False):
-        entries = {}
-        for f, t, tf, pos in zip(g["field"], g["term"], g["tf"],
-                                 g["positions"]):
-            entries[(f, t)] = (int(tf), pos)
-        dl = int(g["dl"].iloc[0])
-        cands: set = set()
-        for key in entries:
-            cands.update(trigger.get(key, ()))
-        for qid in cands:
-            r = eval_doc(ast_by_id[qid], entries, dl, idf, avgdl,
-                         expansions)
-            if r is not None:
-                per_query[qid].append((int(doc_id), r[0]))
+
+    for qid, node in vec_asts:
+        score, present = _eval_vec(node, cols, n_docs, expansions, np)
+        sel = np.flatnonzero(present)
+        if not len(sel):
+            continue
+        sc = score[sel]
+        ids = doc_vals[sel]
+        top = np.lexsort((ids, -sc))[:k]
+        per_query[qid] = [(int(ids[i]), float(sc[i])) for i in top]
+
+    if pos_asts:
+        # per-doc walk only over docs holding ≥1 positional-query leaf
+        pos_trigger = {}
+        for qid, node in pos_asts:
+            for leaf in _query_leaves(node, expansions):
+                pos_trigger.setdefault(leaf, []).append(qid)
+        cand = np.zeros(n_docs, dtype=bool)
+        for leaf in pos_trigger:
+            e = cols.get(leaf)
+            if e is not None:
+                cand[e[0]] = True
+        ast_by_id = dict(pos_asts)
+        sub = df[cand[doc_codes]]
+        for doc_id, g in sub.groupby("doc_id", sort=False):
+            entries = {}
+            for f, t, tfv, pos in zip(g["field"], g["term"], g["tf"],
+                                      g["positions"]):
+                entries[(f, t)] = (int(tfv), pos)
+            dlv = int(g["dl"].iloc[0])
+            cands: set = set()
+            for ekey in entries:
+                cands.update(pos_trigger.get(ekey, ()))
+            for qid in cands:
+                r = eval_doc(ast_by_id[qid], entries, dlv, idf, avgdl,
+                             expansions)
+                if r is not None:
+                    per_query[qid].append((int(doc_id), r[0]))
+        for qid, _ in pos_asts:
+            hits = per_query[qid]
+            hits.sort(key=lambda h: (-h[1], h[0]))
+            per_query[qid] = hits[:k]
+
     rows = []
     for qid, hits in per_query.items():
-        hits.sort(key=lambda h: (-h[1], h[0]))
-        rows.extend((qid, d, s) for d, s in hits[:k])
+        rows.extend((qid, d, s) for d, s in hits)
     if rows:
         yield pd.DataFrame(rows,
                            columns=["query_id", "doc_id", "score"])
