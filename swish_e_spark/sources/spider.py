@@ -58,9 +58,12 @@ class FetchResult:
 
 class DictFetcher:
     """Deterministic in-memory web: {url: (content_type, body)} or
-    {url: body} (content type defaults to text/html). Missing → 404."""
+    {url: body} (content type defaults to text/html). Missing → 404.
+    ``redirects`` maps url → target; chains are followed (≤8 hops)
+    and the landing url is reported as ``final_url``, like a real
+    HTTP client that followed 3xx responses."""
 
-    def __init__(self, mapping: dict):
+    def __init__(self, mapping: dict, redirects: dict | None = None):
         self.mapping = {}
         for url, v in mapping.items():
             if isinstance(v, tuple):
@@ -70,12 +73,20 @@ class DictFetcher:
             if isinstance(body, str):
                 body = body.encode("utf-8")
             self.mapping[url] = (ct, body)
+        self.redirects = dict(redirects or {})
 
     def __call__(self, url: str) -> FetchResult:
-        hit = self.mapping.get(url)
+        final = url
+        for _ in range(8):
+            nxt = self.redirects.get(final)
+            if nxt is None:
+                break
+            final = nxt
+        fin = final if final != url else None
+        hit = self.mapping.get(final)
         if hit is None:
-            return FetchResult(404, "text/plain", b"not found")
-        return FetchResult(200, hit[0], hit[1])
+            return FetchResult(404, "text/plain", b"not found", fin)
+        return FetchResult(200, hit[0], hit[1], fin)
 
 
 class FileFetcher:
@@ -194,6 +205,11 @@ def _fetch_extract_kernel(batches, fetcher, allowed_content):
         for url, depth in zip(pdf["url"], pdf["depth"]):
             r = fetcher(url)
             ct = (r.content_type or "").split(";")[0].strip().lower()
+            final = None
+            if r.final_url:
+                f = _normalize(url, r.final_url)
+                if f and f != url:
+                    final = f
             links: list[str] = []
             indexable = False
             if r.status == 200 and ct in allowed_content:
@@ -205,7 +221,7 @@ def _fetch_extract_kernel(batches, fetcher, allowed_content):
                     if doc.noindex:
                         indexable = False  # noindex: don't follow either
                     else:
-                        base = r.final_url or url
+                        base = final or url
                         for ev in doc.events:
                             if ev.field_name != LINKS_FIELD:
                                 continue
@@ -214,10 +230,10 @@ def _fetch_extract_kernel(batches, fetcher, allowed_content):
                                 links.append(u)
             rows.append((url, int(depth), int(r.status), ct,
                          r.body if indexable else None, links,
-                         indexable))
+                         indexable, final))
         yield pd.DataFrame(rows, columns=[
             "url", "depth", "status", "content_type", "html", "links",
-            "indexable"])
+            "indexable", "final_url"])
 
 
 def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
@@ -276,7 +292,35 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
         it, fetcher, allowed_content))
     fetched_schema = ("url string, depth int, status int, "
                       "content_type string, html binary, "
-                      "links array<string>, indexable boolean")
+                      "links array<string>, indexable boolean, "
+                      "final_url string")
+
+    def _apply_policy(df):
+        """JVM-side host + robots policy on df['url'] (the crawl's hot
+        path at scale — never a per-row Python UDF): host policy is an
+        isin on the small allowed set; robots is a broadcast join of
+        the host→Disallow-prefixes map with a vectorized prefix test."""
+        out = (df
+               .withColumn("_host",
+                           F.regexp_extract("url", _NETLOC_RE, 1))
+               .withColumn("_path", F.coalesce(
+                   F.nullif(F.regexp_extract("url", _PATH_RE, 1),
+                            F.lit("")), F.lit("/"))))
+        if cfg.same_host_only:
+            out = out.filter(F.col("_host").isin(sorted(allowed_hosts)))
+        rob_rows = [(h, ps) for h, ps in sorted(robots.items()) if ps]
+        if cfg.obey_robots and rob_rows:
+            rob_df = spark.createDataFrame(
+                rob_rows, "host string, prefixes array<string>")
+            out = (out.join(F.broadcast(rob_df),
+                            out["_host"] == rob_df["host"], "left")
+                   .filter(~F.coalesce(
+                       F.exists("prefixes",
+                                lambda pfx:
+                                F.col("_path").startswith(pfx)),
+                       F.lit(False)))
+                   .drop("host", "prefixes"))
+        return out.drop("_host", "_path")
 
     frontier = spark.createDataFrame(
         [(u, 0) for u in sorted(set(seeds)) if allowed(u)],
@@ -311,6 +355,36 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
             max(1, min(n_frontier, 64)), "url")
             .mapInPandas(kernel, schema=fetched_schema)
             .localCheckpoint())  # fetch exactly once per round
+        if fetched.filter(F.col("final_url").isNotNull()) \
+                .limit(1).count():
+            # a redirected page's identity is the POST-redirect url
+            # (the reference spider indexes $response->base,
+            # prog-bin/spider.pl), so host/robots policy applies to
+            # the landing url — a redirect must not smuggle a
+            # disallowed host/path into the index or its links into
+            # the frontier — and a target already fetched or queued
+            # is a duplicate identity, not a new document
+            plain = fetched.filter(F.col("final_url").isNull())
+            redir = (fetched.filter(F.col("final_url").isNotNull())
+                     .withColumn("url", F.col("final_url")))
+            if cfg.obey_robots and not cfg.same_host_only:
+                _learn_robots(sorted({(
+                    urlsplit(r["url"]).netloc,
+                    urlsplit(r["url"]).scheme)
+                    for r in redir.select("url").distinct().collect()}))
+            redir = (_apply_policy(redir)
+                     .join(visited, "url", "left_anti"))
+            from pyspark.sql import Window
+
+            wdup = Window.partitionBy("url").orderBy("depth", "status")
+            redir = (redir
+                     .withColumn("_rn", F.row_number().over(wdup))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+            fetched = plain.unionByName(redir).localCheckpoint()
+            # landing identities join the visited set so later links
+            # to them are not re-enqueued (and re-indexed)
+            visited = visited.unionByName(
+                redir.select("url")).localCheckpoint()
         got = (fetched.filter("indexable")
                .select("url", "depth", "status", "content_type",
                        "html")
@@ -330,41 +404,16 @@ def crawl(spark, seeds, fetcher, cfg: SpiderConfig | None = None):
                 .filter(F.col("depth") <= cfg.max_depth)
                 .join(visited, "url", "left_anti")
                 .localCheckpoint())
-        cand = (cand
-                .withColumn("_host",
-                            F.regexp_extract("url", _NETLOC_RE, 1))
-                .withColumn("_path", F.coalesce(
-                    F.nullif(F.regexp_extract("url", _PATH_RE, 1),
-                             F.lit("")), F.lit("/"))))
         # robots for hosts first seen this round: driver-side, one
         # fetch per NEW host ever (the collect is host-cardinality
         # metadata, not page data)
         if cfg.obey_robots and not cfg.same_host_only:
             hs = (cand.select(
-                F.col("_host").alias("h"),
+                F.regexp_extract("url", _NETLOC_RE, 1).alias("h"),
                 F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("s"))
                 .distinct().collect())
             _learn_robots(sorted((r["h"], r["s"]) for r in hs))
-        # policy filter stays JVM-side: a per-row Python UDF here is
-        # the crawl's hot path at scale. Host policy is an isin on the
-        # (small) allowed set; robots is a broadcast join of the
-        # host→Disallow-prefixes map with a vectorized prefix test.
-        nxt = cand
-        if cfg.same_host_only:
-            nxt = nxt.filter(F.col("_host").isin(sorted(allowed_hosts)))
-        rob_rows = [(h, ps) for h, ps in sorted(robots.items()) if ps]
-        if cfg.obey_robots and rob_rows:
-            rob_df = spark.createDataFrame(
-                rob_rows, "host string, prefixes array<string>")
-            nxt = (nxt.join(F.broadcast(rob_df),
-                            nxt["_host"] == rob_df["host"], "left")
-                   .filter(~F.coalesce(
-                       F.exists("prefixes",
-                                lambda pfx:
-                                F.col("_path").startswith(pfx)),
-                       F.lit(False)))
-                   .drop("host", "prefixes"))
-        nxt = nxt.drop("_host", "_path").localCheckpoint()
+        nxt = _apply_policy(cand).localCheckpoint()
         # every CANDIDATE is marked visited, allowed or not — robots
         # rules are fetched once, so a disallowed url stays disallowed
         # and re-examining it every round is pure waste

@@ -488,6 +488,57 @@ class TestSpider:
                      SpiderConfig(max_depth=2)).collect()}
         assert got == {"https://sec.com/", "https://sec.com/pub"}
 
+    def test_crawl_redirect_policy_and_identity(self, spark):
+        """A redirected page's identity is the POST-redirect url (the
+        reference spider indexes $response->base, prog-bin/spider.pl),
+        host/robots policy re-applies to the landing url, and a target
+        already linked directly collapses to ONE document."""
+        web = dict(WEB)
+        web["http://ex.com/"] = (
+            b"<html><body>home heron"
+            b"<a href='/moved'>m</a>"
+            b"<a href='/offsite'>o</a>"
+            b"<a href='/hidden2'>h</a>"
+            b"<a href='/moved-target'>direct</a></body></html>")
+        web["http://ex.com/moved-target"] = (
+            b"<html><body>landed heron</body></html>")
+        redirects = {
+            "http://ex.com/moved": "http://ex.com/moved-target",
+            "http://ex.com/offsite": "http://other.com/c",
+            "http://ex.com/hidden2": "http://ex.com/private/x",
+        }
+        pages = crawl(spark, ["http://ex.com/"],
+                      DictFetcher(web, redirects),
+                      SpiderConfig(max_depth=2))
+        rows = pages.collect()
+        # off-host and robots-disallowed landing urls are dropped even
+        # though the REDIRECTING url passed policy at enqueue time
+        assert {r["url"] for r in rows} == {
+            "http://ex.com/", "http://ex.com/moved-target"}
+        assert len(rows) == 2  # no duplicate moved-target identity
+
+    def test_crawl_redirect_lands_on_new_identity(self, spark):
+        """A redirect to a never-linked url indexes under the landing
+        url, keeps the hop's depth, and follows the landing page's
+        links (resolved against the final base)."""
+        web = {
+            "http://ex.com/robots.txt": ("text/plain", b""),
+            "http://ex.com/":
+                b"<html><body>root <a href='/r'>r</a></body></html>",
+            "http://ex.com/land":
+                b"<html><body>landing "
+                b"<a href='/next'>n</a></body></html>",
+            "http://ex.com/next": b"<html><body>nextpage</body></html>",
+        }
+        pages = crawl(
+            spark, ["http://ex.com/"],
+            DictFetcher(web, {"http://ex.com/r": "http://ex.com/land"}),
+            SpiderConfig(max_depth=3))
+        got = {r["url"]: r["depth"] for r in pages.collect()}
+        assert set(got) == {"http://ex.com/", "http://ex.com/land",
+                            "http://ex.com/next"}
+        assert got["http://ex.com/land"] == 1
+
     def test_file_fetcher(self, tmp_path):
         root = tmp_path / "web"
         os.makedirs(root / "sub")
