@@ -29,9 +29,16 @@ from dataclasses import dataclass, field
 VERSION = "swish-e-spark 4.0 (reference-compatible CLI)"
 
 
+# -E error routing (set_error_handle, /root/reference/src/swish.c:
+# 800-820): None → stderr; set per main() invocation, reset on entry
+_error_out = None
+
+
 class CliError(SystemExit):
     def __init__(self, msg: str, code: int = 1):
-        print(f"err: {msg}", file=sys.stderr)
+        sink = _error_out or sys.stderr
+        print(f"err: {msg}", file=sink)
+        sink.flush()  # -E sinks must be readable before process exit
         super().__init__(code)
 
 
@@ -61,6 +68,7 @@ class Params:
     update_mode: str | None = None    # -u update / -r remove
     verbose: int = 0                  # -v
     economy: bool = False             # -e (no-op: staged parquet)
+    raw_rank: bool = False            # -a unscaled swishrank values
     phrase_delim: str = '"'           # -P phrase delimiter char
     debug_opts: list = field(default_factory=list)  # -T dumps
     version: bool = False             # -V
@@ -170,11 +178,32 @@ def _parse_argv(argv: list[str]) -> Params:
             # -P: phrase delimiter char (swish.c:666-672; first char
             # of the param is used)
             w = vals("P", 1)[0]
+            if not w:
+                raise CliError("-P requires a delimiter character")
             p.phrase_delim = w[0]
         elif flag == "T":
             # -T index introspection dumps (dump.c; -T help lists)
             p.debug_opts.extend(w.lower() for w in vals("T", 1))
-        elif flag in ("l", "a", "o", "E", "W", "D"):
+        elif flag == "a":
+            # return unscaled swishrank values (SwishReturnRawRank,
+            # /root/reference/src/swish.c:1278, docprop.c:371)
+            vals("a", 0)
+            p.raw_rank = True
+        elif flag == "E":
+            # route error output: -E file appends, bare -E → stderr
+            # (/root/reference/src/swish.c:800-820)
+            global _error_out
+            w = vals("E", 0)
+            if w:
+                try:
+                    _error_out = open(w[0], "a")
+                except OSError as e:
+                    raise CliError("Failed to open Error file "
+                                   f"{w[0]!r} for appending: {e}") \
+                        from None
+            else:
+                _error_out = None
+        elif flag in ("l", "o", "W", "D"):
             vals(flag, 0)  # accepted for compat; no-op here
         elif flag == "V":
             p.version = True
@@ -251,12 +280,12 @@ def _run_search(p: Params, spark, out) -> int:
         raise CliError(str(e), 2) from None
 
     if p.phrase_delim != '"':
-        # -P: the chosen char becomes the phrase delimiter and '"'
-        # becomes an ordinary character the tokenizer strips
-        # (binary-verified: -P \' makes 'aa bb' a phrase and leaves a
-        # stray " harmless)
-        p.query = p.query.replace('"', " ").replace(p.phrase_delim,
-                                                    '"')
+        # -P: the chosen char becomes the phrase delimiter at the
+        # parser level and '"' rides into the word tokenizer as an
+        # ordinary character (stripped unless it is a WordCharacter) —
+        # no string rewriting, so a stray " can never split a token
+        for eng in engines:
+            eng.phrase_delim = p.phrase_delim
     mask = _structure_mask(p.structure) if p.structure else None
     limits = dict(_typed_limit(*t) for t in p.limits) or None
     from .query.output import user_props
@@ -264,7 +293,18 @@ def _run_search(p: Params, spark, out) -> int:
     if limits:
         # -L on a user property: resolve the docs column and type the
         # bounds from the PropSpec (numeric/date need int epochs,
-        # setlimit_params, /root/reference/src/proplimit.c)
+        # setlimit_params, /root/reference/src/proplimit.c). With
+        # multiple -f indexes the property must resolve in EVERY index
+        # (the reference resolves per index and errors on a miss) —
+        # otherwise the filter column would not exist in some scan.
+        for prop in list(limits):
+            if any(prop in user_props(e.handle.cfg) for e in engines):
+                for e in engines:
+                    if prop not in user_props(e.handle.cfg):
+                        raise CliError(
+                            "Failed to setup limit by property: "
+                            f"index {e.handle.out_dir!r} does not "
+                            f"define property {prop!r}")
         lm = {}
         for prop, (lo, hi) in limits.items():
             if prop in uprops:
@@ -289,7 +329,8 @@ def _run_search(p: Params, spark, out) -> int:
         (p.props or ["url", "title"]) + _fmt_props(fmt)))
 
     try:
-        _node, pinfo = parse_query_info(p.query, engines[0].cfg)
+        _node, pinfo = parse_query_info(
+            p.query, engines[0].cfg, phrase_delim=p.phrase_delim)
     except Exception as e:  # QueryError/WordsTooCommon → err: exit 1
         raise CliError(str(e)) from None
     if p.header_level >= 1:
@@ -322,9 +363,13 @@ def _run_search(p: Params, spark, out) -> int:
         twc_ignored = bool(getattr(engines[0].handle.cfg,
                                    "ignore_total_word_count", True))
         try:
+            # -a returns the UNSCALED swishrank (SwishReturnRawRank,
+            # docprop.c:371-373) instead of the 1-1000 display scaling;
+            # BM25 (-R 2) scores are raw by nature, so -a only affects
+            # the swish schemes
             pairs = spark_swish_search(
                 engines[0], p.query, k=begin + k,
-                scheme=p.rank_scheme, scaled=True,
+                scheme=p.rank_scheme, scaled=not p.raw_rank,
                 ignore_total_word_count=twc_ignored,
                 structure_mask=mask, limits=limits)
         except QueryError as e:
@@ -735,6 +780,8 @@ def _run_expire(p: Params, out) -> int:
 
 
 def main(argv=None, spark=None, out=None) -> int:
+    global _error_out
+    _error_out = None  # -E routing is per-invocation
     argv = sys.argv[1:] if argv is None else argv
     out = out or sys.stdout
     if not argv:

@@ -379,7 +379,8 @@ def search_batch(engine, queries, k: int = 10):
     engine.handle.ensure_current()
     asts = []
     for qid, qs in queries.items():
-        node = parse_query(qs, engine.cfg)
+        node = parse_query(qs, engine.cfg,
+                           phrase_delim=getattr(engine, 'phrase_delim', '"'))
         if _has_not(node):
             raise ValueError(
                 f"batch query {qid!r}: unary NOT (complement) is not "

@@ -316,6 +316,9 @@ class SparkQueryEngine:
                 self.cfg,
                 stopwords=self.cfg.stopwords | frozenset(auto))
         self.n_buckets = handle.cfg.n_buckets
+        # -P phrase delimiter override (swish.c:666-672); queries parse
+        # with this char delimiting phrases and '"' as an ordinary char
+        self.phrase_delim = '"'
         self._prefix_cache: dict = {}
         self._df_cache: dict = {}  # (field, term) -> df across queries
         # resident term-dictionary cache: (field, term) -> chunk
@@ -1481,7 +1484,8 @@ class SparkQueryEngine:
         from pyspark.sql import functions as F
 
         self.handle.ensure_current()  # stale caches must error, not lie
-        node = parse_query(q, self.cfg)
+        node = parse_query(q, self.cfg,
+                           phrase_delim=self.phrase_delim)
         if structure_mask is None and wand in ("auto", "force"):
             pruned = self._search_wand(node, k, limits,
                                        force=(wand == "force"))
@@ -1555,7 +1559,8 @@ class SparkQueryEngine:
         from pyspark.sql import functions as F
 
         self.handle.ensure_current()  # stale caches must error, not lie
-        node = parse_query(q, self.cfg)
+        node = parse_query(q, self.cfg,
+                           phrase_delim=self.phrase_delim)
         single = isinstance(node, (Term, Prefix, Pattern)) \
             and structure_mask is None \
             and self.handle.removed() is None

@@ -130,20 +130,34 @@ _TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|=|[^\s()=]+')
 _NEAR_RE = re.compile(r"^near(\d*)$", re.IGNORECASE)
 
 
-def _lex(q: str):
-    if q.count('"') % 2:
+def _token_re(delim: str):
+    """-P swaps the phrase delimiter (swish.c:666-672): the chosen
+    char delimits phrases and '"' becomes an ordinary character that
+    rides into the word tokenizer (stripped unless it is a
+    WordCharacter — no string rewriting, so it can never split or
+    merge tokens)."""
+    if delim == '"':
+        return _TOKEN_RE
+    d = re.escape(delim)
+    return re.compile(d + "[^" + d + "]*" + d + r"|\(|\)|=|[^\s()=]+")
+
+
+def _lex(q: str, delim: str = '"'):
+    if q.count(delim) % 2:
         # the reference refuses unterminated phrase quotes
         # (parse_swish_query syntax error; pinned against the compiled
         # binary: err "missing end quote or unbalanced parenthesis")
         raise QueryError("syntax error: missing end quote")
-    return _TOKEN_RE.findall(q)
+    return _token_re(delim).findall(q)
 
 
 class _Parser:
-    def __init__(self, tokens, cfg: TokenizerConfig, default_field: str):
+    def __init__(self, tokens, cfg: TokenizerConfig, default_field: str,
+                 phrase_delim: str = '"'):
         self.toks = tokens
         self.i = 0
         self.cfg = cfg
+        self.phrase_delim = phrase_delim
         self.default_field = default_field
         self.dropped_stopwords = 0
         self.kept_terms = 0
@@ -262,8 +276,9 @@ class _Parser:
         return self._atom(t, field)
 
     def _atom(self, tok, field):
-        if tok.startswith('"'):
-            words = tokenize_query_text(tok.strip('"'), self.cfg)
+        if tok.startswith(self.phrase_delim):
+            words = tokenize_query_text(tok.strip(self.phrase_delim),
+                                        self.cfg)
             self.dropped_stopwords += sum(1 for w in words if w is None)
             # inside phrases a dual-code word (DoubleMetaphone) keeps
             # its primary code — positional adjacency over an OR
@@ -331,23 +346,26 @@ class _Parser:
 
 
 def parse_query(q: str, cfg: TokenizerConfig | None = None,
-                default_field: str = DEFAULT_FIELD):
+                default_field: str = DEFAULT_FIELD,
+                phrase_delim: str = '"'):
     """Compile a query string to an AST. Raises WordsTooCommon if every
-    word was a stopword, QueryError on syntax errors."""
-    node, _info = parse_query_info(q, cfg, default_field)
+    word was a stopword, QueryError on syntax errors. ``phrase_delim``
+    is the -P override (swish.c:666-672)."""
+    node, _info = parse_query_info(q, cfg, default_field, phrase_delim)
     return node
 
 
 def parse_query_info(q: str, cfg: TokenizerConfig | None = None,
-                     default_field: str = DEFAULT_FIELD):
+                     default_field: str = DEFAULT_FIELD,
+                     phrase_delim: str = '"'):
     """parse_query plus the parse metadata the reference reports in its
     result headers (Search words / Parsed words / Removed stopwords,
     display_result_headers /root/reference/src/swish.c:1769-1800)."""
     cfg = cfg or TokenizerConfig()
-    toks = _lex(q)
+    toks = _lex(q, phrase_delim)
     if not toks:
         raise QueryError("empty query")
-    p = _Parser(toks, cfg, default_field)
+    p = _Parser(toks, cfg, default_field, phrase_delim)
     node = p.parse_expr(default_field)
     if p.peek() is not None:
         # a stray ")" (parse_expr stops without consuming it) — the

@@ -403,7 +403,8 @@ def spark_swish_search(engine, q: str, k: int = 10, scheme: int = 0,
     before display scaling. Returns [(doc_id, rank)]."""
     _check_scheme1_twc(scheme, ignore_total_word_count)
     engine.handle.ensure_current()  # stale caches must error, not lie
-    node = parse_query(q, engine.cfg)
+    node = parse_query(q, engine.cfg,
+                       phrase_delim=getattr(engine, 'phrase_delim', '"'))
     decoded = engine._decoded(node, structure_mask, need_structs=True)
     if decoded is None:
         return []

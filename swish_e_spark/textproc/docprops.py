@@ -192,9 +192,13 @@ def sort_col(spec: PropSpec, col):
 
 
 def display(spec: PropSpec, value) -> str:
-    """-x/<prop> rendering: dates display as the reference's
-    '%Y-%m-%d %H:%M:%S UTC' (getResultPropValue date branch,
-    /root/reference/src/result_output.c:1074-1086)."""
+    """-x/<prop> rendering: dates display in the reference's
+    DATE_FORMAT_STRING shape '%Y-%m-%d %H:%M:%S %Z' (config.h:148,
+    result_output.c:742-753) — DELIBERATE DIVERGENCE: the reference
+    renders through localtime() so output depends on $TZ; here dates
+    are pinned to UTC so results are byte-identical on any host (the
+    engine==oracle==driver-gate contract needs deterministic strings).
+    Matches the binary exactly when TZ=UTC."""
     if value is None:
         return ""
     if spec.kind == "date":

@@ -682,7 +682,11 @@ class _SwishHTMLParser(HTMLParser):
             if href:
                 self._base_url = href  # <base> fixup (parser.c:1860)
             self._flush()
-            self._pending += 1  # base is non-inline
+            # base is a void element: libxml2 fires start AND end at
+            # the open tag, so both bumps land here (binary-verified:
+            # '<base>' == '<base/>' == '<base></base>' == +2) and the
+            # end handler ignores the tag
+            self._pending += 2
             return
         if tag == "a" and self.index_links:
             href = dict(attrs).get("href")
@@ -838,6 +842,8 @@ class _SwishHTMLParser(HTMLParser):
             return
         if tag == "meta":
             return  # closed at start (end_hndl, parser.c:730-734)
+        if tag == "base":
+            return  # void element: both bumps landed at the start tag
         if tag == "title":
             self._flush()
             self._prop_pop(tag)
@@ -956,14 +962,15 @@ class _SwishHTMLParser(HTMLParser):
             self._em_depth = max(0, self._em_depth - 1)
 
     def handle_startendtag(self, tag, attrs) -> None:
+        # <tag/> ≡ <tag></tag> in BOTH modes: libxml2 fires the start
+        # AND end element callbacks for self-closing tags even in HTML
+        # mode (binary-verified: IgnoreMetaTags `<meta2/>`,
+        # `IgnoreMetaTags li` with `<li/>`, and `<base/>` all produce
+        # positions identical to the explicit open+close form) — a
+        # start-only handling would leave an IgnoreMetaTags section
+        # open and silently drop the rest of the document
         self.handle_starttag(tag, attrs)
-        if self.xml_mode:
-            # XML self-closing tags pop their metaname scope
-            self.handle_endtag(tag)
-        else:
-            # a self-closing HTML property element has no end tag to
-            # pop on — close it immediately (no content to capture)
-            self._prop_pop(tag.lower())
+        self.handle_endtag(tag)
 
     def parse_bogus_comment(self, i, report=1):
         """libxml2 passes a bogus declaration (`<!META ...>`, the
@@ -1138,13 +1145,13 @@ def _fast_feed(p: "_SwishHTMLParser", raw: str) -> bool:
             attrs = _fast_attrs(attrs_s) \
                 if (tag in _ATTR_TAGS and attrs_s.strip()) else []
             handle_start(tag, attrs)
-            # self-closing: mirror handle_startendtag — no synthetic
-            # end for structure tags ('<b/>' opens emphasis like the
-            # html.parser path), but ignore-content scopes and XML
-            # metaname scopes close immediately
+            # self-closing: mirror handle_startendtag — <tag/> fires
+            # the end callback immediately in BOTH modes (libxml2
+            # behavior, binary-verified: '<b/>' toggles emphasis on
+            # and straight off, an IgnoreMetaTags '<x/>' section
+            # closes before any text drops)
             if m[8]:
-                if p.xml_mode:
-                    handle_end(tag)
+                handle_end(tag)
             elif tag in _CDATA_CLOSE:
                 # html.parser CDATA content mode: raw until the close
                 # tag, no charref conversion

@@ -390,6 +390,78 @@ class TestCli:
         titles = [l for l in out.splitlines() if l and l != "."]
         assert titles == ["Alpha"]
 
+    def test_raw_rank_flag(self, spark, cli_index):
+        # -a returns UNSCALED swishrank values (SwishReturnRawRank,
+        # swish.c:1278, docprop.c:371-373) instead of 1-1000 display
+        from swish_e_spark.query.swishrank import spark_swish_search
+
+        rc, out = self._run(spark, ["-w", "wolf", "-f", cli_index,
+                                    "-R", "1", "-a", "-x", "%r\\n",
+                                    "-H", "0"])
+        assert rc == 0
+        got = [int(l) for l in out.splitlines() if l and l != "."]
+        eng = SparkQueryEngine(spark, IndexHandle(spark, cli_index))
+        want = [r for _, r in spark_swish_search(
+            eng, "wolf", k=10, scheme=1, scaled=False,
+            ignore_total_word_count=False)]
+        assert got == want
+        # without -a: display scaling pins the top hit at 1000
+        rc2, out2 = self._run(spark, ["-w", "wolf", "-f", cli_index,
+                                      "-R", "1", "-x", "%r\\n",
+                                      "-H", "0"])
+        scaled = [int(l) for l in out2.splitlines() if l and l != "."]
+        assert scaled and scaled[0] == 1000 and got != scaled
+
+    def test_phrase_delim_flag(self, spark, cli_index):
+        # -P ' : the quote becomes the phrase delimiter (swish.c:666)
+        rc, out = self._run(spark, [
+            "-w", "'river wolf'", "-P", "'", "-H", "0",
+            "-x", "<swishtitle>\\n", "-f", cli_index])
+        assert rc == 0
+        titles = [l for l in out.splitlines() if l and l != "."]
+        assert titles == ["Beta"]
+        # '"' is now an ordinary character the tokenizer strips — a
+        # quoted-looking query degrades to the two bare words
+        rc2, out2 = self._run(spark, [
+            "-w", '"river wolf"', "-P", "'", "-H", "0",
+            "-x", "<swishtitle>\\n", "-f", cli_index])
+        assert rc2 == 0
+        titles2 = [l for l in out2.splitlines() if l and l != "."]
+        assert titles2 == ["Beta"]
+        # empty -P value is a usage error, not an IndexError
+        with pytest.raises(SystemExit):
+            self._run(spark, ["-w", "wolf", "-P", "", "-f",
+                              cli_index])
+
+    def test_error_file_routing(self, spark, cli_index, tmp_path):
+        # -E file appends error output there (set_error_handle,
+        # swish.c:800-820)
+        efile = str(tmp_path / "err.log")
+        with pytest.raises(SystemExit):
+            self._run(spark, ["-E", efile, "-w", "wolf", "-f",
+                              str(tmp_path / "nosuchindex")])
+        with open(efile) as f:
+            assert "could not open index file" in f.read()
+
+    def test_multi_index_user_prop_limit_validates(
+            self, spark, doc_tree, cli_index, tmp_path):
+        # -L on a user property defined in only ONE of the -f indexes
+        # must be a clean CLI error (the reference resolves properties
+        # per index), not a raw AnalysisException from a missing column
+        from swish_e_spark.cli import main
+
+        conf = tmp_path / "p.conf"
+        conf.write_text("IndexOnly .html\nPropertyNames cat\n")
+        idx2 = str(tmp_path / "idx2")
+        rc = main(["-c", str(conf), "-i", doc_tree, "-f", idx2],
+                  spark=spark, out=io.StringIO())
+        assert rc == 0
+        with pytest.raises(SystemExit) as ei:
+            main(["-w", "wolf", "-f", idx2, cli_index, "-R", "2",
+                  "-L", "cat", "a", "z"], spark=spark,
+                 out=io.StringIO())
+        assert ei.value.code == 1
+
     def test_keyword_dump(self, spark, cli_index):
         rc, out = self._run(spark, ["-k", "w", "-f", cli_index])
         words = out.split()

@@ -61,6 +61,51 @@ class TestIgnoreMetaTags:
         assert toks == [("swishdefault", "visible", 10),
                         ("swishdefault", "tail", 11)]
 
+    def test_self_closing_section_closes_immediately(self):
+        # binary: <meta2/> ≡ <meta2></meta2> (libxml2 fires start AND
+        # end callbacks for self-closing tags in HTML mode) — alpha@5
+        # bravo@7, NOT an ignore section left open dropping the rest
+        # of the document
+        for body in (b"alpha <meta2/> bravo", b"alpha <meta2></meta2> bravo"):
+            doc = extract(b"<html><body>" + body + b"</body></html>",
+                          ignore_meta_tags=frozenset({"meta2"}))
+            toks, _ = _stream(doc)
+            assert toks == [("swishdefault", "alpha", 5),
+                            ("swishdefault", "bravo", 7)], body
+
+    def test_self_closing_known_element_section(self):
+        # binary (IgnoreMetaTags li): <li/> ≡ <li></li> — alpha@7
+        # charlie@11 in both forms
+        for li in (b"<li/>", b"<li></li>"):
+            doc = extract(b"<html><body><ul>" + li +
+                          b"alpha<li>bravo</li></ul> charlie"
+                          b"</body></html>",
+                          ignore_meta_tags=frozenset({"li"}))
+            toks, _ = _stream(doc)
+            assert toks == [("swishdefault", "alpha", 7),
+                            ("swishdefault", "charlie", 11)], li
+
+    def test_self_closing_emphasis_toggles_off(self):
+        # binary: '<b/>bold' indexes bold WITHOUT the EM bit (the
+        # immediate end callback closes the emphasis run)
+        from swish_e_spark.textproc.extractor import IN_EMPHASIZED
+
+        doc = extract(b"<html><body>alpha <b/>bold bravo"
+                      b"</body></html>")
+        assert not any(ev.structure & IN_EMPHASIZED
+                       for ev in doc.events)
+
+    def test_base_is_void_two_bumps(self):
+        # binary: '<base>' == '<base/>' == '<base></base>' == +2 bumps
+        # (void element: start and end callbacks both fire at the
+        # open tag) — alpha@4 bravo@7 in all three forms
+        for base in (b"<base>", b"<base/>", b"<base></base>"):
+            doc = extract(b"<html><body>alpha " + base +
+                          b" bravo</body></html>")
+            toks, _ = _stream(doc)
+            assert toks == [("swishdefault", "alpha", 4),
+                            ("swishdefault", "bravo", 7)], base
+
     def test_nested_declared_meta_also_dropped(self):
         # text under a declared metaname inside the ignored section
         # is dropped too (the ignore stack wins)
