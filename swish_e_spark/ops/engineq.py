@@ -538,22 +538,30 @@ def engine_multi_index(spark, sf_dir, q="dup"):
     from ..query.executor import SparkQueryEngine
     from ..query.multi import search_multi
 
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     dirs = _halves_for(spark, sf_dir)
     key = ("half_handles", os.path.abspath(sf_dir))
     if key not in _CACHE:
         _CACHE[key] = [IndexHandle(spark, d) for d in dirs]
     engines = [SparkQueryEngine(spark, h) for h in _CACHE[key]]
     rows = search_multi(engines, q, k=1 << 20)
-    urlmaps = []
-    for eng in engines:
-        urlmaps.append({r["doc_id"]: int(r["url"])
-                        for r in eng.handle.docs()
-                        .select("doc_id", "url").collect()})
-    data = [(i, urlmaps[i][d], round(float(s), 4)) for i, d, s in rows]
-    return spark.createDataFrame(
-        data or [(None, None, None)],
-        "engine_idx int, doc_id long, score double") \
-        .where("doc_id is not null").orderBy("doc_id")
+    # url mapping is a docs-table JOIN (hits are merge-bounded and
+    # broadcast), never a full-docs collect to the driver
+    hits = spark.createDataFrame(
+        [(i, int(d), round(float(s), 4)) for i, d, s in rows],
+        "engine_idx int, doc_id long, score double")
+    docs = reduce(lambda a, b: a.unionByName(b), (
+        eng.handle.docs().select(
+            F.lit(i).cast("int").alias("engine_idx"), "doc_id",
+            F.col("url").cast("long").alias("url_id"))
+        for i, eng in enumerate(engines)))
+    return (docs.join(F.broadcast(hits), ["engine_idx", "doc_id"])
+            .select("engine_idx", F.col("url_id").alias("doc_id"),
+                    "score")
+            .orderBy("doc_id"))
 
 
 # round 4 (late): user document properties (PropertyNames family —

@@ -58,13 +58,20 @@ def register_filter(name: str, fn) -> None:
 
 
 def get_filter(name: str):
-    """Resolve a filter name. Plain names hit the registry; a
-    ``"pkg.module:attr"`` name imports the callable — the only form
-    that also resolves on EXECUTORS, whose Python workers import the
-    shipped package fresh and never see driver-side register_filter
-    calls (use import-path names for custom filters in cluster mode)."""
+    """Resolve a filter name. Plain names hit the registry; an
+    ``"exec:prog args..."`` name wraps an external converter command
+    (external_filter — the reference's filters/ model); a
+    ``"pkg.module:attr"`` name imports the callable. The exec: and
+    import-path forms are self-describing, so they also resolve on
+    EXECUTORS, whose Python workers import the shipped package fresh
+    and never see driver-side register_filter calls — use them for
+    custom filters in cluster mode."""
     if name in _REGISTRY:
         return _REGISTRY[name]
+    if name.startswith("exec:"):
+        import shlex
+
+        return external_filter(shlex.split(name[5:]))
     if ":" in name:
         mod_name, _, attr = name.partition(":")
         import importlib
@@ -77,6 +84,60 @@ def get_filter(name: str):
         f"unknown document filter {name!r}; register it with "
         f"swish_e_spark.sources.filters.register_filter or use an "
         f"import-path name 'pkg.module:callable'")
+
+
+def external_filter(argv, timeout: float = 60.0):
+    """Wrap an EXTERNAL converter program as a registry filter — the
+    escape hatch for formats with no Python decoder, mirroring the
+    converter scripts the reference ships (filters/swish_filter_*.pm
+    fork pdftotext/catdoc/... per document, filter.c:314-470).
+
+    The command must read the document bytes on stdin and write the
+    converted bytes to stdout. The executable is resolved at CALL time
+    (plan time when used with compile_rules), so a missing tool fails
+    loudly on the driver, never per-document on executors.
+
+    One subprocess per document is the reference's cost model, not
+    Spark's — prefer an in-process transform when a Python decoder
+    exists; when it doesn't, this at least runs the fork WHERE THE
+    BYTES ARE (inside the Arrow batch kernel on the executor), with no
+    temp files and no driver round-trip."""
+    import shutil
+
+    argv = [str(a) for a in argv]
+    if not argv:
+        raise ValueError("external_filter needs a command")
+    if shutil.which(argv[0]) is None:
+        raise FileNotFoundError(
+            f"external filter program {argv[0]!r} not found on PATH")
+
+    def fn(blob: bytes) -> bytes:
+        import subprocess
+
+        r = subprocess.run(argv, input=bytes(blob),
+                           stdout=subprocess.PIPE,
+                           stderr=subprocess.DEVNULL, timeout=timeout)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"external filter {argv[0]!r} exited {r.returncode}")
+        return r.stdout
+
+    return fn
+
+
+def pdftotext_filter():
+    """Example converter, the reference's most-shipped pairing
+    (filters/swish_filter_pdf2html.pm): PDF bytes → text via poppler's
+    ``pdftotext - -`` stdin/stdout mode. Register it under a name and
+    pair with a FileFilter rule::
+
+        register_filter("pdf", pdftotext_filter())
+        IndexConfig(file_filters=((".pdf", "pdf"),))
+
+    Raises FileNotFoundError at plan time when pdftotext is not
+    installed — the same contract as the reference requiring the
+    filter program on disk."""
+    return external_filter(["pdftotext", "-q", "-", "-"])
 
 
 def compile_rules(rules) -> list:

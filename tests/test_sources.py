@@ -209,6 +209,52 @@ class TestFilterBuild:
         assert docs["http://h/r.html.gz"]["size"] == len(
             gzip.compress(html))
 
+    def test_external_converter_build(self, spark, tmp_path):
+        """End-to-end external converter through the registry (the
+        reference's filters/ model: fork a converter per document):
+        a toy binary format converts to HTML via a subprocess and
+        indexes, including title structure from the CONVERTED bytes."""
+        import sys
+
+        from swish_e_spark.sources.filters import (
+            external_filter, register_filter,
+        )
+
+        conv = tmp_path / "docconv.py"
+        conv.write_text(
+            "import sys\n"
+            "blob = sys.stdin.buffer.read()\n"
+            "assert blob[:4] == b'DOC1'\n"
+            "txt = blob[4:].decode()\n"
+            "title, _, body = txt.partition('|')\n"
+            "sys.stdout.write('<html><title>%s</title>"
+            "<body>%s</body></html>' % (title, body))\n")
+        # register locally too (driver-side path works the same way);
+        # the exec: NAME is what ships to executors via the manifest
+        register_filter(
+            "docconv", external_filter([sys.executable, str(conv)]))
+        idx = str(tmp_path / "xidx")
+        rows = [("http://h/report.html.bin",
+                 b"DOC1Walrus Report|tuskful paragraphs here"),
+                ("http://h/plain.html",
+                 b"<html><body>plain doc</body></html>")]
+        cfg = IndexConfig(file_filters=(
+            (".bin", f"exec:{sys.executable} {conv}"),), **CFG)
+        build_index(spark, _pages_df(spark, rows), idx, cfg)
+        got = _urls_scores(spark, idx, "tuskful")
+        assert [u for u, _ in got] == ["http://h/report.html.bin"]
+        from swish_e_spark.textproc.extractor import IN_TITLE
+
+        engine = SparkQueryEngine(spark, IndexHandle(spark, idx))
+        got_t = engine.search("walrus", k=5, structure_mask=IN_TITLE)
+        assert len(got_t) == 1
+
+    def test_external_converter_missing_tool(self, tmp_path):
+        from swish_e_spark.sources.filters import external_filter
+
+        with pytest.raises(FileNotFoundError):
+            external_filter(["no-such-converter-xyz"])
+
     def test_filter_typo_fails_at_plan_time(self, spark, tmp_path):
         cfg = IndexConfig(file_filters=((".gz", "gzp"),), **CFG)
         with pytest.raises(KeyError):
