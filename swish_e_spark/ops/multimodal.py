@@ -515,6 +515,18 @@ def _decode_stub(payload: bytes, kind: str, fake: bool):
         if thumb is not None:
             return thumb
     if not fake:
+        # Remaining stub class: audio/video CODEC PAYLOADS (MP3/AAC
+        # PCM, H.264 pixels). For MPEG audio Layer I/II everything
+        # closed-form is in reach (scalefactors 2·2^(-i/3), the
+        # cos((16+i)(2k+1)π/64) synthesis matrixing, Layer I
+        # requantization), but the 512-coefficient synthesis window of
+        # ISO 11172-3 Table 3-B.3 is pure tabulated data: transcribing
+        # it from memory with NO reference decoder, encoder, or
+        # conformance stream in this environment to validate against
+        # would risk a silently-wrong decoder — strictly worse than
+        # this honest boundary. Plug PIL/ffmpeg/minimp3 in here in
+        # real deployments; container parsing (MP4 boxes, MPEG frame
+        # walk) is already real (ops/mp4.py, ops/mpegaudio.py).
         raise NotImplementedError(
             "compressed-media codecs not available in this "
             "environment; pass fake=True for the deterministic "
