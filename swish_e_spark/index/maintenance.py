@@ -246,10 +246,31 @@ def compact_index(spark, index_dir: str):
             expr = F.when(F.col("shard") == sid,
                           F.lit(b).cast("long")).otherwise(expr)
         scan = scan.withColumn("base", expr)
+    else:
+        scan = scan.withColumn("base", F.lit(0).cast("long"))
+    removed = handle.removed()
+    n_removed = removed.count() if removed is not None else 0
+    # two physical strategies, one semantic result:
+    # - CHUNK-LEVEL (default): shuffle the already-PACKED chunk bytes
+    #   co-located by term, then decode→filter→re-pack each (term,
+    #   field) group with pure-numpy kernels. The shuffle moves compact
+    #   binaries (the build-merge shape), never 1 row per posting —
+    #   at 1M docs this is the difference between a compact that costs
+    #   a fraction of a build and one that costs 4.5 builds (r5 bench).
+    #   Tombstones ride to executors as a sorted numpy array; their
+    #   count between compactions is the incremental-update volume
+    #   (compaction clears them), so the driver collect is bounded —
+    #   guarded by _TOMBSTONE_DRIVER_CAP anyway.
+    # - ROW-LEVEL: IgnoreLimit position renumbering needs a per-doc
+    #   removed-positions join, and a pathological tombstone backlog
+    #   overflows the driver array — both fall back to the decoded-row
+    #   pipeline below.
+    if not stopped and n_removed <= _TOMBSTONE_DRIVER_CAP:
+        return _compact_chunkwise(spark, index_dir, handle, cfg, meta,
+                                  scan, removed, n_removed)
     decoded = scan.mapInPandas(
         lambda it: _decode_kernel(it, True, None, True),
         schema=DECODED_SCHEMA)
-    removed = handle.removed()
     if removed is not None:
         decoded = decoded.join(removed.select("doc_id"), "doc_id",
                                "left_anti")
@@ -378,26 +399,38 @@ def compact_index(spark, index_dir: str):
                  .sortWithinPartitions("term", "field", "doc_id")
                  .mapInPandas(repack, schema=CHUNK_SCHEMA))
 
-    seg_tmp = os.path.join(index_dir, "_tmp_compact_segments")
-    compacted.write.mode("overwrite").partitionBy("term_bucket") \
-        .parquet(seg_tmp)
-    docs_tmp = os.path.join(index_dir, "_tmp_compact_docs")
-    live = handle.live_docs()
-    if "shard" in live.columns:
-        live = live.drop("shard")
     if stopped:
         # doc_len (BM25 dl / TotalWordsPerFile) shrinks by the number
         # of removed tokens, matching the renumbered positions
         rcnt = rpos.select("doc_id", F.size("rpos").alias("rm"))
-        live = (live.join(rcnt, "doc_id", "left")
+        live = (handle.live_docs()
+                .join(rcnt, "doc_id", "left")
                 .withColumn("doc_len",
                             F.col("doc_len")
                             - F.coalesce(F.col("rm"), F.lit(0)))
                 .drop("rm"))
+    else:
+        live = handle.live_docs()
+    return _finalize_compact(spark, index_dir, meta, compacted, live)
+
+
+def _finalize_compact(spark, index_dir: str, meta: dict, compacted,
+                      live):
+    """Shared compact tail: write segments/docs/terms as a NEW
+    generation shard and commit the manifest."""
+    from pyspark.sql import functions as F
+
+    from .builder import CHUNK_SCHEMA as _CS
+
+    seg_tmp = os.path.join(index_dir, "_tmp_compact_segments")
+    compacted.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(seg_tmp)
+    docs_tmp = os.path.join(index_dir, "_tmp_compact_docs")
+    if "shard" in live.columns:
+        live = live.drop("shard")
     live.write.mode("overwrite").parquet(docs_tmp)
 
     terms_tmp = os.path.join(index_dir, "_tmp_compact_terms")
-    from .builder import CHUNK_SCHEMA as _CS
     (spark.read.schema(_CS).parquet(seg_tmp)
      .groupBy("term_bucket", "term", "field")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
@@ -432,6 +465,143 @@ def compact_index(spark, index_dir: str):
                 })
     commit_manifest(index_dir, meta)
     return meta
+
+
+_TOMBSTONE_DRIVER_CAP = 20_000_000  # ~160 MB of int64 on the driver
+
+
+def _compact_chunkwise(spark, index_dir, handle, cfg, meta, scan,
+                       removed, n_removed):
+    """Chunk-level compact: the shuffle co-locates PACKED chunk rows by
+    term (compact binaries, the build-merge shape — never one row per
+    posting), then each (term, field) group decodes, drops tombstoned
+    docs, and re-packs with pure-numpy kernels. Semantically identical
+    to the decoded-row path (engine_lifecycle_match + test_lifecycle
+    pin query identity); physically it skips materializing 1 pandas
+    row + 1 Arrow position array per posting on BOTH sides of the
+    shuffle — the r5 1M-doc bench had the row path costing 4.5 full
+    builds, dominated by exactly that."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codec.postings import pack_posting_list, unpack_posting_list
+    from .builder import CHUNK_SCHEMA, _CHUNK_COLS, term_bucket
+
+    removed_ids = None
+    if n_removed:
+        removed_ids = np.sort(np.array(
+            [r["doc_id"] for r in removed.select("doc_id").collect()],
+            dtype=np.int64))
+    n_buckets = cfg.n_buckets
+    chunk_docs = cfg.chunk_docs
+
+    def repack_chunks(batches):
+        out = []
+        carry: list = []  # (term, field) group split across batches
+
+        def flush_group(rows):
+            docs_l, tfs_l, pos_l, st_l, dls_l = [], [], [], [], []
+            for rec in rows:  # already in global doc order
+                d, t, p, s, dl = unpack_posting_list(
+                    rec["docs_bin"], rec["tfs_bin"], rec["pos_bin"],
+                    rec["structs_bin"], rec["dls_bin"])
+                base = int(rec["base"] or 0)
+                if base:
+                    d = d + base
+                docs_l.append(d)
+                tfs_l.append(t)
+                pos_l.append(p)
+                st_l.append(s)
+                dls_l.append(dl)
+            doc_ids = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            pos = np.concatenate(pos_l)
+            sts = np.concatenate(st_l)
+            dls = np.concatenate(dls_l)
+            if removed_ids is not None and len(doc_ids):
+                idx = np.searchsorted(removed_ids, doc_ids)
+                inb = idx < len(removed_ids)
+                hit = np.zeros(len(doc_ids), dtype=bool)
+                hit[inb] = removed_ids[idx[inb]] == doc_ids[inb]
+                if hit.any():
+                    keep = ~hit
+                    pk = np.repeat(keep, tfs)
+                    pos = pos[pk]
+                    sts = sts[pk]
+                    doc_ids = doc_ids[keep]
+                    tfs = tfs[keep]
+                    dls = dls[keep]
+            n = len(doc_ids)
+            if not n:
+                return  # every doc tombstoned: the term row vanishes
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            term, field = rows[0]["term"], rows[0]["field"]
+            tb = term_bucket(term, n_buckets)
+            for a in range(0, n, chunk_docs):
+                b = min(a + chunk_docs, n)
+                packed = pack_posting_list(
+                    doc_ids[a:b], tfs[a:b],
+                    pos[starts[a]:ends[b - 1]],
+                    sts[starts[a]:ends[b - 1]],
+                    dls[a:b])
+                out.append((tb, term, field,
+                            int(doc_ids[a]), int(doc_ids[b - 1]),
+                            packed["df"], packed["cf"],
+                            packed["docs_bin"], packed["tfs_bin"],
+                            packed["dls_bin"], packed["pos_bin"],
+                            packed["structs_bin"],
+                            packed["block_doc_lo"],
+                            packed["block_doc_hi"],
+                            packed["block_max_tf"],
+                            packed["block_min_dl"]))
+
+        for pdf in batches:  # sorted by (term, field, base + doc_lo)
+            recs = pdf.to_dict("records")  # one dict per CHUNK
+            i = 0
+            while i < len(recs):
+                j = i
+                key = (recs[i]["term"], recs[i]["field"])
+                while j < len(recs) and (recs[j]["term"],
+                                         recs[j]["field"]) == key:
+                    j += 1
+                if carry and (carry[0]["term"],
+                              carry[0]["field"]) == key:
+                    carry.extend(recs[i:j])
+                    group = None if j == len(recs) else carry
+                    if group is not None:
+                        flush_group(group)
+                        carry = []
+                elif j == len(recs):
+                    # trailing group may continue in the next batch
+                    if carry:
+                        flush_group(carry)
+                    carry = recs[i:j]
+                else:
+                    if carry:
+                        flush_group(carry)
+                        carry = []
+                    flush_group(recs[i:j])
+                i = j
+            if len(out) >= 128:
+                yield pd.DataFrame(out, columns=_CHUNK_COLS)
+                out = []
+        if carry:
+            flush_group(carry)
+        if out:
+            yield pd.DataFrame(out, columns=_CHUNK_COLS)
+
+    from pyspark.sql import functions as F
+
+    n_reduce = max(n_buckets, 8)
+    compacted = (scan
+                 .repartition(n_reduce, "term")
+                 .sortWithinPartitions(
+                     "term", "field",
+                     (F.col("base") + F.col("doc_lo")))
+                 .mapInPandas(repack_chunks, schema=CHUNK_SCHEMA))
+    return _finalize_compact(spark, index_dir, meta, compacted,
+                             handle.live_docs())
 
 
 def apply_ignore_limit(spark, index_dir: str, plimit: float = 101.0,
