@@ -590,6 +590,47 @@ class TestCompaction:
         assert docs.count() == docs.select("url").distinct().count()
 
 
+    def test_chunkwise_matches_rowpath(self, spark, tmp_path,
+                                       corpus300, monkeypatch):
+        """Without IgnoreLimit stopwords compaction takes the
+        chunk-level repack (packed bytes through the shuffle, r5);
+        forcing the decoded-row path on a copy of the same index must
+        give identical results and identical term statistics — two
+        physical strategies, one semantic contract."""
+        import shutil
+
+        import swish_e_spark.index.maintenance as M
+        from pyspark.sql import functions as F
+        from swish_e_spark.index.maintenance import (
+            compact_index, remove_documents,
+        )
+
+        a = str(tmp_path / "ca")
+        pages = generate_pages_df(spark, 300, partitions=6)
+        build_index(spark, pages, a, IndexConfig(**CFG), n_shards=2)
+        victims = sorted(r["url"] for r in corpus300)[3:11]
+        remove_documents(spark, a, victims)
+        b = str(tmp_path / "cb")
+        shutil.copytree(a, b)
+
+        meta_a = compact_index(spark, a)          # chunk-level path
+        monkeypatch.setattr(M, "_TOMBSTONE_DRIVER_CAP", -1)
+        meta_b = compact_index(spark, b)          # forced row path
+        assert meta_a["compacted"] and meta_b["compacted"]
+        ea = SparkQueryEngine(spark, IndexHandle(spark, a))
+        eb = SparkQueryEngine(spark, IndexHandle(spark, b))
+        agg = [F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+               F.count("*").alias("n")]
+        assert ea.handle.terms().agg(*agg).collect() == \
+            eb.handle.terms().agg(*agg).collect()
+        for q in ("pigs AND wolf", '"three little pigs"',
+                  "pigs OR sugar", "little NEAR5 wolf",
+                  "meta1=metatest*"):
+            ra = [(d, round(s, 9)) for d, s in ea.search(q, k=1000)]
+            rb = [(d, round(s, 9)) for d, s in eb.search(q, k=1000)]
+            assert ra == rb, q
+
+
 class TestWandDistributed:
     @pytest.fixture(scope="class")
     def engine(self, spark, tmp_path_factory):
