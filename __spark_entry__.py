@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "lsh_near_duplicates": dedup.lsh_near_duplicates,
+        "lsh_dedup_clusters": dedup.lsh_dedup_clusters,
         "simhash64": dedup.simhash64,
         "embedding_near_duplicates": dedup.embedding_near_duplicates,
         # training-data pipeline: similarity search
@@ -215,6 +216,49 @@ order by query_id, score desc, doc_id"""
 def oracle_sql() -> dict[str, str]:
     toks = DUCK_TOKS
     stop = "'the','a','an','of','and','to','in','is','it','on'"
+    # shared by lsh_near_duplicates and lsh_dedup_clusters (which takes
+    # the transitive closure of these verified pairs)
+    lsh_pairs = f"""
+with {toks},
+sh0 as (select distinct a.doc_id,
+              a.t || ' ' || b.t || ' ' || c.t as sh
+       from toks a
+       join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
+       join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
+       where a.t <> '' and b.t <> '' and c.t <> ''),
+sh as (select sh0.* from sh0
+       join (select sh from sh0 group by sh having count(*) <= 100)
+         using (sh)),
+sig as (select doc_id, i,
+               min(md5(cast(i as varchar) || ':' || sh)) as sig
+        from sh cross join range(128) r(i) group by doc_id, i),
+banded as (select doc_id, cast(i // 8 as int) as band,
+                  min(case when i % 8 = 0 then sig end) as s0,
+                  min(case when i % 8 = 1 then sig end) as s1,
+                  min(case when i % 8 = 2 then sig end) as s2,
+                  min(case when i % 8 = 3 then sig end) as s3,
+                  min(case when i % 8 = 4 then sig end) as s4,
+                  min(case when i % 8 = 5 then sig end) as s5,
+                  min(case when i % 8 = 6 then sig end) as s6,
+                  min(case when i % 8 = 7 then sig end) as s7
+           from sig group by 1, 2),
+cand as (select x.doc_id as a, y.doc_id as b from banded x
+         join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1 and x.s2 = y.s2 and x.s3 = y.s3 and x.s4 = y.s4 and x.s5 = y.s5 and x.s6 = y.s6 and x.s7 = y.s7
+                     and x.doc_id < y.doc_id
+         group by 1, 2),
+ds as (select doc_id, count(*) as n from sh group by doc_id),
+shared as (select c.a, c.b, count(*) as shared from cand c
+           join sh xa on xa.doc_id = c.a
+           join sh xb on xb.doc_id = c.b and xb.sh = xa.sh
+           group by 1, 2)
+select s.a, s.b,
+       cast(round(s.shared * 1.0 / (da.n + db.n - s.shared), 4)
+            as double) as jac
+from shared s
+join ds da on da.doc_id = s.a
+join ds db on db.doc_id = s.b
+where s.shared * 1.0 / (da.n + db.n - s.shared) >= 0.8
+order by s.a, s.b"""
     return {
         "term_stats": f"""
 with {toks}
@@ -529,47 +573,18 @@ select x.doc_id as a, y.doc_id as b from banded x
 join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1 and x.s2 = y.s2 and x.s3 = y.s3 and x.s4 = y.s4 and x.s5 = y.s5 and x.s6 = y.s6 and x.s7 = y.s7
             and x.doc_id < y.doc_id
 group by 1, 2 order by 1, 2""",
-        "lsh_near_duplicates": f"""
-with {toks},
-sh0 as (select distinct a.doc_id,
-              a.t || ' ' || b.t || ' ' || c.t as sh
-       from toks a
-       join toks b on a.doc_id = b.doc_id and b.p = a.p + 1
-       join toks c on a.doc_id = c.doc_id and c.p = a.p + 2
-       where a.t <> '' and b.t <> '' and c.t <> ''),
-sh as (select sh0.* from sh0
-       join (select sh from sh0 group by sh having count(*) <= 100)
-         using (sh)),
-sig as (select doc_id, i,
-               min(md5(cast(i as varchar) || ':' || sh)) as sig
-        from sh cross join range(128) r(i) group by doc_id, i),
-banded as (select doc_id, cast(i // 8 as int) as band,
-                  min(case when i % 8 = 0 then sig end) as s0,
-                  min(case when i % 8 = 1 then sig end) as s1,
-                  min(case when i % 8 = 2 then sig end) as s2,
-                  min(case when i % 8 = 3 then sig end) as s3,
-                  min(case when i % 8 = 4 then sig end) as s4,
-                  min(case when i % 8 = 5 then sig end) as s5,
-                  min(case when i % 8 = 6 then sig end) as s6,
-                  min(case when i % 8 = 7 then sig end) as s7
-           from sig group by 1, 2),
-cand as (select x.doc_id as a, y.doc_id as b from banded x
-         join banded y on x.band = y.band and x.s0 = y.s0 and x.s1 = y.s1 and x.s2 = y.s2 and x.s3 = y.s3 and x.s4 = y.s4 and x.s5 = y.s5 and x.s6 = y.s6 and x.s7 = y.s7
-                     and x.doc_id < y.doc_id
-         group by 1, 2),
-ds as (select doc_id, count(*) as n from sh group by doc_id),
-shared as (select c.a, c.b, count(*) as shared from cand c
-           join sh xa on xa.doc_id = c.a
-           join sh xb on xb.doc_id = c.b and xb.sh = xa.sh
-           group by 1, 2)
-select s.a, s.b,
-       cast(round(s.shared * 1.0 / (da.n + db.n - s.shared), 4)
-            as double) as jac
-from shared s
-join ds da on da.doc_id = s.a
-join ds db on db.doc_id = s.b
-where s.shared * 1.0 / (da.n + db.n - s.shared) >= 0.8
-order by s.a, s.b""",
+        "lsh_near_duplicates": lsh_pairs,
+        "lsh_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({lsh_pairs}),
+nodes AS (SELECT a AS doc_id FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b AS s, a AS d FROM pairs),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id)
+SELECT doc_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY doc_id ORDER BY doc_id""",
         "simhash64": f"""
 with {toks},
 tk as (select doc_id, t, count(*) as tf from toks where t <> ''

@@ -23,6 +23,11 @@ Design notes for 100 TB scale:
 - LSH: signatures banded; pairs sharing a band bucket are candidates,
   then exact-Jaccard verified. Banding is a groupBy, not an all-pairs
   join — the scale path.
+- cluster resolution: verified pairs -> connected components by min-id
+  label propagation (O(diameter) rounds of join+groupBy, no driver
+  data) -> one canonical survivor per cluster. Completes the pipeline
+  to the "which rows do I actually keep" answer a dedup pass exists
+  to produce.
 """
 
 from __future__ import annotations
@@ -272,6 +277,84 @@ def lsh_near_duplicates(spark, sf_dir, threshold=0.8,
                 / (F.col("na") + F.col("nb") - F.col("shared")), 4))
             .filter(F.col("jac") >= threshold)
             .select("a", "b", "jac").orderBy("a", "b"))
+
+
+def connected_components(pairs, col_a="a", col_b="b", max_iter=50):
+    """Resolve an undirected pair list into connected components by
+    min-id label propagation: every node's label converges to the
+    smallest doc id reachable from it. Returns (doc_id, canonical_id)
+    for every node appearing in >=1 pair, canonical_id = the component
+    minimum (the deterministic survivor a dedup pass keeps).
+
+    Scale notes (100 TB): each iteration is one edges-to-labels join +
+    one groupBy(min) — all shuffles keyed by doc id, no driver data.
+    Convergence takes O(component diameter) rounds; near-dup clusters
+    are shallow (most are pairs/triangles — diameter <= 3 on the bench
+    corpus), so 3-4 rounds in practice. For adversarially long chains
+    switch the update rule to large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce"), which is O(log d) rounds with
+    the same join shape; the fixpoint test (one count per round) and
+    the per-round persist/unpersist lineage cut stay identical."""
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a)
+    b = F.col(col_b)
+    edges = (pairs.select(a.alias("s"), b.alias("d"))
+             .union(pairs.select(b.alias("s"), a.alias("d")))
+             .distinct().persist())
+    labels = (edges.select(F.col("s").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")).persist())
+    try:
+        for _ in range(max_iter):
+            # smallest label among each node's neighbours
+            nbr = (edges.join(labels.withColumnRenamed("doc_id", "s"),
+                              "s")
+                   .groupBy("d").agg(F.min("lbl").alias("nbr_lbl"))
+                   .withColumnRenamed("d", "doc_id"))
+            nxt = (labels.join(nbr, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                           .alias("lbl")).persist())
+            # labels only ever decrease, so "any row changed" is an
+            # exact fixpoint test; checkpoint-free because each round's
+            # persist cuts the executed lineage
+            changed = (nxt.join(labels.withColumnRenamed("lbl", "old"),
+                                "doc_id")
+                       .filter(F.col("lbl") < F.col("old")).count())
+            labels.unpersist()
+            labels = nxt
+            if changed == 0:
+                break
+        # the returned plan reads the persisted labels; register it so
+        # the NEXT invocation releases this generation (same lifecycle
+        # rule as _persist — the result is lazy, so freeing it now
+        # would drop the cache before the caller ever reads it)
+        old = _PERSISTED.get("cc_labels")
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PERSISTED["cc_labels"] = labels
+        return (labels.select("doc_id",
+                              F.col("lbl").alias("canonical_id"))
+                .orderBy("doc_id"))
+    finally:
+        edges.unpersist()
+
+
+def lsh_dedup_clusters(spark, sf_dir, threshold=0.8,
+                       n_hashes=N_HASHES, n_bands=N_BANDS):
+    """The dedup pipeline completed to survivor selection: LSH-verified
+    near-dup pairs -> connected components -> (doc_id, canonical_id)
+    per clustered doc. Docs whose doc_id == canonical_id are the kept
+    representatives; the rest are the drop set. Transitive closure is
+    deliberate (a~b, b~c puts a,c in one cluster even if jac(a,c) <
+    threshold) — the standard near-dup-cluster semantics, so one
+    canonical doc survives per chain."""
+    pairs = lsh_near_duplicates(spark, sf_dir, threshold,
+                                n_hashes, n_bands).select("a", "b")
+    return connected_components(pairs)
 
 
 def _md5_lower64(col):

@@ -56,6 +56,55 @@ class TestDedup:
         missing = exact - cands
         assert not missing, f"LSH missed near-dups: {missing}"
 
+    def test_connected_components_transitive(self, spark):
+        """Min-label propagation resolves chains, cycles, and isolated
+        pairs into components labelled by their smallest doc id."""
+        from swish_e_spark.ops.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            # chain 5-3-9-7 (given out of order), cycle 20-21-22-20,
+            # isolated pair 40-41
+            [(5, 3), (9, 7), (3, 9), (20, 21), (21, 22), (22, 20),
+             (40, 41)],
+            "a long, b long")
+        got = {r["doc_id"]: r["canonical_id"]
+               for r in connected_components(pairs).collect()}
+        assert got == {3: 3, 5: 3, 7: 3, 9: 3,
+                       20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
+
+    def test_connected_components_empty(self, spark):
+        from swish_e_spark.ops.dedup import connected_components
+
+        pairs = spark.createDataFrame([], "a long, b long")
+        assert connected_components(pairs).collect() == []
+
+    def test_cluster_canonical_is_component_min(self, spark):
+        """lsh_dedup_clusters rows = exactly the docs in >=1 verified
+        pair; every canonical id is the min over its component computed
+        independently (pure-python union-find over the pair list)."""
+        from swish_e_spark.ops.dedup import (
+            lsh_dedup_clusters, lsh_near_duplicates,
+        )
+
+        pairs = [(r["a"], r["b"])
+                 for r in lsh_near_duplicates(spark, SF).collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+        got = {r["doc_id"]: r["canonical_id"]
+               for r in lsh_dedup_clusters(spark, SF).collect()}
+        assert got == expect
+
 
 class TestSimilarity:
     def test_ann_recall_over_seeded_queries(self, spark):
