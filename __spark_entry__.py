@@ -18,8 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
-    ann_oracle, dedup, engineq, fulltext, multimodal, similarity,
-    textstats,
+    ann_oracle, dedup, engineq, fulltext, multimodal, pipeline,
+    similarity, textstats,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
         "docstats": textstats.docstats,
+        # training-data pipeline: corpus curation
+        "quality_repetition": pipeline.quality_repetition,
+        "contamination_overlap": pipeline.contamination_overlap,
+        "domain_stats": pipeline.domain_stats,
+        "sample_stratified": pipeline.sample_stratified,
     }
 
 
@@ -729,4 +734,65 @@ select lang, count(*) as n_docs,
        cast(round(avg(n_chars), 4) as double) as avg_chars,
        cast(sum(n_chars) as bigint) as total_chars
 from documents group by lang order by lang""",
+        # corpus curation
+        "quality_repetition": f"""
+with {toks},
+tk as (select doc_id, t, p from toks where t <> ''),
+base as (select doc_id, count(*) as n_tokens,
+                count(distinct t) as n_types
+         from tk group by doc_id),
+bgsrc as (select doc_id, t,
+                 lead(t) over (partition by doc_id order by p) as nt
+          from tk),
+bg as (select doc_id, t || ' ' || nt as bigram from bgsrc
+       where nt is not null),
+bgc as (select doc_id, bigram, count(*) as c from bg group by 1, 2),
+top as (select doc_id, bigram as top_bigram, c as top_c from (
+          select *, row_number() over (partition by doc_id
+                    order by c desc, bigram asc) as rn from bgc)
+        where rn = 1),
+nbg as (select doc_id, count(*) as n_bigrams from bg group by 1)
+select base.doc_id, n_tokens,
+  cast(round(1.0 - n_types * 1.0 / n_tokens, 4) as double)
+    as dup_word_frac,
+  coalesce(top_bigram, '') as top_bigram,
+  cast(coalesce(round(top_c * 1.0 / n_bigrams, 4), 0.0) as double)
+    as top_bigram_frac
+from base left join nbg using (doc_id) left join top using (doc_id)
+order by base.doc_id""",
+        "contamination_overlap": f"""
+with {toks},
+tk as (select doc_id, t, p from toks where t <> ''),
+gsrc as (select doc_id, t,
+                lead(t, 1) over (partition by doc_id order by p) as t1,
+                lead(t, 2) over (partition by doc_id order by p) as t2
+         from tk),
+g as (select distinct doc_id, t || ' ' || t1 || ' ' || t2 as gram
+      from gsrc where t2 is not null),
+ev as (select distinct gram, 1 as hit from g
+       where doc_id % {pipeline.EVAL_MOD} = 0)
+select doc_id, count(*) as n_grams,
+  cast(sum(coalesce(hit, 0)) as bigint) as n_contaminated,
+  cast(round(sum(coalesce(hit, 0)) * 1.0 / count(*), 4) as double)
+    as contamination
+from g left join ev using (gram)
+where doc_id % {pipeline.EVAL_MOD} <> 0
+group by doc_id order by doc_id""",
+        "domain_stats": """
+select source, count(*) as n_docs,
+  count(distinct lang) as n_langs,
+  cast(round(avg(n_chars), 4) as double) as avg_chars,
+  cast(sum(n_chars) as bigint) as total_chars,
+  cast(round(count(*) * 1.0 / (select count(*) from documents), 4)
+       as double) as doc_share
+from documents group by source order by source""",
+        "sample_stratified": f"""
+select doc_id, lang, strat_rank, n_chars from (
+  select doc_id, lang, n_chars,
+         row_number() over (partition by lang
+             order by md5(cast(doc_id as varchar)), doc_id)
+           as strat_rank
+  from documents)
+where strat_rank <= {pipeline.STRAT_QUOTA}
+order by lang, strat_rank""",
     }

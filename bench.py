@@ -236,6 +236,22 @@ def main():
             embedding_near_duplicates(spark, sf_dir).count()
         times["ops_embedding_near_dup"] = round(time.time() - t0, 3)
 
+        # corpus-curation ops (r5): repetition quality signals and the
+        # eval-split contamination join — both lead()-window + gram-key
+        # shuffles whose shape is the 100 TB question
+        from swish_e_spark.ops.pipeline import (
+            contamination_overlap, quality_repetition,
+        )
+
+        t0 = time.time()
+        times["ops_quality_repetition_rows"] = \
+            quality_repetition(spark, sf_dir).count()
+        times["ops_quality_repetition"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_contamination_rows"] = \
+            contamination_overlap(spark, sf_dir).count()
+        times["ops_contamination"] = round(time.time() - t0, 3)
+
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
         # state), CDC the change set, then compact + expire — each a

@@ -1,0 +1,140 @@
+"""Corpus-curation operators for training-data pipelines: Gopher-style
+repetition quality signals, eval-set contamination detection, per-domain
+rollups, and deterministic stratified sampling.
+
+All four are SQL-expressible, so the DuckDB oracle verifies them exactly
+(full value compare in the driver gate), and all are computed with
+built-in functions only — lead() windows, groupBy, joins — JVM-side,
+whole-stage-codegen, no Python in the hot path.
+
+Scale notes (100 TB):
+- repetition + contamination shuffle once on doc_id (the lead() window)
+  and once on the gram/bigram key; both keys are high-cardinality and
+  skew-free by construction (word n-grams), so AQE handles sizing.
+- the contamination eval-gram set is tiny relative to the corpus and
+  broadcast by Spark's auto threshold; at 10^12 docs you'd join on
+  xxhash64(gram) instead of the gram string to shrink shuffle width
+  (the string join here keeps the DuckDB oracle exact).
+- stratified sampling ranks within lang partitions; at 10^12 docs a
+  single per-lang reducer is the bottleneck, so production would
+  pre-filter by a key-prefix band sized to ~16x the quota before the
+  window (two-phase sample). The window form here is the normative
+  semantics the two-phase version must reproduce.
+"""
+
+from __future__ import annotations
+
+from .corpus import documents, tokens
+
+EVAL_MOD = 37        # doc_id % EVAL_MOD == 0 -> held-out eval split
+STRAT_QUOTA = 20     # docs kept per language stratum
+
+
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per doc (Rae et al. 2112.11446
+    §A1.1 analogues over the synthetic corpus): duplicate-word fraction
+    (1 - types/tokens) and the top word-bigram's share of all bigram
+    occurrences. High values flag boilerplate/spam for filtering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tk = tokens(spark, sf_dir)
+    base = tk.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    bg = (tk.withColumn("nt", F.lead("t").over(w))
+          .filter(F.col("nt").isNotNull())
+          .select("doc_id",
+                  F.concat_ws(" ", "t", "nt").alias("bigram")))
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("bigram"))
+    top = (bgc.withColumn("rn", F.row_number().over(wb))
+           .filter(F.col("rn") == 1)
+           .select("doc_id", F.col("bigram").alias("top_bigram"),
+                   F.col("c").alias("top_c")))
+    nbg = bg.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    return (base.join(nbg, "doc_id", "left").join(top, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.round(1.0 - F.col("n_types") / F.col("n_tokens"), 4)
+                .alias("dup_word_frac"),
+                F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+                F.coalesce(
+                    F.round(F.col("top_c") / F.col("n_bigrams"), 4),
+                    F.lit(0.0)).alias("top_bigram_frac"))
+            .orderBy("doc_id"))
+
+
+def contamination_overlap(spark, sf_dir):
+    """Train/eval contamination check: word 3-gram overlap of every
+    train doc (doc_id % EVAL_MOD != 0) against the union of eval-split
+    grams. Production pipelines use 8-13-gram xxhash64 keys; 3-grams
+    over the synthetic vocabulary exercise the same join shape with a
+    non-trivial hit rate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tk = tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    g = (tk.withColumn("t1", F.lead("t", 1).over(w))
+         .withColumn("t2", F.lead("t", 2).over(w))
+         .filter(F.col("t2").isNotNull())
+         .select("doc_id",
+                 F.concat_ws(" ", "t", "t1", "t2").alias("gram"))
+         .distinct())
+    ev = (g.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select("gram").distinct()
+          .withColumn("hit", F.lit(1)))
+    tr = g.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (tr.join(ev, "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("n_contaminated"))
+            .select("doc_id", "n_grams", "n_contaminated",
+                    F.round(F.col("n_contaminated") / F.col("n_grams"),
+                            4).alias("contamination"))
+            .orderBy("doc_id"))
+
+
+def domain_stats(spark, sf_dir):
+    """Per-source corpus rollup (the per-domain audit every crawl
+    pipeline runs before mixing): doc count, language spread, char
+    volume, and each source's share of the corpus. The share divisor is
+    a broadcast scalar (crossJoin of a 1-row agg), not a global
+    window — no single-partition Exchange."""
+    from pyspark.sql import functions as F
+
+    d = documents(spark, sf_dir)
+    total = d.agg(F.count("*").alias("total_docs"))
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"))
+    return (agg.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_langs", "avg_chars",
+                    "total_chars",
+                    F.round(F.col("n_docs") / F.col("total_docs"), 4)
+                    .alias("doc_share"))
+            .orderBy("source"))
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: the first STRAT_QUOTA docs per
+    language, ordered by md5(doc_id) — a seedless uniform pseudo-random
+    key that is identical in Spark and DuckDB, so the sample is
+    reproducible across engines and runs (language-balancing step of a
+    data-mixing pipeline)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = documents(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (d.withColumn("strat_rank", F.row_number().over(w))
+            .filter(F.col("strat_rank") <= STRAT_QUOTA)
+            .select("doc_id", "lang", "strat_rank", "n_chars")
+            .orderBy("lang", "strat_rank"))

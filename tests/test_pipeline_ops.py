@@ -1,0 +1,107 @@
+"""Semantic pins for the corpus-curation ops (ops/pipeline.py) beyond
+the DuckDB oracle gate: pure-Python recompute of the repetition and
+contamination definitions, and the determinism/quota invariants of the
+stratified sample."""
+
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from swish_e_spark.ops import pipeline
+from swish_e_spark.ops.corpus import documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text):
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _r4(x):
+    """Half-up 4-dp rounding — Spark's round() and DuckDB's round()
+    both round 0.03125 -> 0.0313; Python's round() is banker's."""
+    import math
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _pydocs(spark):
+    return {r.doc_id: r for r in documents(spark, SF).collect()}
+
+
+class TestQualityRepetition:
+    def test_matches_pure_python(self, spark):
+        rows = {r.doc_id: r
+                for r in pipeline.quality_repetition(spark, SF).collect()}
+        docs = _pydocs(spark)
+        assert set(rows) == set(docs)
+        for did, d in docs.items():
+            toks = _toks(d.text)
+            r = rows[did]
+            assert r.n_tokens == len(toks)
+            exp_dup = _r4(1.0 - len(set(toks)) / len(toks))
+            assert abs(r.dup_word_frac - exp_dup) < 1e-9
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if bigrams:
+                cnt = collections.Counter(bigrams)
+                top_c = max(cnt.values())
+                # tie-break: count desc, bigram asc
+                top = min(b for b, c in cnt.items() if c == top_c)
+                assert r.top_bigram == top
+                exp_frac = _r4(top_c / len(bigrams))
+                assert abs(r.top_bigram_frac - exp_frac) < 1e-9
+
+    def test_fractions_bounded(self, spark):
+        for r in pipeline.quality_repetition(spark, SF).collect():
+            assert 0.0 <= r.dup_word_frac < 1.0
+            assert 0.0 <= r.top_bigram_frac <= 1.0
+
+
+class TestContaminationOverlap:
+    def test_matches_pure_python(self, spark):
+        out = {r.doc_id: r
+               for r in pipeline.contamination_overlap(spark, SF)
+               .collect()}
+        docs = _pydocs(spark)
+        ev_grams = set()
+        for did, d in docs.items():
+            if did % pipeline.EVAL_MOD == 0:
+                toks = _toks(d.text)
+                ev_grams |= {" ".join(toks[i:i + 3])
+                             for i in range(len(toks) - 2)}
+        for did, d in docs.items():
+            if did % pipeline.EVAL_MOD == 0:
+                assert did not in out  # eval split excluded
+                continue
+            toks = _toks(d.text)
+            grams = {" ".join(toks[i:i + 3])
+                     for i in range(len(toks) - 2)}
+            r = out[did]
+            assert r.n_grams == len(grams)
+            assert r.n_contaminated == len(grams & ev_grams)
+
+
+class TestSampleStratified:
+    def test_quota_and_determinism(self, spark):
+        df = pipeline.sample_stratified(spark, SF)
+        rows = df.collect()
+        per_lang = collections.Counter(r.lang for r in rows)
+        lang_totals = collections.Counter(
+            r.lang for r in documents(spark, SF).collect())
+        for lang, n in per_lang.items():
+            assert n == min(pipeline.STRAT_QUOTA, lang_totals[lang])
+            ranks = sorted(r.strat_rank for r in rows if r.lang == lang)
+            assert ranks == list(range(1, n + 1))
+        again = pipeline.sample_stratified(spark, SF).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestDomainStats:
+    def test_share_sums_to_one(self, spark):
+        rows = pipeline.domain_stats(spark, SF).collect()
+        total = documents(spark, SF).count()
+        assert sum(r.n_docs for r in rows) == total
+        assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-2
