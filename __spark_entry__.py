@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": pipeline.contamination_overlap,
         "domain_stats": pipeline.domain_stats,
         "sample_stratified": pipeline.sample_stratified,
+        "dup_passages": pipeline.dup_passages,
+        "dup_passage_catalog": pipeline.dup_passage_catalog,
     }
 
 
@@ -795,4 +797,45 @@ select doc_id, lang, strat_rank, n_chars from (
   from documents)
 where strat_rank <= {pipeline.STRAT_QUOTA}
 order by lang, strat_rank""",
+        "dup_passages": f"""
+with {toks},
+tk as (select doc_id, t, p from toks where t <> ''),
+tkn as (select doc_id, t,
+               row_number() over (partition by doc_id order by p) as q
+        from tk),
+pas as (select doc_id, (q-1)//{pipeline.PASSAGE_W} as win,
+               string_agg(t, ' ' order by q) as passage,
+               count(*) as wlen
+        from tkn group by doc_id, (q-1)//{pipeline.PASSAGE_W}),
+fp as (select doc_id, passage from pas
+       where wlen = {pipeline.PASSAGE_W}),
+cnt as (select passage, count(distinct doc_id) as nd
+        from fp group by passage),
+per as (select doc_id, count(*) as n_passages,
+               sum(case when nd >= 2 then 1 else 0 end) as n_dup
+        from fp join cnt using (passage) group by doc_id)
+select d.doc_id,
+       cast(coalesce(n_passages, 0) as bigint) as n_passages,
+       cast(coalesce(n_dup, 0) as bigint) as n_dup_passages,
+       cast(coalesce(round(n_dup * 1.0 / n_passages, 4), 0.0)
+            as double) as dup_passage_frac
+from documents d left join per using (doc_id)
+order by d.doc_id""",
+        "dup_passage_catalog": f"""
+with {toks},
+tk as (select doc_id, t, p from toks where t <> ''),
+tkn as (select doc_id, t,
+               row_number() over (partition by doc_id order by p) as q
+        from tk),
+pas as (select doc_id, (q-1)//{pipeline.PASSAGE_W} as win,
+               string_agg(t, ' ' order by q) as passage,
+               count(*) as wlen
+        from tkn group by doc_id, (q-1)//{pipeline.PASSAGE_W}),
+fp as (select doc_id, passage from pas
+       where wlen = {pipeline.PASSAGE_W})
+select passage, count(distinct doc_id) as n_docs,
+       cast(count(*) as bigint) as n_occ
+from fp group by passage
+having count(distinct doc_id) >= 2
+order by n_docs desc, n_occ desc, passage""",
     }

@@ -105,3 +105,47 @@ class TestDomainStats:
         total = documents(spark, SF).count()
         assert sum(r.n_docs for r in rows) == total
         assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-2
+
+
+class TestDupPassages:
+    def _expected(self, spark):
+        W = pipeline.PASSAGE_W
+        docs = _pydocs(spark)
+        per_doc = {}
+        owners = collections.defaultdict(set)
+        for did, d in docs.items():
+            toks = _toks(d.text)
+            ps = [" ".join(toks[i:i + W])
+                  for i in range(0, len(toks) - W + 1, W)]
+            per_doc[did] = ps
+            for p in ps:
+                owners[p].add(did)
+        return per_doc, owners
+
+    def test_matches_pure_python(self, spark):
+        per_doc, owners = self._expected(spark)
+        rows = {r.doc_id: r
+                for r in pipeline.dup_passages(spark, SF).collect()}
+        assert set(rows) == set(per_doc)
+        for did, ps in per_doc.items():
+            r = rows[did]
+            assert r.n_passages == len(ps)
+            exp_dup = sum(1 for p in ps if len(owners[p]) >= 2)
+            assert r.n_dup_passages == exp_dup
+            if ps:
+                assert abs(r.dup_passage_frac
+                           - _r4(exp_dup / len(ps))) < 1e-9
+            else:
+                assert r.dup_passage_frac == 0.0
+
+    def test_catalog_matches_pure_python(self, spark):
+        per_doc, owners = self._expected(spark)
+        occ = collections.Counter(
+            p for ps in per_doc.values() for p in ps)
+        exp = {p: (len(ds), occ[p])
+               for p, ds in owners.items() if len(ds) >= 2}
+        rows = pipeline.dup_passage_catalog(spark, SF).collect()
+        assert {r.passage: (r.n_docs, r.n_occ) for r in rows} == exp
+        # ordering pin: most-widespread first, deterministic tiebreaks
+        keys = [(-r.n_docs, -r.n_occ, r.passage) for r in rows]
+        assert keys == sorted(keys)
