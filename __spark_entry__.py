@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
     ann_oracle, dedup, engineq, fulltext, multimodal, pipeline,
-    similarity, textstats,
+    similarity, textstats, weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -110,6 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": pipeline.sample_stratified,
         "dup_passages": pipeline.dup_passages,
         "dup_passage_catalog": pipeline.dup_passage_catalog,
+        # r5: web-scale corpus hygiene (planted deterministic inputs,
+        # see ops/weburl.py docstring)
+        "url_canonicalize": weburl.url_canonicalize,
+        "url_dedup": weburl.url_dedup,
+        "pii_scrub": weburl.pii_scrub,
+        "curation_decisions": weburl.curation_decisions,
+        "pack_shards": weburl.pack_shards,
     }
 
 
@@ -838,4 +845,12 @@ select passage, count(distinct doc_id) as n_docs,
 from fp group by passage
 having count(distinct doc_id) >= 2
 order by n_docs desc, n_occ desc, passage""",
+        # r5: web-scale corpus hygiene — the SQL lives next to the
+        # Spark column math in ops/weburl.py so the planted-input
+        # synthesis and thresholds come from one set of constants
+        "url_canonicalize": weburl.url_canonicalize_sql(),
+        "url_dedup": weburl.url_dedup_sql(),
+        "pii_scrub": weburl.pii_scrub_sql(),
+        "curation_decisions": weburl.curation_decisions_sql(),
+        "pack_shards": weburl.pack_shards_sql(),
     }
