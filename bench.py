@@ -252,6 +252,21 @@ def main():
             contamination_overlap(spark, sf_dir).count()
         times["ops_contamination"] = round(time.time() - t0, 3)
 
+        # web-scale hygiene ops (r5 late): URL-level dedup (scan-side
+        # canonicalize + one group-by shuffle) and the composed
+        # curation decision (three per-doc signal joins)
+        from swish_e_spark.ops.weburl import (
+            curation_decisions, url_dedup,
+        )
+
+        t0 = time.time()
+        times["ops_url_dedup_rows"] = url_dedup(spark, sf_dir).count()
+        times["ops_url_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_curation_rows"] = \
+            curation_decisions(spark, sf_dir).count()
+        times["ops_curation"] = round(time.time() - t0, 3)
+
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
         # state), CDC the change set, then compact + expire — each a
