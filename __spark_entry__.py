@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": pipeline.sample_stratified,
         "dup_passages": pipeline.dup_passages,
         "dup_passage_catalog": pipeline.dup_passage_catalog,
+        "quality_unigram_lm": pipeline.quality_unigram_lm,
+        "incremental_dedup": pipeline.incremental_dedup,
+        "mixture_weights": pipeline.mixture_weights,
         # r5: web-scale corpus hygiene (planted deterministic inputs,
         # see ops/weburl.py docstring)
         "url_canonicalize": weburl.url_canonicalize,
@@ -845,6 +848,62 @@ select passage, count(distinct doc_id) as n_docs,
 from fp group by passage
 having count(distinct doc_id) >= 2
 order by n_docs desc, n_occ desc, passage""",
+        "quality_unigram_lm": f"""
+with {toks},
+tk as (select doc_id, t, p from toks where t <> ''),
+dt as (select doc_id, t, count(*) as tf from tk group by 1, 2),
+lm as (select t, sum(tf) as c from dt group by 1),
+tot as (select sum(c) as n_total from lm),
+per as (select doc_id, sum(tf) as n_tokens,
+               sum(tf * log2(c)) as s_log2c,
+               sum(case when c <= {pipeline.RARE_C} then tf else 0 end)
+                 as n_rare
+        from dt join lm using (t) group by doc_id)
+select doc_id, cast(n_tokens as bigint) as n_tokens,
+  cast(round(log2(n_total) - s_log2c / n_tokens, 4) as double)
+    as bits_per_token,
+  cast(round(n_rare * 1.0 / n_tokens, 4) as double) as rare_frac
+from per cross join tot
+order by doc_id""",
+        "incremental_dedup": f"""
+with d as (select doc_id,
+             md5(case when doc_id % {pipeline.DUP_PLANT_MOD} = 0
+                   then 'boilerplate page ' ||
+                        cast(doc_id % {pipeline.DUP_PLANT_K} as varchar)
+                   else text end) as content_md5
+           from documents),
+base as (select content_md5, min(doc_id) as base_doc_id,
+                count(*) as n_base_dups
+         from d where doc_id % {pipeline.DELTA_MOD}
+                      <> {pipeline.DELTA_MOD - 1}
+         group by 1)
+select doc_id, content_md5,
+  cast(case when base_doc_id is not null then 1 else 0 end as int)
+    as is_dup,
+  cast(coalesce(base_doc_id, -1) as bigint) as base_doc_id,
+  cast(coalesce(n_base_dups, 0) as bigint) as n_base_dups
+from d left join base using (content_md5)
+where doc_id % {pipeline.DELTA_MOD} = {pipeline.DELTA_MOD - 1}
+order by doc_id""",
+        "mixture_weights": f"""
+with d as (select lang,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) as n_toks
+           from documents),
+per as (select lang, count(*) as n_docs, sum(n_toks) as n_tokens
+        from d group by 1),
+tot as (select sum(n_tokens) as total_tokens, count(*) as n_langs
+        from per)
+select lang, n_docs, cast(n_tokens as bigint) as n_tokens,
+  cast(round(n_tokens * 1.0 / total_tokens, 4) as double)
+    as token_share,
+  cast(round(least({pipeline.MIX_MAX_UP} * n_tokens,
+                   total_tokens // n_langs) * 1.0 / n_tokens, 4)
+       as double) as mix_weight,
+  cast(least({pipeline.MIX_MAX_UP} * n_tokens,
+             total_tokens // n_langs) as bigint) as eff_tokens
+from per cross join tot
+order by lang""",
         # r5: web-scale corpus hygiene — the SQL lives next to the
         # Spark column math in ops/weburl.py so the planted-input
         # synthesis and thresholds come from one set of constants

@@ -29,6 +29,11 @@ from .corpus import documents, tokens, TOKEN_SPLIT
 EVAL_MOD = 37        # doc_id % EVAL_MOD == 0 -> held-out eval split
 STRAT_QUOTA = 20     # docs kept per language stratum
 PASSAGE_W = 4        # tokens per passage window (production: ~50)
+RARE_C = 2           # corpus count <= RARE_C -> "rare" token (LM tail)
+DELTA_MOD = 5        # doc_id % DELTA_MOD == DELTA_MOD-1 -> "new crawl"
+DUP_PLANT_MOD = 17   # doc_id % DUP_PLANT_MOD == 0 -> planted boilerplate
+DUP_PLANT_K = 3      # number of distinct planted boilerplate bodies
+MIX_MAX_UP = 3       # max upsampling factor when rebalancing a mixture
 
 
 def quality_repetition(spark, sf_dir):
@@ -197,6 +202,130 @@ def dup_passages(spark, sf_dir):
                                 / F.col("n_passages"), 4),
                         F.lit(0.0)).alias("dup_passage_frac"))
             .orderBy("doc_id"))
+
+
+def quality_unigram_lm(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus unigram LM — the
+    SQL-expressible analogue of CCNet's KenLM-perplexity quality score
+    (Wenzek et al. 1911.00359 §3.3): ``bits_per_token`` = mean
+    -log2 p(t) with p(t) = corpus_count(t)/total_tokens, plus the
+    fraction of token occurrences whose corpus count is <= RARE_C
+    (gibberish/OOV signal). Low bits = templated boilerplate; high
+    bits + high rare_frac = noise.
+
+    Scale shape: the (doc_id, t) pre-aggregation does the heavy
+    map-side combine, the LM itself is a second groupBy over that SAME
+    dataframe (one scan feeds both), and the probability join runs on
+    the per-doc DISTINCT term set — occurrences never cross the wire
+    twice. Head-token skew in the join is AQE's skew-join case here;
+    at 10^12 docs you'd broadcast the top-64k dictionary and shuffle
+    only the tail."""
+    from pyspark.sql import functions as F
+
+    dt = (tokens(spark, sf_dir)
+          .groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    lm = dt.groupBy("t").agg(F.sum("tf").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n_total"))
+    per = (dt.join(lm, "t")
+           .groupBy("doc_id")
+           .agg(F.sum("tf").alias("n_tokens"),
+                F.sum(F.col("tf") * F.log2("c")).alias("s_log2c"),
+                F.sum(F.when(F.col("c") <= RARE_C, F.col("tf"))
+                      .otherwise(0)).alias("n_rare")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tokens",
+                    F.round(F.log2("n_total")
+                            - F.col("s_log2c") / F.col("n_tokens"), 4)
+                    .alias("bits_per_token"),
+                    F.round(F.col("n_rare") / F.col("n_tokens"), 4)
+                    .alias("rare_frac"))
+            .orderBy("doc_id"))
+
+
+def incremental_dedup(spark, sf_dir):
+    """Delta-vs-base exact dedup — the shape every rolling crawl
+    pipeline actually runs at scale: you never re-dedup the 100 TB
+    corpus, you join the NEW crawl (doc_id % DELTA_MOD == DELTA_MOD-1,
+    ~20%) against the persisted content-hash catalog of the base and
+    keep only unseen content. Returns every delta doc with its md5,
+    whether the base already holds that content, the canonical base
+    holder (min doc_id, -1 if fresh), and how many base docs share it.
+
+    The synthetic corpus has no verbatim-identical texts, so — like
+    the planted messy URLs in ops/weburl.py — docs with
+    doc_id % DUP_PLANT_MOD == 0 get a deterministic shared boilerplate
+    body (one of DUP_PLANT_K variants) in BOTH the Spark column math
+    and the oracle SQL; those planted dups land on both sides of the
+    base/delta split, so the catalog join provably fires.
+
+    Scale shape: the catalog is ONE groupBy on a 32-hex key (in
+    production it is a bucketed table persisted across crawls, so the
+    per-crawl cost is a map-side hash join against the delta only);
+    the delta join is a broadcast when the delta is small or a
+    co-bucketed join when it is not. No full-corpus pass per crawl."""
+    from pyspark.sql import functions as F
+
+    body = F.when(
+        F.col("doc_id") % DUP_PLANT_MOD == 0,
+        F.concat(F.lit("boilerplate page "),
+                 (F.col("doc_id") % DUP_PLANT_K).cast("string"))
+    ).otherwise(F.col("text"))
+    d = (documents(spark, sf_dir)
+         .select("doc_id", F.md5(body).alias("content_md5")))
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    base_cat = (d.filter(~is_delta)
+                .groupBy("content_md5")
+                .agg(F.min("doc_id").alias("base_doc_id"),
+                     F.count("*").alias("n_base_dups")))
+    return (d.filter(is_delta)
+            .join(base_cat, "content_md5", "left")
+            .select("doc_id", "content_md5",
+                    F.when(F.col("base_doc_id").isNotNull(), 1)
+                    .otherwise(0).alias("is_dup"),
+                    F.coalesce("base_doc_id", F.lit(-1))
+                    .cast("long").alias("base_doc_id"),
+                    F.coalesce("n_base_dups", F.lit(0))
+                    .cast("long").alias("n_base_dups"))
+            .orderBy("doc_id"))
+
+
+def mixture_weights(spark, sf_dir):
+    """Data-mixing rebalance toward a uniform per-language token
+    budget (the mixture-reweighting step of a pretraining pipeline,
+    cf. The Pile 2101.00027 §1 mixing weights): each language's
+    effective token budget is min(MIX_MAX_UP x its tokens,
+    total/n_langs) — upsampling is capped so a tiny language is not
+    repeated into memorization — and ``mix_weight`` is the sampling
+    rate that realizes the budget. eff_tokens stays in INTEGER
+    arithmetic (min/div) so Spark and the oracle agree bit-for-bit.
+
+    Scale shape: per-doc token counts are a scan-side projection
+    (size(filter(split())) — zero shuffles), the rollup is one
+    groupBy(lang) over ~10^2 keys, and the totals divisor is a
+    broadcast 1-row crossJoin, not a global window."""
+    from pyspark.sql import functions as F
+
+    d = (documents(spark, sf_dir)
+         .select("lang",
+                 F.size(F.filter(F.split(F.lower("text"), TOKEN_SPLIT),
+                                 lambda x: x != "")).alias("n_toks")))
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                F.sum("n_toks").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.count("*").alias("n_langs"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("total_tokens"),
+                            4).alias("token_share"),
+                    F.least(F.lit(MIX_MAX_UP) * F.col("n_tokens"),
+                            F.expr("total_tokens div n_langs"))
+                    .cast("long").alias("eff_tokens"))
+            .withColumn("mix_weight",
+                        F.round(F.col("eff_tokens") / F.col("n_tokens"),
+                                4))
+            .select("lang", "n_docs", "n_tokens", "token_share",
+                    "mix_weight", "eff_tokens")
+            .orderBy("lang"))
 
 
 def dup_passage_catalog(spark, sf_dir):

@@ -107,6 +107,102 @@ class TestDomainStats:
         assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-2
 
 
+class TestQualityUnigramLm:
+    def test_matches_pure_python(self, spark):
+        import math
+        docs = _pydocs(spark)
+        lm = collections.Counter(
+            t for d in docs.values() for t in _toks(d.text))
+        n_total = sum(lm.values())
+        rows = {r.doc_id: r
+                for r in pipeline.quality_unigram_lm(spark, SF)
+                .collect()}
+        assert set(rows) == set(docs)
+        for did, d in docs.items():
+            toks = _toks(d.text)
+            r = rows[did]
+            assert r.n_tokens == len(toks)
+            exp_bits = (math.log2(n_total)
+                        - sum(math.log2(lm[t]) for t in toks)
+                        / len(toks))
+            assert abs(r.bits_per_token - exp_bits) < 1e-3
+            exp_rare = sum(1 for t in toks
+                           if lm[t] <= pipeline.RARE_C) / len(toks)
+            assert abs(r.rare_frac - _r4(exp_rare)) < 1e-9
+
+    def test_bits_positive_and_bounded(self, spark):
+        # -log2 p is positive; p >= 1/N so bits <= log2(N)
+        import math
+        docs = _pydocs(spark)
+        n_total = sum(len(_toks(d.text)) for d in docs.values())
+        for r in pipeline.quality_unigram_lm(spark, SF).collect():
+            assert 0.0 < r.bits_per_token <= math.log2(n_total) + 1e-9
+
+
+class TestIncrementalDedup:
+    def test_matches_pure_python(self, spark):
+        import hashlib
+
+        def _body(did, text):
+            if did % pipeline.DUP_PLANT_MOD == 0:
+                return f"boilerplate page {did % pipeline.DUP_PLANT_K}"
+            return text
+
+        docs = _pydocs(spark)
+        m = pipeline.DELTA_MOD
+        base = {}
+        for did in sorted(docs):
+            if did % m != m - 1:
+                h = hashlib.md5(_body(did, docs[did].text)
+                                .encode("utf-8")).hexdigest()
+                e = base.setdefault(h, [did, 0])
+                e[1] += 1
+        rows = {r.doc_id: r
+                for r in pipeline.incremental_dedup(spark, SF)
+                .collect()}
+        delta = {d for d in docs if d % m == m - 1}
+        assert set(rows) == delta
+        for did in delta:
+            h = hashlib.md5(_body(did, docs[did].text)
+                            .encode("utf-8")).hexdigest()
+            r = rows[did]
+            assert r.content_md5 == h
+            if h in base:
+                assert (r.is_dup, r.base_doc_id, r.n_base_dups) == \
+                    (1, base[h][0], base[h][1])
+            else:
+                assert (r.is_dup, r.base_doc_id, r.n_base_dups) == \
+                    (0, -1, 0)
+
+    def test_finds_planted_dups(self, spark):
+        # the synthetic corpus has exact-dup texts (dedup_exact relies
+        # on them) — the delta must rediscover at least one
+        rows = pipeline.incremental_dedup(spark, SF).collect()
+        assert any(r.is_dup == 1 for r in rows)
+
+
+class TestMixtureWeights:
+    def test_budget_and_cap_invariants(self, spark):
+        docs = _pydocs(spark)
+        per = collections.defaultdict(lambda: [0, 0])
+        for d in docs.values():
+            e = per[d.lang]
+            e[0] += 1
+            e[1] += len(_toks(d.text))
+        total = sum(v[1] for v in per.values())
+        uniform = total // len(per)
+        rows = pipeline.mixture_weights(spark, SF).collect()
+        assert {r.lang for r in rows} == set(per)
+        for r in rows:
+            n_docs, n_tokens = per[r.lang]
+            assert (r.n_docs, r.n_tokens) == (n_docs, n_tokens)
+            exp_eff = min(pipeline.MIX_MAX_UP * n_tokens, uniform)
+            assert r.eff_tokens == exp_eff
+            assert abs(r.mix_weight - _r4(exp_eff / n_tokens)) < 1e-9
+            # the cap bounds every weight
+            assert 0.0 < r.mix_weight <= pipeline.MIX_MAX_UP + 1e-9
+
+
 class TestDupPassages:
     def _expected(self, spark):
         W = pipeline.PASSAGE_W
