@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
-    ann_oracle, dedup, engineq, fulltext, multimodal, pipeline,
+    ann_oracle, dedup, engineq, events, fulltext, multimodal, pipeline,
     similarity, textstats, weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_lm": pipeline.quality_unigram_lm,
         "incremental_dedup": pipeline.incremental_dedup,
         "mixture_weights": pipeline.mixture_weights,
+        # event telemetry: batch forms of the streaming session/window
+        # aggregations (exact integer-ms oracles, ops/events.py)
+        "sessionize": events.sessionize,
+        "event_rollup": events.event_rollup,
         # r5: web-scale corpus hygiene (planted deterministic inputs,
         # see ops/weburl.py docstring)
         "url_canonicalize": weburl.url_canonicalize,
@@ -907,6 +911,8 @@ order by lang""",
         # r5: web-scale corpus hygiene — the SQL lives next to the
         # Spark column math in ops/weburl.py so the planted-input
         # synthesis and thresholds come from one set of constants
+        "sessionize": events.sessionize_sql(),
+        "event_rollup": events.event_rollup_sql(),
         "url_canonicalize": weburl.url_canonicalize_sql(),
         "url_dedup": weburl.url_dedup_sql(),
         "pii_scrub": weburl.pii_scrub_sql(),
