@@ -267,6 +267,22 @@ def main():
             curation_decisions(spark, sf_dir).count()
         times["ops_curation"] = round(time.time() - t0, 3)
 
+        # r5 late additions: the unigram-LM quality pass (per-doc
+        # pre-agg + corpus LM + probability join — the head-token-skew
+        # join shape) and gap sessionization (one user_id shuffle
+        # reused by both window functions and the rollup)
+        from swish_e_spark.ops.events import sessionize
+        from swish_e_spark.ops.pipeline import quality_unigram_lm
+
+        t0 = time.time()
+        times["ops_unigram_lm_rows"] = \
+            quality_unigram_lm(spark, sf_dir).count()
+        times["ops_unigram_lm"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_sessionize_rows"] = \
+            sessionize(spark, sf_dir).count()
+        times["ops_sessionize"] = round(time.time() - t0, 3)
+
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
         # state), CDC the change set, then compact + expire — each a

@@ -12,10 +12,13 @@ All arithmetic below stays in integer milliseconds; only value sums
 are floats (rounded to 4 dp like every other op oracle).
 
 Scale shape (10^12 events):
-- sessionize shuffles ONCE on user_id; both window functions and the
-  final groupBy reuse that partitioning (Catalyst collapses them into
-  one Exchange — no second shuffle). Per-user event counts bound the
-  window state; a pathological power-user key is AQE's skew case.
+- sessionize shuffles ONCE on user_id; both window functions AND the
+  (user_id, session_n) groupBy reuse that partitioning — the captured
+  plan (BENCH/PLANS.md "sessionize") shows the HashAggregates sitting
+  directly on the Window with no second data Exchange (the only other
+  exchange is the presentation orderBy, which a production writer
+  drops). Per-user event counts bound the window state; a pathological
+  power-user key is AQE's skew case.
 - event_rollup is a single partial-aggregated groupBy on
   (hour-bucket, event_type) — low-cardinality, map-side combined.
 """
