@@ -141,7 +141,14 @@ def stream_sessionize(events_stream, gap_ms: int = SESSION_GAP_MS,
 
     ``watermark_delay`` bounds how out-of-order events may arrive;
     rows later than the watermark are dropped by Spark before reaching
-    the state function (standard late-data semantics).
+    the state function (standard late-data semantics). Out-of-order
+    rows WITHIN a micro-batch are re-sorted before folding, so the
+    result is exactly batch-equal when each micro-batch is delivered
+    time-contiguously (the file-drop shape); an event that arrives in
+    a later micro-batch but timestamps BEFORE that user's last folded
+    event joins the open session without re-sorting history — the
+    inherent incremental-sessionization approximation, bounded by the
+    watermark delay.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
