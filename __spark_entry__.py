@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_duplicates": dedup.lsh_near_duplicates,
         "lsh_dedup_clusters": dedup.lsh_dedup_clusters,
         "simhash64": dedup.simhash64,
+        "simhash_near_duplicates": dedup.simhash_near_duplicates,
         "embedding_near_duplicates": dedup.embedding_near_duplicates,
         # training-data pipeline: similarity search
         "embedding_topk": similarity.embedding_topk,
@@ -239,6 +240,21 @@ def oracle_sql() -> dict[str, str]:
     stop = "'the','a','an','of','and','to','in','is','it','on'"
     # shared by lsh_near_duplicates and lsh_dedup_clusters (which takes
     # the transitive closure of these verified pairs)
+    # shared by simhash64 and simhash_near_duplicates
+    simhash_ctes = f"""with {toks},
+tk as (select doc_id, t, count(*) as tf from toks where t <> ''
+       group by doc_id, t),
+h as (select doc_id, tf, md5_number_lower(t) as hu from tk),
+bits as (select doc_id, j,
+                sum(case when (hu >> j) & 1 = 1 then tf
+                         else -tf end) as s
+         from h cross join range(64) r(j) group by doc_id, j),
+acc as (select doc_id,
+               sum(case when s > 0 then
+                        case when j = 63 then -9223372036854775808
+                             else (cast(1 as bigint) << j) end
+                   else cast(0 as bigint) end) as simhash
+        from bits group by doc_id)"""
     lsh_pairs = f"""
 with {toks},
 sh0 as (select distinct a.doc_id,
@@ -607,22 +623,21 @@ reach(doc_id, lbl) AS (
 SELECT doc_id, MIN(lbl) AS canonical_id
 FROM reach GROUP BY doc_id ORDER BY doc_id""",
         "simhash64": f"""
-with {toks},
-tk as (select doc_id, t, count(*) as tf from toks where t <> ''
-       group by doc_id, t),
-h as (select doc_id, tf, md5_number_lower(t) as hu from tk),
-bits as (select doc_id, j,
-                sum(case when (hu >> j) & 1 = 1 then tf
-                         else -tf end) as s
-         from h cross join range(64) r(j) group by doc_id, j),
-acc as (select doc_id,
-               sum(case when s > 0 then
-                        case when j = 63 then -9223372036854775808
-                             else (cast(1 as bigint) << j) end
-                   else cast(0 as bigint) end) as simhash
-        from bits group by doc_id)
+{simhash_ctes}
 select doc_id, cast(simhash as bigint) as simhash from acc
 order by doc_id""",
+        # exact all-pairs popcount filter: the engine's k+1-band
+        # pigeonhole candidates are lossless for Hamming <= k, so the
+        # brute-force oracle must agree row-for-row
+        "simhash_near_duplicates": f"""
+{simhash_ctes},
+sim as (select doc_id, cast(simhash as bigint) as simhash from acc)
+select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as integer)
+         as hamming
+from sim a join sim b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+order by doc_id_a, doc_id_b""",
         # similarity — the ANN oracles re-derive the seeded hyperplanes
         # / k-means centroids as SQL literals (swish_e_spark/ops/
         # ann_oracle.py): both ANN paths are deterministic, so the gate

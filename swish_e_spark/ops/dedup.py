@@ -403,6 +403,53 @@ def simhash64(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+SIMHASH_K = 3  # Hamming budget -> k+1 equality bands (Manku WWW'07)
+
+
+def simhash_near_duplicates(spark, sf_dir, k: int = SIMHASH_K):
+    """Near-duplicate pairs by SimHash Hamming distance <= k, the
+    Manku/Jain/Sarma web-crawl dedup shape (WWW'07): split the 64-bit
+    fingerprint into k+1 disjoint bands — any pair within distance k
+    leaves at least one band untouched (pigeonhole), so candidates are
+    band-EQUALITY self-joins, never an all-pairs product, and the
+    exact popcount verify runs on candidates only. The banding is
+    LOSSLESS for the <=k budget, so the result equals the brute-force
+    all-pairs filter (which is what the DuckDB oracle computes).
+
+    At 10^12 docs each band join shuffles on a 16-bit value plus the
+    fingerprint; production raises band width via multiple permuted
+    tables (Manku's precision extension) and caps pathological bucket
+    sizes (an all-zero band from empty docs) the same way the shingle
+    path caps stop-shingles — at gate scale no cap is needed and the
+    result stays exact."""
+    from pyspark.sql import functions as F
+
+    n_bands = k + 1
+    if 64 % n_bands:
+        raise ValueError("k+1 must divide 64 (k in 1,3,7,15)")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    sim = simhash64(spark, sf_dir)
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"(simhash >> {j * width}) & {mask}")
+            for j in range(n_bands)])).alias("band_id", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, [F.col("a.band_id") == F.col("b.band_id"),
+                       F.col("a.band_val") == F.col("b.band_val"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= k)
+            .distinct())  # a close pair can collide in several bands
+    return cand.orderBy("doc_id_a", "doc_id_b")
+
+
 # embedding-cosine near-duplicate detection -------------------------
 
 EMB_N_PLANES = 8

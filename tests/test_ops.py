@@ -42,6 +42,26 @@ class TestDedup:
             expect = expect - (1 << 64) if expect >= (1 << 63) else expect
             assert got[doc_id] == expect, doc_id
 
+    def test_simhash_near_duplicates_equals_brute_force(self, spark):
+        """The k+1-band pigeonhole candidates are LOSSLESS for
+        Hamming <= k: banding + verify must equal the all-pairs
+        popcount filter exactly (pairs, order, distances)."""
+        from swish_e_spark.ops.dedup import (
+            simhash64, simhash_near_duplicates,
+        )
+
+        sims = [(r["doc_id"], r["simhash"])
+                for r in simhash64(spark, SF).collect()]
+        brute = sorted(
+            (a, b, bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
+            for (a, sa) in sims for (b, sb) in sims
+            if a < b
+            and bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 3)
+        got = [(r["doc_id_a"], r["doc_id_b"], r["hamming"])
+               for r in simhash_near_duplicates(spark, SF).collect()]
+        assert got == brute
+        assert brute, "fixture should contain at least one near-dup"
+
     def test_lsh_pairs_superset_of_high_jaccard(self, spark):
         """LSH candidates must contain every pair with very high
         3-gram Jaccard (band recall sanity)."""
