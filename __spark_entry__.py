@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": similarity.embedding_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "semantic_duplicates": similarity.semantic_duplicates,
+        "semantic_dedup": similarity.semantic_dedup,
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,
@@ -644,6 +646,8 @@ order by doc_id_a, doc_id_b""",
         # is an exact value compare, not a recall heuristic
         "ann_lsh_topk": ann_oracle.ann_lsh_topk_sql(),
         "ann_ivf_topk": ann_oracle.ann_ivf_topk_sql(),
+        "semantic_duplicates": ann_oracle.semantic_duplicates_sql(),
+        "semantic_dedup": ann_oracle.semantic_dedup_sql(),
         # embedding-cosine near-dup: the oracle replays the identical
         # deterministic augmentation + seeded LSH banding + exact
         # cosine verify (see dedup.embedding_near_duplicates docstring)

@@ -196,3 +196,99 @@ v as (select c.vec_a, c.vec_b,
 select vec_a, vec_b, cast(round(cos_raw, 4) as double) as cos
 from v where cos_raw >= {tau}
 order by vec_a, vec_b"""
+
+
+def _semantic_centroids(n_centroids: int, seed: int,
+                        sample_cap: int) -> np.ndarray:
+    """Normalized centroids re-derived exactly as
+    similarity.semantic_duplicates trains them: the RAW embeddings
+    (vec_id-ordered, capped) through the same seeded numpy k-means."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl["vec_id"]), kind="stable")
+    vecs = np.stack(
+        tbl["embedding"].to_pylist())[order][:sample_cap].astype(
+        np.float64)
+    cents = _train_centroids(vecs, n_centroids, KMEANS_ITERS, seed)
+    return cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def _semantic_pairs_sql(tau: float, n_centroids: int, seed: int,
+                        sample_cap: int) -> str:
+    from .dedup import EMB_AUG_OFFSET, EMB_EPS
+
+    cn = _semantic_centroids(n_centroids, seed, sample_cap)
+    dots = ",\n       ".join(
+        f"list_dot_product(v, {_lit_list(cn[j])}) as d{j}"
+        for j in range(n_centroids))
+    # first-max tie-break == np.argmax (same device as ann_ivf_topk)
+    cases = []
+    for j in range(n_centroids - 1):
+        conds = " and ".join(f"d{j} >= d{m}"
+                             for m in range(j + 1, n_centroids))
+        cases.append(f"when {conds} then {j}")
+    argmax = ("case " + " ".join(cases)
+              + f" else {n_centroids - 1} end")
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+p as (select e.vec_id + {EMB_AUG_OFFSET} as vec_id,
+             list_transform(v, (x, i) -> x + case
+               when (e.vec_id * 31 + (i - 1)) % 2 = 1
+               then cast({EMB_EPS} as double)
+               else cast(-{EMB_EPS} as double) end) as v
+      from e),
+aug as (select * from e union all select * from p),
+d as (select vec_id, v,
+       {dots}
+      from aug),
+a as (select vec_id, {argmax} as cell from d),
+ec as (select aug.vec_id, aug.v, a.cell
+       from aug join a using (vec_id))
+select x.vec_id as vec_id_a, y.vec_id as vec_id_b, x.cell,
+       cast(round(list_cosine_similarity(x.v, y.v), 4) as double)
+         as cos
+from ec x join ec y on x.cell = y.cell and x.vec_id < y.vec_id
+where list_cosine_similarity(x.v, y.v) >= {tau}
+order by vec_id_a, vec_id_b"""
+
+
+def semantic_duplicates_sql(tau: float = None, n_centroids: int = None,
+                            seed: int = 7,
+                            sample_cap: int = 20_000) -> str:
+    """SQL reproducing similarity.semantic_duplicates exactly: the
+    shared planted augmentation, the re-derived k-means cells with
+    first-max assignment, within-cell pairs, and the raw-cosine
+    threshold with rounded display value."""
+    from .similarity import SEM_TAU
+
+    tau = SEM_TAU if tau is None else tau
+    n_centroids = N_CENTROIDS if n_centroids is None else n_centroids
+    return _semantic_pairs_sql(tau, n_centroids, seed, sample_cap)
+
+
+def semantic_dedup_sql(tau: float = None, n_centroids: int = None,
+                       seed: int = 7,
+                       sample_cap: int = 20_000) -> str:
+    """SQL reproducing similarity.semantic_dedup: transitive closure
+    of the semantic pairs by recursive CTE, min label per component
+    (same pattern as the lsh_dedup_clusters oracle)."""
+    from .similarity import SEM_TAU
+
+    tau = SEM_TAU if tau is None else tau
+    n_centroids = N_CENTROIDS if n_centroids is None else n_centroids
+    pairs = _semantic_pairs_sql(tau, n_centroids, seed, sample_cap)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+nodes AS (SELECT vec_id_a AS vec_id FROM pairs
+          UNION SELECT vec_id_b FROM pairs),
+edges AS (SELECT vec_id_a AS s, vec_id_b AS d FROM pairs
+          UNION SELECT vec_id_b AS s, vec_id_a AS d FROM pairs),
+reach(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.vec_id)
+SELECT vec_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY vec_id ORDER BY vec_id"""

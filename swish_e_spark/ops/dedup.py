@@ -460,6 +460,30 @@ EMB_TAU = 0.98
 EMB_AUG_OFFSET = 100_000
 
 
+def _augmented_embeddings(spark, sf_dir):
+    """The embeddings table (cast to double) plus one deterministic
+    perturbed copy per vector at vec_id + EMB_AUG_OFFSET (elementwise
+    +/-EMB_EPS chosen by (vec_id*31 + j) % 2, planting one cos≈0.9968
+    near-dup pair per vector): the synthetic table carries no natural
+    near-dups (max background cosine ~0.51), so every embedding-dedup
+    op plants the same pairs and its DuckDB oracle replays the
+    identical augmentation — shared by embedding_near_duplicates and
+    similarity.semantic_duplicates."""
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(EMB_AUG_OFFSET)).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, j: x + F.when(
+                ((F.col("vec_id") * 31 + j) % 2) == 1,
+                F.lit(EMB_EPS)).otherwise(F.lit(-EMB_EPS))).alias("v"))
+    return emb.unionByName(pert)
+
+
 def embedding_near_duplicates(spark, sf_dir, tau=EMB_TAU,
                               n_planes=EMB_N_PLANES,
                               n_tables=EMB_N_TABLES, seed=EMB_SEED):
@@ -487,19 +511,9 @@ def embedding_near_duplicates(spark, sf_dir, tau=EMB_TAU,
     import numpy as np
     from pyspark.sql import functions as F
 
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("v")))
-    pert = emb.select(
-        (F.col("vec_id") + F.lit(EMB_AUG_OFFSET)).alias("vec_id"),
-        F.transform(
-            "v",
-            lambda x, j: x + F.when(
-                ((F.col("vec_id") * 31 + j) % 2) == 1,
-                F.lit(EMB_EPS)).otherwise(F.lit(-EMB_EPS))).alias("v"))
-    aug = emb.unionByName(pert)
+    aug = _augmented_embeddings(spark, sf_dir)
 
-    dim = len(emb.select("v").first()[0])
+    dim = len(aug.select("v").first()[0])
     bucket_cols = []
     for t in range(n_tables):
         planes = np.random.default_rng(seed + 101 * t) \

@@ -295,3 +295,95 @@ def ann_lsh_topk(spark, sf_dir, query_vec_id=0, k=10,
     a probe costs ≤2 jobs."""
     return lsh_ann_index(spark, sf_dir, n_planes, seed,
                          n_tables).topk(query_vec_id, k)
+
+
+SEM_TAU = 0.99  # within-cell semantic-duplicate cosine threshold
+
+
+def semantic_duplicates(spark, sf_dir, tau=SEM_TAU,
+                        n_centroids=N_CENTROIDS, iters=KMEANS_ITERS,
+                        seed=7, sample_cap=20_000):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the same seeded k-means
+    the IVF index uses, then compare pairs only WITHIN a cell — the
+    exact-cosine verify costs sum(|cell|²), never N², and cross-cell
+    near-dups are forfeited by design (the paper's own approximation).
+    At 10^12 docs the cell is the shuffle key and the unit of
+    parallelism; skewed mega-cells are AQE's skew-join case, or split
+    hierarchically (k-means within the cell) exactly as SemDeDup does.
+
+    The synthetic embeddings table has no natural near-dups (max
+    background cosine ~0.51), so this reuses the deterministic planted
+    augmentation shared with embedding_near_duplicates (vector + one
+    perturbed copy, cos≈0.9968 per pair); the DuckDB oracle
+    (ann_oracle.semantic_duplicates_sql) replays the augmentation,
+    the centroid training, the first-max cell assignment, and the
+    verify, so the gate is an exact row compare.
+
+    Returns (vec_id_a, vec_id_b, cell, cos) sorted by the pair."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .dedup import EMB_AUG_OFFSET, _augmented_embeddings
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    # centroids train on the RAW half only (vec_id-ordered, capped) so
+    # they are a pure function of the table — the oracle re-derives
+    # them bit-identically from the parquet
+    sample = np.array(
+        [r["v"] for r in aug.filter(F.col("vec_id") < EMB_AUG_OFFSET)
+         .orderBy("vec_id").limit(sample_cap).collect()],
+        dtype=np.float64)
+    cents = _train_centroids(sample, n_centroids, iters, seed)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(cn)
+
+    def assign_kernel(batches):
+        cmat = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cell = np.argmax(mat @ cmat.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cell.astype(np.int32)})
+
+    assign = aug.select("vec_id", "v").mapInPandas(
+        assign_kernel, schema="vec_id long, cell int")
+    e = aug.join(assign, "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_id_a"),
+                 F.col("v").alias("va"), "cell")
+    b = e.select(F.col("vec_id").alias("vec_id_b"),
+                 F.col("v").alias("vb"), F.col("cell").alias("cellb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (a.join(b, [F.col("cell") == F.col("cellb"),
+                       F.col("vec_id_a") < F.col("vec_id_b")])
+            .withColumn("cos_raw", dot / (na * nb))
+            .where(F.col("cos_raw") >= tau)  # raw, like the oracle
+            .select("vec_id_a", "vec_id_b", "cell",
+                    F.round("cos_raw", 4).alias("cos"))
+            .orderBy("vec_id_a", "vec_id_b"))
+
+
+def semantic_dedup(spark, sf_dir, tau=SEM_TAU,
+                   n_centroids=N_CENTROIDS, iters=KMEANS_ITERS,
+                   seed=7, sample_cap=20_000):
+    """Survivor selection over semantic_duplicates: connected
+    components by min-id label propagation (shared with the LSH dedup
+    path), one canonical representative per semantic cluster. Returns
+    (vec_id, canonical_id) for every clustered vector; rows with
+    vec_id == canonical_id are the keep set."""
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+
+    pairs = semantic_duplicates(spark, sf_dir, tau, n_centroids,
+                                iters, seed, sample_cap) \
+        .select("vec_id_a", "vec_id_b")
+    cc = connected_components(pairs, "vec_id_a", "vec_id_b")
+    return (cc.select(F.col("doc_id").alias("vec_id"), "canonical_id")
+            .orderBy("vec_id"))

@@ -165,6 +165,55 @@ class TestSimilarity:
         recall = len(bf & set(ann_ids)) / 10
         assert recall >= 0.5, f"IVF recall too low: {recall}"
 
+    def test_semantic_duplicates_planted_pairs(self, spark):
+        """SemDeDup within-cell pairs: the planted (i, i+OFFSET)
+        copies are found (minus any that straddle a k-means cell
+        boundary — the paper's own approximation), every emitted
+        cosine re-verifies in numpy above the threshold, and no
+        cross-cell or background pair sneaks in."""
+        from swish_e_spark.ops.dedup import EMB_AUG_OFFSET, EMB_EPS
+        from swish_e_spark.ops.similarity import (
+            SEM_TAU, semantic_duplicates,
+        )
+
+        rows = semantic_duplicates(spark, SF).collect()
+        assert rows, "planted pairs must be found"
+        emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+               for r in spark.read.parquet(
+                   f"{SF}/embeddings.parquet").collect()}
+        n_raw = len(emb)
+        planted = 0
+        for r in rows:
+            a, b = r["vec_id_a"], r["vec_id_b"]
+            assert b == a + EMB_AUG_OFFSET, (a, b)
+            planted += 1
+            va = emb[a]
+            vb = va + np.where((a * 31 + np.arange(len(va))) % 2 == 1,
+                               EMB_EPS, -EMB_EPS)
+            cos = float(va @ vb / (np.linalg.norm(va)
+                                   * np.linalg.norm(vb)))
+            assert cos >= SEM_TAU
+            assert abs(round(cos, 4) - r["cos"]) <= 1e-4
+        # boundary-straddle loss only: recall stays near-total
+        assert planted >= 0.9 * n_raw
+
+    def test_semantic_dedup_components(self, spark):
+        """Survivor selection: each planted (i, i+OFFSET) pair becomes
+        a component whose canonical id is the raw (minimum) vec_id."""
+        from swish_e_spark.ops.dedup import EMB_AUG_OFFSET
+        from swish_e_spark.ops.similarity import (
+            semantic_dedup, semantic_duplicates,
+        )
+
+        pairs = {(r["vec_id_a"], r["vec_id_b"])
+                 for r in semantic_duplicates(spark, SF).collect()}
+        cc = {r["vec_id"]: r["canonical_id"]
+              for r in semantic_dedup(spark, SF).collect()}
+        assert set(cc) == {v for p in pairs for v in p}
+        for a, b in pairs:
+            assert cc[a] == a and cc[b] == a
+            assert b == a + EMB_AUG_OFFSET
+
     def test_ivf_assignment_covers_all(self, spark):
         from swish_e_spark.ops.corpus import embeddings
         from swish_e_spark.ops.similarity import ivf_assign
