@@ -18,8 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
-    ann_oracle, dedup, engineq, events, fulltext, multimodal, pipeline,
-    similarity, textstats, weburl,
+    ann_oracle, bpe, dedup, engineq, events, fulltext, multimodal,
+    pipeline, similarity, textstats, weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "semantic_duplicates": similarity.semantic_duplicates,
         "semantic_dedup": similarity.semantic_dedup,
+        # training-data pipeline: tokenizer training
+        "bpe_merges": bpe.bpe_merges,
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,
@@ -648,6 +650,7 @@ order by doc_id_a, doc_id_b""",
         "ann_ivf_topk": ann_oracle.ann_ivf_topk_sql(),
         "semantic_duplicates": ann_oracle.semantic_duplicates_sql(),
         "semantic_dedup": ann_oracle.semantic_dedup_sql(),
+        "bpe_merges": bpe.bpe_merges_sql(),
         # embedding-cosine near-dup: the oracle replays the identical
         # deterministic augmentation + seeded LSH banding + exact
         # cosine verify (see dedup.embedding_near_duplicates docstring)

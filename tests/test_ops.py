@@ -1020,3 +1020,78 @@ class TestEmbeddingNearDup:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBpe:
+    @staticmethod
+    def _ref_bpe(word_counts, n):
+        """Independent reference: textbook greedy BPE (Sennrich 2016)
+        — python lists, left-to-right merge application, ties broken
+        by count desc then lexicographic pair."""
+        import collections
+
+        seqs = {w: list(w) for w in word_counts}
+        merges = []
+        for r in range(n):
+            pc = collections.Counter()
+            for w, c in word_counts.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            (x, y), tot = min(pc.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r + 1, x, y, x + y, tot))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == x
+                            and s[i + 1] == y):
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    def test_bpe_merges_match_reference(self, spark):
+        """The distributed window-parity merge equals textbook greedy
+        BPE on the real corpus vocabulary."""
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.ops.bpe import bpe_merges
+        from swish_e_spark.ops.corpus import tokens
+
+        wc = {r["t"]: r["cnt"] for r in
+              tokens(spark, SF).groupBy("t")
+              .agg(F.count("*").alias("cnt")).collect()}
+        expect = self._ref_bpe(wc, 12)
+        got = [(r["rank"], r["lft"], r["rgt"], r["merged"], r["total"])
+               for r in bpe_merges(spark, SF).collect()]
+        assert got == expect
+        assert len(got) == 12
+
+    def test_bpe_overlapping_run_semantics(self, spark):
+        """'aaaa' with merge (a,a) must become 'aa aa' (greedy
+        left-to-right), never the overlapping middle pair — pinned
+        through a synthetic vocabulary."""
+        import os
+        import tempfile
+
+        from swish_e_spark.ops.bpe import bpe_merges
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(0, "aaaa aaaa aaa zq", "en", "s", 16)],
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long",
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            got = [(r["rank"], r["lft"], r["rgt"], r["total"])
+                   for r in bpe_merges(spark, td, 3).collect()]
+        # round 1: (a,a) count = 3+3+2 = 8 -> 'aa aa', 'aa a'
+        # round 2: (aa,aa) count 2 beats (aa,a) 1 and (z,q) 1
+        # round 3: lexicographic tie-break between (aa,a) and (z,q)
+        assert got == [(1, "a", "a", 8), (2, "aa", "aa", 2),
+                       (3, "aa", "a", 1)]
