@@ -283,6 +283,27 @@ def main():
             sessionize(spark, sf_dir).count()
         times["ops_sessionize"] = round(time.time() - t0, 3)
 
+        # final r5 additions: SimHash Hamming dedup (band-equality
+        # join, lossless for <=k), SemDeDup survivor selection
+        # (k-means-cell-bounded pair join + connected components),
+        # and 12 rounds of BPE vocabulary learning over the collapsed
+        # word table (one pair-count shuffle per round)
+        from swish_e_spark.ops.bpe import bpe_merges
+        from swish_e_spark.ops.dedup import simhash_near_duplicates
+        from swish_e_spark.ops.similarity import semantic_dedup
+
+        t0 = time.time()
+        times["ops_simhash_neardup_rows"] = \
+            simhash_near_duplicates(spark, sf_dir).count()
+        times["ops_simhash_neardup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_semantic_dedup_rows"] = \
+            semantic_dedup(spark, sf_dir).count()
+        times["ops_semantic_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_bpe12_rows"] = bpe_merges(spark, sf_dir).count()
+        times["ops_bpe12"] = round(time.time() - t0, 3)
+
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
         # state), CDC the change set, then compact + expire — each a
