@@ -95,8 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "semantic_duplicates": similarity.semantic_duplicates,
         "semantic_dedup": similarity.semantic_dedup,
-        # training-data pipeline: tokenizer training
+        # training-data pipeline: tokenizer training + application
         "bpe_merges": bpe.bpe_merges,
+        "bpe_token_counts": bpe.bpe_token_counts,
         # training-data pipeline: multimodal binary-column plumbing
         "media_features": multimodal.media_features_q,
         "media_frame_sample": multimodal.media_frame_sample_q,
@@ -651,6 +652,7 @@ order by doc_id_a, doc_id_b""",
         "semantic_duplicates": ann_oracle.semantic_duplicates_sql(),
         "semantic_dedup": ann_oracle.semantic_dedup_sql(),
         "bpe_merges": bpe.bpe_merges_sql(),
+        "bpe_token_counts": bpe.bpe_token_counts_sql(),
         # embedding-cosine near-dup: the oracle replays the identical
         # deterministic augmentation + seeded LSH banding + exact
         # cosine verify (see dedup.embedding_near_duplicates docstring)

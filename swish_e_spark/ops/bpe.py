@@ -27,11 +27,14 @@ from __future__ import annotations
 
 BPE_MERGES = 12
 
+# last trained symbol table, persisted; replaced on the next _learn
+# call (same cache lifecycle as dedup._PERSISTED)
+_PERSISTED: dict = {}
 
-def bpe_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
-    """Learn the first ``n_merges`` BPE merges; returns the merge
-    table (rank, lft, rgt, merged, total) — ties broken by pair count
-    desc, then lexicographic (binary UTF-8 in both engines)."""
+
+def _learn(spark, sf_dir, n_merges: int):
+    """Run the merge loop; returns (merge list, final symbol rows —
+    persisted and materialized, released on the next call)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -84,11 +87,49 @@ def bpe_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
                     F.concat("sym", "nxt")).otherwise(F.col("sym")))
                 .withColumn("pos", F.row_number().over(ww))
                 .select("word", "cnt", "pos", "sym"))
-    if prev is not None:
+    syms = syms.persist()
+    syms.count()  # materialize before releasing the ancestor cache
+    if prev is not None and prev is not syms:  # `is`: early break
         prev.unpersist()
+    old = _PERSISTED.get("bpe_syms")
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PERSISTED["bpe_syms"] = syms
+    return out, syms
+
+
+def bpe_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Learn the first ``n_merges`` BPE merges; returns the merge
+    table (rank, lft, rgt, merged, total) — ties broken by pair count
+    desc, then lexicographic (binary UTF-8 in both engines)."""
+    out, _ = _learn(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         out, schema="rank int, lft string, rgt string, "
                     "merged string, total bigint")
+
+
+def bpe_token_counts(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Apply the learned merges: per-document token counts under the
+    trained BPE vocabulary — the pipeline's sequence-length /
+    token-budget signal with a REAL learned tokenizer, not a
+    whitespace proxy. Join shape: the per-word symbol-count table is
+    vocabulary-sized (broadcastable at any corpus scale), so the cost
+    is one broadcast join over the token stream + one doc_id
+    aggregation — no extra shuffle beyond the count."""
+    from pyspark.sql import functions as F
+
+    from .corpus import tokens
+
+    _, syms = _learn(spark, sf_dir, n_merges)
+    wl = syms.groupBy("word").agg(F.count("*").alias("n_sym"))
+    return (tokens(spark, sf_dir)
+            .join(F.broadcast(wl), F.col("t") == F.col("word"))
+            .groupBy("doc_id")
+            .agg(F.sum("n_sym").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
 
 
 def _round_sql(r: int) -> str:
@@ -129,15 +170,12 @@ s{r} as materialized (select word, cnt,
          from d{r} where not dropped)"""
 
 
-def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB SQL reproducing bpe_merges exactly: the same n rounds
-    inlined as generated CTEs, the argmax selected inside SQL."""
+def _head_sql(n_merges: int) -> str:
+    """Shared oracle head: token CTE, the collapsed word table, the
+    initial one-char symbol rows, and all n merge rounds."""
     from .corpus import DUCK_TOKS
 
     rounds = ",".join(_round_sql(r) for r in range(1, n_merges + 1))
-    finals = "\nunion all ".join(
-        f"select {r} as rank, lft, rgt, lft || rgt as merged, total "
-        f"from t{r}" for r in range(1, n_merges + 1))
     return f"""with {DUCK_TOKS},
 w as (select t as word, count(*) as cnt from toks
       where t <> '' group by t),
@@ -145,6 +183,26 @@ s0 as (select word, cnt, pos, substr(word, pos, 1) as sym
        from (select word, cnt,
                     unnest(range(1, length(word) + 1)) as pos
              from w)),
-{rounds}
+{rounds}"""
+
+
+def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB SQL reproducing bpe_merges exactly: the same n rounds
+    inlined as generated CTEs, the argmax selected inside SQL."""
+    finals = "\nunion all ".join(
+        f"select {r} as rank, lft, rgt, lft || rgt as merged, total "
+        f"from t{r}" for r in range(1, n_merges + 1))
+    return f"""{_head_sql(n_merges)}
 select cast(rank as int) as rank, lft, rgt, merged, total
 from ({finals}) order by rank"""
+
+
+def bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB SQL reproducing bpe_token_counts: the trained symbol
+    table's per-word lengths joined back onto the token stream."""
+    return f"""{_head_sql(n_merges)},
+wl as (select word, count(*) as n_sym from s{n_merges}
+       group by word)
+select doc_id, cast(sum(n_sym) as bigint) as n_bpe_tokens
+from toks join wl on toks.t = wl.word
+group by doc_id order by doc_id"""

@@ -1095,3 +1095,37 @@ class TestBpe:
         # round 3: lexicographic tie-break between (aa,a) and (z,q)
         assert got == [(1, "a", "a", 8), (2, "aa", "aa", 2),
                        (3, "aa", "a", 1)]
+
+    def test_bpe_token_counts_match_reference(self, spark):
+        """Applying the learned merges: per-doc BPE token counts equal
+        the reference tokenizer's sequence lengths summed over the
+        document's words."""
+        import collections
+
+        from pyspark.sql import functions as F
+
+        from swish_e_spark.ops.bpe import bpe_token_counts
+        from swish_e_spark.ops.corpus import tokens
+
+        toks = tokens(spark, SF).collect()
+        wc = collections.Counter(r["t"] for r in toks)
+        # reference seqs after 12 merges
+        seqs = {w: list(w) for w in wc}
+        for _, x, y, _, _ in self._ref_bpe(dict(wc), 12):
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == x
+                            and s[i + 1] == y):
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        expect = collections.Counter()
+        for r in toks:
+            expect[r["doc_id"]] += len(seqs[r["t"]])
+        got = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_token_counts(spark, SF).collect()}
+        assert got == dict(expect)
