@@ -18,8 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
-    ann_oracle, bpe, dedup, engineq, events, fulltext, multimodal,
-    pipeline, similarity, textstats, weburl,
+    ann_oracle, bpe, classify, dedup, engineq, events, fulltext,
+    multimodal, pipeline, pq, similarity, textstats, weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -95,6 +95,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "semantic_duplicates": similarity.semantic_duplicates,
         "semantic_dedup": similarity.semantic_dedup,
+        # r5 final: product-quantization ANN — the memory-bound scale
+        # path (codes table = the index; ADC probe + exact rerank)
+        "pq_codes": pq.pq_codes,
+        "ann_pq_topk": pq.ann_pq_topk,
+        "ann_ivfpq_topk": pq.ann_ivfpq_topk,
         # training-data pipeline: tokenizer training + application
         "bpe_merges": bpe.bpe_merges,
         "bpe_token_counts": bpe.bpe_token_counts,
@@ -123,6 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregations (exact integer-ms oracles, ops/events.py)
         "sessionize": events.sessionize,
         "event_rollup": events.event_rollup,
+        # r5 final: weak-supervision quality classifier + leakage-safe
+        # split assignment (ops/classify.py)
+        "quality_nb_model": classify.quality_nb_model,
+        "quality_nb_scores": classify.quality_nb_scores,
+        "leakage_safe_splits": classify.leakage_safe_splits,
         # r5: web-scale corpus hygiene (planted deterministic inputs,
         # see ops/weburl.py docstring)
         "url_canonicalize": weburl.url_canonicalize,
@@ -651,6 +661,10 @@ order by doc_id_a, doc_id_b""",
         "ann_ivf_topk": ann_oracle.ann_ivf_topk_sql(),
         "semantic_duplicates": ann_oracle.semantic_duplicates_sql(),
         "semantic_dedup": ann_oracle.semantic_dedup_sql(),
+        # PQ oracles inline the re-derived codebooks/luts as literals
+        "pq_codes": pq.pq_codes_sql(),
+        "ann_pq_topk": pq.ann_pq_topk_sql(),
+        "ann_ivfpq_topk": pq.ann_ivfpq_topk_sql(),
         "bpe_merges": bpe.bpe_merges_sql(),
         "bpe_token_counts": bpe.bpe_token_counts_sql(),
         # embedding-cosine near-dup: the oracle replays the identical
@@ -937,6 +951,9 @@ order by lang""",
         # synthesis and thresholds come from one set of constants
         "sessionize": events.sessionize_sql(),
         "event_rollup": events.event_rollup_sql(),
+        "quality_nb_model": classify.quality_nb_model_sql(),
+        "quality_nb_scores": classify.quality_nb_scores_sql(),
+        "leakage_safe_splits": classify.leakage_safe_splits_sql(),
         "url_canonicalize": weburl.url_canonicalize_sql(),
         "url_dedup": weburl.url_dedup_sql(),
         "pii_scrub": weburl.pii_scrub_sql(),

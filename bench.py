@@ -304,6 +304,27 @@ def main():
         times["ops_bpe12_rows"] = bpe_merges(spark, sf_dir).count()
         times["ops_bpe12"] = round(time.time() - t0, 3)
 
+        # PQ ANN (train + encode + ADC probe + exact rerank — the
+        # memory-bound ANN path), the NB quality classifier (seed-band
+        # train + broadcast-join scoring), and leakage-safe split
+        # assignment (content-catalog window + hash banding)
+        from swish_e_spark.ops.classify import (
+            leakage_safe_splits, quality_nb_scores,
+        )
+        from swish_e_spark.ops.pq import ann_pq_topk
+
+        t0 = time.time()
+        times["ops_pq_topk_rows"] = ann_pq_topk(spark, sf_dir).count()
+        times["ops_pq_topk"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_nb_scores_rows"] = \
+            quality_nb_scores(spark, sf_dir).count()
+        times["ops_nb_scores"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        times["ops_splits_rows"] = \
+            leakage_safe_splits(spark, sf_dir).count()
+        times["ops_splits"] = round(time.time() - t0, 3)
+
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
         # state), CDC the change set, then compact + expire — each a
