@@ -7,8 +7,16 @@ Vectors are deterministic per vec_id (counter-seeded numpy Philox —
 batch-boundary independent), so runs are reproducible and no external
 data is involved.
 
-Usage: python BENCH/pq_scale.py [N] [n_queries] [cpus]
+Usage: python BENCH/pq_scale.py [N] [n_queries] [cpus] [m] [ksub] [C]
 Writes one JSON line; artifact BENCH/PQ_SCALE_r5.json.
+
+The driver-gate entries run m=8 subspaces x ksub=16 centroids (4-bit
+codes) because the exact DuckDB oracle inlines per-code CASE chains —
+fine for a value-identity gate, far too coarse for real recall. This
+bench defaults to the production configuration (m=16, ksub=256 ->
+8-bit codes = FAISS PQ16x8, rerank C=1000), which the same code paths
+support unchanged; random Gaussian vectors are ANN's worst case (no
+cluster structure), so the recall here is a floor, not a ceiling.
 """
 
 import json
@@ -50,6 +58,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    ksub = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    rerank_c = int(sys.argv[6]) if len(sys.argv) > 6 else 1000
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -72,8 +83,8 @@ def main():
         [r["embedding"] for r in
          emb.orderBy("vec_id").limit(pq.PQ_SAMPLE_CAP).collect()],
         dtype=np.float64)
-    books = pq.train_codebooks(sample)
-    sub = DIM // pq.PQ_M
+    books = pq.train_codebooks(sample, m=m, ksub=ksub)
+    sub = DIM // m
     bc = spark.sparkContext.broadcast(books)
 
     import pandas as pd
@@ -93,7 +104,7 @@ def main():
             yield pd.DataFrame(out)
 
     schema = "vec_id long, " + ", ".join(
-        f"c{j} int" for j in range(pq.PQ_M))
+        f"c{j} int" for j in range(m))
     codes = emb.mapInPandas(encode, schema=schema).persist()
     codes.count()
     t_build = time.time() - t0
@@ -124,14 +135,14 @@ def main():
         q = qvecs[vid]
         lut = pq._lut(q, books, sub)
         adc = None
-        for j in range(pq.PQ_M):
+        for j in range(m):
             arr = F.array(*[F.lit(float(v)) for v in lut[j]])
             term = F.element_at(arr, F.col(f"c{j}") + 1)
             adc = term if adc is None else adc + term
         cand = (codes.filter(F.col("vec_id") != vid)
                 .select("vec_id", adc.alias("adc"))
                 .orderBy(F.desc("adc"), F.asc("vec_id"))
-                .limit(pq.PQ_RERANK_C))
+                .limit(rerank_c))
         vec_lit = F.array(*[F.lit(float(v)) for v in q])
         rows = (emb.join(cand, "vec_id")
                 .withColumn("embedding",
@@ -152,9 +163,12 @@ def main():
         "speedup": round(t_brute / t_pq, 2),
         "recall_at_10": round(sum(rec) / len(rec), 3),
         "recall_per_query": rec,
-        "index_bytes_per_vec": pq.PQ_M,
+        "m": m,
+        "ksub": ksub,
+        "rerank_c": rerank_c,
+        "index_bytes_per_vec": m * (1 if ksub <= 256 else 2),
         "float_bytes_per_vec": DIM * 4,
-        "compression_x": DIM * 4 / pq.PQ_M,
+        "compression_x": DIM * 4 / (m * (1 if ksub <= 256 else 2)),
         "cpus": cpus,
     }
     print(json.dumps(out))
