@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": weburl.pii_scrub,
         "curation_decisions": weburl.curation_decisions,
         "pack_shards": weburl.pack_shards,
+        # r5 final: CCNet-style line-hash boilerplate removal — the
+        # cleaning TRANSFORM (not just the signal): global line df,
+        # drop >= BP_DF lines, md5-pinned rebuilt text
+        "boilerplate_strip": weburl.boilerplate_strip,
+        "boilerplate_catalog": weburl.boilerplate_catalog,
     }
 
 
@@ -959,4 +964,6 @@ order by lang""",
         "pii_scrub": weburl.pii_scrub_sql(),
         "curation_decisions": weburl.curation_decisions_sql(),
         "pack_shards": weburl.pack_shards_sql(),
+        "boilerplate_strip": weburl.boilerplate_strip_sql(),
+        "boilerplate_catalog": weburl.boilerplate_catalog_sql(),
     }

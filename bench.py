@@ -324,6 +324,11 @@ def main():
         times["ops_splits_rows"] = \
             leakage_safe_splits(spark, sf_dir).count()
         times["ops_splits"] = round(time.time() - t0, 3)
+        from swish_e_spark.ops.weburl import boilerplate_strip
+        t0 = time.time()
+        times["ops_boiler_strip_rows"] = \
+            boilerplate_strip(spark, sf_dir).count()
+        times["ops_boiler_strip"] = round(time.time() - t0, 3)
 
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady

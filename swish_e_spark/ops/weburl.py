@@ -196,6 +196,91 @@ def pii_scrub(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+BP_DF = 5            # a line in >= BP_DF distinct docs is boilerplate
+BP_NAV = "home about contact products navigation menu"
+BP_PROMO = "follow us on social media and subscribe for updates"
+BP_FOOTER = "copyright example com all rights reserved terms of service"
+
+
+def _lined_text(F):
+    """pyspark Column: the doc text wrapped in deterministic planted
+    boilerplate LINES (nav header on even docs, promo band on
+    doc_id % 5 < 2, footer on doc_id % 3 == 0) joined by newline —
+    the line-structured corpus the strip operates on. The testdata
+    text is a single line, so without the plant no line would repeat
+    across docs and the strip would never fire."""
+    did = F.col("doc_id")
+    nav = F.when(did % 2 == 0, F.lit(BP_NAV)).otherwise(F.lit(""))
+    promo = F.when(did % 5 < 2, F.lit(BP_PROMO)).otherwise(F.lit(""))
+    footer = F.when(did % 3 == 0, F.lit(BP_FOOTER)).otherwise(
+        F.lit(""))
+    arr = F.filter(F.array(nav, promo, F.col("text"), footer),
+                   lambda x: x != "")
+    return F.array_join(arr, "\n")
+
+
+def _doc_lines(spark, sf_dir):
+    """(doc_id, ln, line): 1-based line table over the planted
+    line-structured corpus — a pure scan-side projection."""
+    from pyspark.sql import functions as F
+
+    return (documents(spark, sf_dir)
+            .select("doc_id",
+                    F.posexplode(F.split(_lined_text(F), "\n"))
+                    .alias("ln0", "line"))
+            .withColumn("ln", F.col("ln0") + 1).drop("ln0"))
+
+
+def boilerplate_strip(spark, sf_dir):
+    """CCNet-style line-hash boilerplate removal (Wenzek et al.
+    1911.00359 §3.1 dedup lines across shards; every crawl pipeline's
+    nav/footer strip): count each distinct line's document frequency
+    corpus-wide, DROP lines appearing in >= BP_DF distinct docs,
+    rebuild the cleaned text in line order. Returns per doc
+    (n_lines, n_dropped, clean_md5) — the md5 pins the exact cleaned
+    bytes without shipping them (same device as pii_scrub).
+
+    Scale shape: one groupBy on the line key for the df table (at
+    10^12 docs: on xxhash64(line), and the df table is itself heavy-
+    hitter-skewed — the boilerplate lines ARE the hot keys — so the
+    join back is a broadcast of the >=threshold line set, not a full
+    line-key shuffle of the corpus; the string join here keeps the
+    DuckDB oracle exact), then one groupBy(doc_id) to reassemble."""
+    from pyspark.sql import functions as F
+
+    lines = _doc_lines(spark, sf_dir)
+    dfc = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("ldf"))
+    j = lines.join(dfc, "line")
+    kept = (F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("ldf") < BP_DF,
+                       F.struct("ln", "line")))),
+            lambda s: s["line"]),
+        "\n"))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(F.when(F.col("ldf") >= BP_DF, 1).otherwise(0))
+                 .cast("long").alias("n_dropped"),
+                 F.md5(kept).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def boilerplate_catalog(spark, sf_dir):
+    """The global boilerplate-line catalog (what you inspect before
+    trusting the df threshold): every line in >= BP_DF distinct docs,
+    with distinct-doc and occurrence counts, most widespread first."""
+    from pyspark.sql import functions as F
+
+    lines = _doc_lines(spark, sf_dir)
+    return (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .filter(F.col("n_docs") >= BP_DF)
+            .orderBy(F.desc("n_docs"), F.desc("n_occ"), "line"))
+
+
 def _curated_docs(spark, sf_dir):
     """(doc_id, ctext): the corpus the curation decision runs over.
     The BOILER band (doc_id % BOILER_MOD == BOILER_RES) is replaced by
@@ -469,6 +554,50 @@ def curation_decisions_sql() -> str:
         EVAL_MOD=EVAL_MOD, MIN_TOKENS=MIN_TOKENS, REP_MAX=REP_MAX,
         CONT_MAX=CONT_MAX, BOILER_MOD=BOILER_MOD,
         BOILER_RES=BOILER_RES, BOILER_TEXT=BOILER_TEXT)
+
+
+_LINES_CTE = """
+lt as (select doc_id,
+  (case when doc_id % 2 = 0 then '{BP_NAV}' || chr(10) else '' end)
+  || (case when doc_id % 5 < 2 then '{BP_PROMO}' || chr(10)
+           else '' end)
+  || text
+  || (case when doc_id % 3 = 0 then chr(10) || '{BP_FOOTER}'
+           else '' end) as ltext
+  from documents),
+lines as (select doc_id,
+         unnest(string_split(ltext, chr(10))) as line,
+         unnest(range(1, len(string_split(ltext, chr(10))) + 1)) as ln
+  from lt)"""
+
+
+def _lines_cte() -> str:
+    return _LINES_CTE.format(BP_NAV=BP_NAV, BP_PROMO=BP_PROMO,
+                             BP_FOOTER=BP_FOOTER)
+
+
+def boilerplate_strip_sql() -> str:
+    return f"""
+with {_lines_cte()},
+dfc as (select line, count(distinct doc_id) as ldf
+        from lines group by line)
+select doc_id, cast(count(*) as bigint) as n_lines,
+  cast(sum(case when ldf >= {BP_DF} then 1 else 0 end) as bigint)
+    as n_dropped,
+  md5(coalesce(string_agg(case when ldf < {BP_DF} then line end,
+                          chr(10) order by ln), '')) as clean_md5
+from lines join dfc using (line)
+group by doc_id order by doc_id"""
+
+
+def boilerplate_catalog_sql() -> str:
+    return f"""
+with {_lines_cte()}
+select line, count(distinct doc_id) as n_docs,
+       cast(count(*) as bigint) as n_occ
+from lines group by line
+having count(distinct doc_id) >= {BP_DF}
+order by n_docs desc, n_occ desc, line"""
 
 
 def pack_shards_sql() -> str:

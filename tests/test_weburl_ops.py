@@ -208,3 +208,50 @@ class TestPackShards:
         srt = sorted(rows, key=lambda r: r.shard_id)
         for a, b in zip(srt, srt[1:]):
             assert a.doc_hi < b.doc_lo
+
+
+class TestBoilerplateStrip:
+    def _lined(self, did, text):
+        parts = []
+        if did % 2 == 0:
+            parts.append(weburl.BP_NAV)
+        if did % 5 < 2:
+            parts.append(weburl.BP_PROMO)
+        parts.append(text)
+        if did % 3 == 0:
+            parts.append(weburl.BP_FOOTER)
+        return "\n".join(parts)
+
+    def test_matches_pure_python(self, spark):
+        docs = {r.doc_id: r.text
+                for r in documents(spark, SF).collect()}
+        lines = {did: self._lined(did, t).split("\n")
+                 for did, t in docs.items()}
+        ldf = collections.Counter()
+        for ls in lines.values():
+            for line in set(ls):
+                ldf[line] += 1
+        rows = {r.doc_id: r
+                for r in weburl.boilerplate_strip(spark, SF).collect()}
+        assert set(rows) == set(docs)
+        for did, ls in lines.items():
+            kept = [x for x in ls if ldf[x] < weburl.BP_DF]
+            r = rows[did]
+            assert r.n_lines == len(ls)
+            assert r.n_dropped == len(ls) - len(kept)
+            exp = hashlib.md5("\n".join(kept).encode()).hexdigest()
+            assert r.clean_md5 == exp
+
+    def test_strip_removes_planted_only(self, spark):
+        docs = {r.doc_id: r.text
+                for r in documents(spark, SF).collect()}
+        rows = {r.doc_id: r
+                for r in weburl.boilerplate_strip(spark, SF).collect()}
+        planted = {weburl.BP_NAV, weburl.BP_PROMO, weburl.BP_FOOTER}
+        for did, text in docs.items():
+            # the content line always survives (unique per doc)
+            exp = hashlib.md5(text.encode()).hexdigest()
+            assert rows[did].clean_md5 == exp
+        cat = {r.line for r in
+               weburl.boilerplate_catalog(spark, SF).collect()}
+        assert cat == planted
