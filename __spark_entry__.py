@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
     ann_oracle, bpe, classify, dedup, engineq, events, fulltext,
-    multimodal, pipeline, pq, similarity, textstats, weburl,
+    graph, multimodal, pipeline, pq, similarity, textstats, weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drop >= BP_DF lines, md5-pinned rebuilt text
         "boilerplate_strip": weburl.boilerplate_strip,
         "boilerplate_catalog": weburl.boilerplate_catalog,
+        # r5 final: planted-link-graph PageRank (document prior /
+        # crawl-frontier signal; generated k-round CTE oracle)
+        "link_pagerank": graph.link_pagerank,
     }
 
 
@@ -966,4 +969,5 @@ order by lang""",
         "pack_shards": weburl.pack_shards_sql(),
         "boilerplate_strip": weburl.boilerplate_strip_sql(),
         "boilerplate_catalog": weburl.boilerplate_catalog_sql(),
+        "link_pagerank": graph.link_pagerank_sql(),
     }

@@ -329,6 +329,11 @@ def main():
         times["ops_boiler_strip_rows"] = \
             boilerplate_strip(spark, sf_dir).count()
         times["ops_boiler_strip"] = round(time.time() - t0, 3)
+        from swish_e_spark.ops.graph import link_pagerank
+        t0 = time.time()
+        times["ops_pagerank_rows"] = \
+            link_pagerank(spark, sf_dir).count()
+        times["ops_pagerank"] = round(time.time() - t0, 3)
 
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
