@@ -109,7 +109,8 @@ def main():
     codes.count()
     t_build = time.time() - t0
 
-    qids = [17, 4211, 99321, 500017, n - 3][:n_q]
+    # spread probe ids across the id space, clamped to the actual N
+    qids = sorted({(n * k) // 7 % n for k in range(1, n_q + 1)})
     qvecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
              for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
 
@@ -134,13 +135,8 @@ def main():
     for vid in qids:
         q = qvecs[vid]
         lut = pq._lut(q, books, sub)
-        adc = None
-        for j in range(m):
-            arr = F.array(*[F.lit(float(v)) for v in lut[j]])
-            term = F.element_at(arr, F.col(f"c{j}") + 1)
-            adc = term if adc is None else adc + term
         cand = (codes.filter(F.col("vec_id") != vid)
-                .select("vec_id", adc.alias("adc"))
+                .select("vec_id", pq._adc_col(lut).alias("adc"))
                 .orderBy(F.desc("adc"), F.asc("vec_id"))
                 .limit(rerank_c))
         vec_lit = F.array(*[F.lit(float(v)) for v in q])

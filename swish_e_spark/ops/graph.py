@@ -32,6 +32,7 @@ from .corpus import documents
 
 PR_D = 0.85          # damping
 PR_ITERS = 8
+_PERSISTED: dict = {}   # final-ranks cache registry (one generation)
 LINK_RULES = ((7, 1), (13, 3))   # affine: dst = (src*m + c) % N
 PR_HUBS = 10                     # hub rule: dst = (src % PR_HUBS)*37 % N
 
@@ -93,6 +94,18 @@ def link_pagerank(spark, sf_dir, iters: int = PR_ITERS,
         indeg = (edges.groupBy("dst")
                  .agg(F.count("*").alias("in_deg"))
                  .withColumnRenamed("dst", "doc_id"))
+        # the returned plan reads the persisted final ranks; register
+        # it so the NEXT invocation releases this generation (same
+        # lifecycle rule as dedup.connected_components — the result is
+        # lazy, so freeing it now would drop the cache before the
+        # caller ever reads it)
+        old = _PERSISTED.get("pr_ranks")
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PERSISTED["pr_ranks"] = ranks
         return (docs.join(indeg, "doc_id", "left")
                 .join(ranks, "doc_id")
                 .select("doc_id",

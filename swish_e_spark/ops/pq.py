@@ -24,13 +24,16 @@ Plan shape (audited in BENCH/PLANS.md):
   back to the float vectors for the exact-cosine rerank. Two shuffles
   total (top-C, top-k), both k-bounded.
 
-Exactness contract for the driver gate: the codebooks, the codes, the
-lookup tables, and the left-fold ADC sum are all pure functions of the
-parquet + seeded constants; the oracle (pq_codes_sql / ann_pq_topk_sql)
-re-derives the codebooks with the SAME numpy training routine and
-inlines them as SQL literals, re-computes every vector's argmax code as
-a first-max CASE chain (== np.argmax), and sums the SAME literal
-doubles in the SAME order — the compare is exact, not a recall bound.
+Exactness contract for the driver gate: the codebooks, the lookup
+tables, and the left-fold ADC sum are bit-identical between engine and
+oracle (shared training/_lut code; identical literals summed in the
+same order). The per-vector code ASSIGNMENT is argmax over scores the
+engine computes with a numpy matmul and the oracle with sequential
+list_dot_product — different summation orders, so a code could differ
+if a vector's top-two subspace scores tied within ~1 ulp. Real
+embedding data has assignment margins many orders above that (the same
+margin assumption the IVF/SemDeDup oracles already rely on); the gate
+would surface a flip as a value mismatch rather than hide it.
 """
 
 from __future__ import annotations
@@ -84,8 +87,6 @@ def train_codebooks(sample: np.ndarray, m: int = PQ_M,
 def _sample_vectors(spark, sf_dir, sample_cap):
     """vec_id-ordered capped sample — a pure function of the table, so
     the oracle re-derives the identical matrix from the parquet."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from .corpus import embeddings
 
     emb = embeddings(spark, sf_dir)
@@ -98,18 +99,21 @@ def _sample_vectors(spark, sf_dir, sample_cap):
 
 def pq_codes(spark, sf_dir, m: int = PQ_M, ksub: int = PQ_KSUB,
              iters: int = PQ_ITERS, seed: int = PQ_SEED,
-             sample_cap: int = PQ_SAMPLE_CAP):
+             sample_cap: int = PQ_SAMPLE_CAP, books=None):
     """The PQ code table: (vec_id, c0..c{m-1}) — the persisted index.
 
     Encoding is one Arrow-batched scan; per subspace the kernel does a
     (batch x ksub) matmul + argmax. At 10^11 vectors this table is
     what lives in memory/SSD (m bytes/vector); the float vectors stay
-    cold in parquet until a rerank touches C of them."""
+    cold in parquet until a rerank touches C of them. Pass ``books``
+    to reuse already-trained codebooks (the probe paths train once
+    and share them)."""
     import pandas as pd
 
-    sample = _sample_vectors(spark, sf_dir, sample_cap)
-    books = train_codebooks(sample, m, ksub, iters, seed)
-    sub = sample.shape[1] // m
+    if books is None:
+        sample = _sample_vectors(spark, sf_dir, sample_cap)
+        books = train_codebooks(sample, m, ksub, iters, seed)
+    sub = books[0].shape[1]
     bc = spark.sparkContext.broadcast(books)
 
     def encode(batches):
@@ -167,14 +171,10 @@ def ann_pq_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
     # (same _lut helper), keeping the literals bit-identical
     lut = _lut(q, books, sub)
 
-    codes = pq_codes(spark, sf_dir, m, ksub, iters, seed, sample_cap)
-    adc = None
-    for j in range(m):
-        arr = F.array(*[F.lit(float(v)) for v in lut[j]])
-        term = F.element_at(arr, F.col(f"c{j}") + 1)
-        adc = term if adc is None else adc + term
+    codes = pq_codes(spark, sf_dir, m, ksub, iters, seed, sample_cap,
+                     books=books)
     cand = (codes.filter(F.col("vec_id") != query_vec_id)
-            .select("vec_id", adc.alias("adc_raw"))
+            .select("vec_id", _adc_col(lut).alias("adc_raw"))
             .orderBy(F.desc("adc_raw"), F.asc("vec_id"))
             .limit(rerank_c))
     vec_lit = F.array(*[F.lit(float(v)) for v in q])
@@ -202,6 +202,32 @@ def _lut(q: np.ndarray, books: list[np.ndarray], sub: int):
             row.append(acc)
         out.append(row)
     return out
+
+
+def _adc_col(lut):
+    """The JVM-side ADC score over code columns c0..c{m-1}: a literal
+    lookup-array per subspace indexed by the code, summed as a left
+    fold — the ONE definition shared by both probe paths (the SQL twin
+    is _adc_sql; both must keep this fold order)."""
+    from pyspark.sql import functions as F
+
+    adc = None
+    for j, row in enumerate(lut):
+        arr = F.array(*[F.lit(float(v)) for v in row])
+        term = F.element_at(arr, F.col(f"c{j}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _adc_sql(lut) -> str:
+    """SQL twin of _adc_col: per-subspace CASE lookups over the SAME
+    literal doubles, '+'-chained in the same order."""
+    terms = []
+    for j, row in enumerate(lut):
+        whens = " ".join(f"when {c} then {v!r}"
+                         for c, v in enumerate(row))
+        terms.append(f"(case c{j} {whens} end)")
+    return " + ".join(terms)
 
 
 def ann_ivfpq_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
@@ -244,19 +270,15 @@ def ann_ivfpq_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     probe = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
 
-    codes = pq_codes(spark, sf_dir, m, ksub, iters, seed, sample_cap)
+    codes = pq_codes(spark, sf_dir, m, ksub, iters, seed, sample_cap,
+                     books=books)
     # production: ONE stored table partitioned by cell; here the join
     # stands in for the co-located layout
     idx = codes.join(assign, "vec_id")
     lut = _lut(q, books, sub)
-    adc = None
-    for j in range(m):
-        arr = F.array(*[F.lit(float(v)) for v in lut[j]])
-        term = F.element_at(arr, F.col(f"c{j}") + 1)
-        adc = term if adc is None else adc + term
     cand = (idx.filter(F.col("cell").isin(probe)
                        & (F.col("vec_id") != query_vec_id))
-            .select("vec_id", adc.alias("adc_raw"))
+            .select("vec_id", _adc_col(lut).alias("adc_raw"))
             .orderBy(F.desc("adc_raw"), F.asc("vec_id"))
             .limit(rerank_c))
     vec_lit = F.array(*[F.lit(float(v)) for v in q])
@@ -352,13 +374,7 @@ def ann_pq_topk_sql(query_vec_id: int = 0, k: int = 10, m: int = PQ_M,
         np.asarray(tbl["vec_id"])[order] == query_vec_id)[0])
     q = np.stack(tbl["embedding"].to_pylist())[order][qpos].astype(
         np.float64)
-    lut = _lut(q, books, sub)
-    terms = []
-    for j in range(m):
-        whens = " ".join(f"when {c} then {lut[j][c]!r}"
-                         for c in range(ksub))
-        terms.append(f"(case c{j} {whens} end)")
-    adc = " + ".join(terms)
+    adc = _adc_sql(_lut(q, books, sub))
     return f"""
 with {_codes_ctes(books, sub)},
 adc as (select vec_id, {adc} as adc_raw from codes
@@ -411,13 +427,7 @@ def ann_ivfpq_topk_sql(query_vec_id: int = 0, k: int = 10,
     cell_argmax = ("case " + " ".join(cases)
                    + f" else {N_CENTROIDS - 1} end")
 
-    lut = _lut(q, books, sub)
-    terms = []
-    for j in range(m):
-        whens = " ".join(f"when {c} then {lut[j][c]!r}"
-                         for c in range(ksub))
-        terms.append(f"(case c{j} {whens} end)")
-    adc = " + ".join(terms)
+    adc = _adc_sql(_lut(q, books, sub))
     return f"""
 with {_codes_ctes(books, sub)},
 cd as (select vec_id,

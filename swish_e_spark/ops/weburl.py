@@ -210,13 +210,16 @@ def _lined_text(F):
     text is a single line, so without the plant no line would repeat
     across docs and the strip would never fire."""
     did = F.col("doc_id")
-    nav = F.when(did % 2 == 0, F.lit(BP_NAV)).otherwise(F.lit(""))
-    promo = F.when(did % 5 < 2, F.lit(BP_PROMO)).otherwise(F.lit(""))
-    footer = F.when(did % 3 == 0, F.lit(BP_FOOTER)).otherwise(
+    # straight concatenation (not join-of-nonempty-parts) so the
+    # semantics match the SQL oracle verbatim even for a hypothetical
+    # empty or newline-bearing text value
+    nav = F.when(did % 2 == 0, F.lit(BP_NAV + "\n")).otherwise(
         F.lit(""))
-    arr = F.filter(F.array(nav, promo, F.col("text"), footer),
-                   lambda x: x != "")
-    return F.array_join(arr, "\n")
+    promo = F.when(did % 5 < 2, F.lit(BP_PROMO + "\n")).otherwise(
+        F.lit(""))
+    footer = F.when(did % 3 == 0, F.lit("\n" + BP_FOOTER)).otherwise(
+        F.lit(""))
+    return F.concat(nav, promo, F.col("text"), footer)
 
 
 def _doc_lines(spark, sf_dir):

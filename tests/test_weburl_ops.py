@@ -212,15 +212,16 @@ class TestPackShards:
 
 class TestBoilerplateStrip:
     def _lined(self, did, text):
-        parts = []
+        # concatenation semantics, mirroring _lined_text exactly
+        out = ""
         if did % 2 == 0:
-            parts.append(weburl.BP_NAV)
+            out += weburl.BP_NAV + "\n"
         if did % 5 < 2:
-            parts.append(weburl.BP_PROMO)
-        parts.append(text)
+            out += weburl.BP_PROMO + "\n"
+        out += text
         if did % 3 == 0:
-            parts.append(weburl.BP_FOOTER)
-        return "\n".join(parts)
+            out += "\n" + weburl.BP_FOOTER
+        return out
 
     def test_matches_pure_python(self, spark):
         docs = {r.doc_id: r.text
