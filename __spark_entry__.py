@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from swish_e_spark.ops import (
     ann_oracle, bpe, classify, dedup, engineq, events, fulltext,
-    graph, multimodal, pipeline, pq, similarity, textstats, weburl,
+    graph, hashfeat, multimodal, pipeline, pq, similarity, textstats,
+    weburl,
 )
 from swish_e_spark.ops.corpus import DUCK_TOKS
 
@@ -109,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_info": multimodal.media_mp4_info_q,
         "media_mp3_info": multimodal.media_mp3_info_q,
         # training-data pipeline: text analysis
+        # r5 final: model-free hashed-TF-IDF doc vectors + text-only
+        # cosine search over them (ops/hashfeat.py)
+        "hashed_tfidf": hashfeat.hashed_tfidf,
+        "tfidf_cosine_topk": hashfeat.tfidf_cosine_topk,
         "langid_heuristic": textstats.langid_heuristic,
         "quality_score": textstats.quality_score,
         "token_count": textstats.token_count,
@@ -970,4 +975,6 @@ order by lang""",
         "boilerplate_strip": weburl.boilerplate_strip_sql(),
         "boilerplate_catalog": weburl.boilerplate_catalog_sql(),
         "link_pagerank": graph.link_pagerank_sql(),
+        "hashed_tfidf": hashfeat.hashed_tfidf_sql(),
+        "tfidf_cosine_topk": hashfeat.tfidf_cosine_topk_sql(),
     }

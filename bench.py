@@ -334,6 +334,11 @@ def main():
         times["ops_pagerank_rows"] = \
             link_pagerank(spark, sf_dir).count()
         times["ops_pagerank"] = round(time.time() - t0, 3)
+        from swish_e_spark.ops.hashfeat import tfidf_cosine_topk
+        t0 = time.time()
+        times["ops_tfidf_topk_rows"] = \
+            tfidf_cosine_topk(spark, sf_dir).count()
+        times["ops_tfidf_topk"] = round(time.time() - t0, 3)
 
         # lifecycle path at bench scale: replace ~1% of docs through
         # the incremental-update shard (the continuous-crawl steady
