@@ -51,13 +51,18 @@ def _normed(spark, sf_dir, dim):
 
     from .dedup import _md5_lower64
 
+    # ONE persisted (doc_id, t) pre-agg feeds both the df aggregation
+    # and the weighting join — without it each side re-runs the full
+    # corpus scan + combine; with it the join probe reads the cache.
+    # The df table itself is vocabulary-sized, so it broadcasts and
+    # the tf stream never shuffles on the token key.
     tf = (tokens(spark, sf_dir).groupBy("doc_id", "t")
-          .agg(F.count("*").alias("tf")))
+          .agg(F.count("*").alias("tf")).persist())
     df = tf.groupBy("t").agg(F.count("*").alias("df"))
     nd = documents(spark, sf_dir).count()
     idf = F.log((F.lit(float(nd)) + 1.0)
                 / (F.col("df") + 1.0)) + 1.0
-    b = (tf.join(df, "t")
+    b = (tf.join(F.broadcast(df), "t")
          .withColumn("bucket", F.pmod(_md5_lower64(F.col("t")),
                                       F.lit(dim)).cast("int"))
          .groupBy("doc_id", "bucket")
