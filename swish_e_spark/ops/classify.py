@@ -72,24 +72,38 @@ def _planted_tokens(spark, sf_dir):
             .filter(F.col("t") != ""))
 
 
-def _nb_model(spark, sf_dir):
+def _nb_tf(spark, sf_dir):
+    """(doc_id, t, tf) pre-agg over the planted corpus — ONE corpus
+    explode feeds both model training and scoring (the training
+    counts are sums of tf over the seed bands, identical integers to
+    counting raw occurrences)."""
+    from pyspark.sql import functions as F
+
+    return (_planted_tokens(spark, sf_dir)
+            .groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+
+
+def _nb_model_from_tf(tf):
     """(t, c_pos, c_neg) token counts over the two seed bands, plus the
     scalar (n_pos, n_neg, vocab) row. Laplace-smoothed multinomial NB:
     llr(t) = ln((c_pos+1)/(n_pos+V)) - ln((c_neg+1)/(n_neg+V))."""
     from pyspark.sql import functions as F
 
-    tk = _planted_tokens(spark, sf_dir)
     band = F.col("doc_id") % CLS_MOD
-    seed = tk.filter(band.isin(*(POS_RES + NEG_RES)))
+    seed = tf.filter(band.isin(*(POS_RES + NEG_RES)))
     counts = (seed.groupBy("t").agg(
-        F.sum(F.when(band.isin(*POS_RES), 1).otherwise(0))
+        F.sum(F.when(band.isin(*POS_RES), F.col("tf")).otherwise(0))
         .alias("c_pos"),
-        F.sum(F.when(band.isin(*NEG_RES), 1).otherwise(0))
+        F.sum(F.when(band.isin(*NEG_RES), F.col("tf")).otherwise(0))
         .alias("c_neg")))
     tot = counts.agg(F.sum("c_pos").alias("n_pos"),
                      F.sum("c_neg").alias("n_neg"),
                      F.count("*").alias("vocab"))
     return counts, tot
+
+
+def _nb_model(spark, sf_dir):
+    return _nb_model_from_tf(_nb_tf(spark, sf_dir))
 
 
 def quality_nb_model(spark, sf_dir, top: int = 30):
@@ -119,9 +133,8 @@ def quality_nb_scores(spark, sf_dir):
     left-join coalesce."""
     from pyspark.sql import functions as F
 
-    counts, tot = _nb_model(spark, sf_dir)
-    tk = _planted_tokens(spark, sf_dir)
-    tf = tk.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    tf = _nb_tf(spark, sf_dir).persist()
+    counts, tot = _nb_model_from_tf(tf)
     j = (tf.join(F.broadcast(counts), "t", "left")
          .crossJoin(F.broadcast(tot))
          .withColumn("cp", F.coalesce("c_pos", F.lit(0)))
